@@ -1,0 +1,143 @@
+package graft.core
+
+/** Serializable 64-bit-key Bloom filter used as a partition-local negative
+  * cache in front of the exact seen-set anti-join (the exact set stays
+  * authoritative). Capability shape mirrors the reference's alternative
+  * seen-set (`Abot/Core/BloomFilterCrawledUrlRepository.cs:19`,
+  * `Abot/Util/BloomFilter.cs:178-192,282-286`): capacity + target FPR derive
+  * bit count and hash count; membership is "definitely absent / maybe
+  * present"; no deletes.
+  *
+  * Keys are already-hashed 64-bit url hashes; k index functions are derived
+  * by double hashing h1 + i*h2 (Kirsch–Mitzenmacher).
+  */
+final class BloomFilter64(val numBits: Long, val numHashes: Int) extends Serializable {
+  require(numBits > 0 && numHashes > 0)
+  private val words = new Array[Long](((numBits + 63) / 64).toInt)
+
+  @inline private def setBit(idx: Long): Unit = {
+    val w = (idx >>> 6).toInt
+    words(w) |= (1L << (idx & 63))
+  }
+  @inline private def getBit(idx: Long): Boolean = {
+    val w = (idx >>> 6).toInt
+    (words(w) & (1L << (idx & 63))) != 0
+  }
+
+  def add(key: Long): Unit = {
+    val h1 = XxHash64.hashLong(key, 0L)
+    val h2 = XxHash64.hashLong(key, 1L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      setBit(java.lang.Math.floorMod(h1 + i * h2, numBits))
+      i += 1
+    }
+  }
+
+  def mightContain(key: Long): Boolean = {
+    val h1 = XxHash64.hashLong(key, 0L)
+    val h2 = XxHash64.hashLong(key, 1L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      if (!getBit(java.lang.Math.floorMod(h1 + i * h2, numBits))) return false
+      i += 1
+    }
+    true
+  }
+
+  def merge(other: BloomFilter64): BloomFilter64 = {
+    require(other.numBits == numBits && other.numHashes == numHashes)
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    this
+  }
+
+  def serializedSizeBytes: Long = words.length.toLong * 8
+}
+
+object BloomFilter64 {
+  /** Standard sizing: m = -n ln p / (ln 2)^2, k = m/n ln 2. */
+  def forCapacity(expectedItems: Long, fpr: Double): BloomFilter64 = {
+    val n = math.max(1L, expectedItems)
+    val m = math.ceil(-n * math.log(fpr) / (math.log(2) * math.log(2))).toLong
+    val k = math.max(1, math.round(m.toDouble / n * math.log(2)).toInt)
+    new BloomFilter64(m, k)
+  }
+}
+
+/** Cuckoo filter over 64-bit keys — the deletion-capable fallback the north
+  * rule asks for when seen-set entries must be retractable (e.g. retry
+  * bookkeeping). 4-slot buckets, 16-bit fingerprints, standard partial-key
+  * cuckoo hashing (Fan et al., "Cuckoo Filter: Practically Better Than
+  * Bloom", CoNEXT 2014 — public paper).
+  */
+final class CuckooFilter64(log2Buckets: Int, maxKicks: Int = 500) extends Serializable {
+  private val numBuckets = 1 << log2Buckets
+  private val table = new Array[Short](numBuckets * 4)
+  private var rng = new java.util.Random(42)
+  private var countItems = 0L
+
+  @inline private def fingerprint(key: Long): Short = {
+    val f = (XxHash64.hashLong(key, 7L) & 0xffffL).toShort
+    if (f == 0) 1.toShort else f
+  }
+  @inline private def bucketOf(key: Long): Int =
+    (XxHash64.hashLong(key, 0L) & (numBuckets - 1)).toInt
+  @inline private def altBucket(b: Int, f: Short): Int =
+    (b ^ (XxHash64.hashLong(f.toLong & 0xffffL, 0L) & (numBuckets - 1)).toInt) & (numBuckets - 1)
+
+  private def tryInsert(b: Int, f: Short): Boolean = {
+    var s = 0
+    while (s < 4) {
+      if (table(b * 4 + s) == 0) { table(b * 4 + s) = f; return true }
+      s += 1
+    }
+    false
+  }
+
+  def add(key: Long): Boolean = {
+    var f = fingerprint(key)
+    val b1 = bucketOf(key)
+    val b2 = altBucket(b1, f)
+    if (tryInsert(b1, f) || tryInsert(b2, f)) { countItems += 1; return true }
+    var b = if (rng.nextBoolean()) b1 else b2
+    var kicks = 0
+    while (kicks < maxKicks) {
+      val s = rng.nextInt(4)
+      val evicted = table(b * 4 + s)
+      table(b * 4 + s) = f
+      f = evicted
+      b = altBucket(b, f)
+      if (tryInsert(b, f)) { countItems += 1; return true }
+      kicks += 1
+    }
+    false // table too full
+  }
+
+  def mightContain(key: Long): Boolean = {
+    val f = fingerprint(key)
+    val b1 = bucketOf(key)
+    val b2 = altBucket(b1, f)
+    var s = 0
+    while (s < 4) {
+      if (table(b1 * 4 + s) == f || table(b2 * 4 + s) == f) return true
+      s += 1
+    }
+    false
+  }
+
+  def remove(key: Long): Boolean = {
+    val f = fingerprint(key)
+    val b1 = bucketOf(key)
+    val b2 = altBucket(b1, f)
+    var s = 0
+    while (s < 4) {
+      if (table(b1 * 4 + s) == f) { table(b1 * 4 + s) = 0; countItems -= 1; return true }
+      if (table(b2 * 4 + s) == f) { table(b2 * 4 + s) = 0; countItems -= 1; return true }
+      s += 1
+    }
+    false
+  }
+
+  def size: Long = countItems
+}

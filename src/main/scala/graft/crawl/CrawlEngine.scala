@@ -1,0 +1,323 @@
+package graft.crawl
+
+import graft.core.{ScopeFilter, UrlCanonicalizer}
+import graft.extract.{DocAnalysis, HtmlParser, HtmlToSpans}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Fetch abstraction: HTTP is compute inside `mapPartitions`, never a Spark
+  * source (SURVEY.md §2.1 S1). Implementations must be Serializable — they
+  * run on executors.
+  */
+trait Fetcher extends Serializable {
+  def fetch(url: String): FetchResponse
+  def fetchRobots(host: String): String // robots.txt content, "" when absent
+}
+
+final case class FetchResponse(status: Int, contentType: String, redirectTo: String, body: String)
+
+/** Deterministic in-memory fetcher over the synthetic web fixture, with an
+  * optional fixed simulated per-page cost so benchmarks exercise the engine
+  * rather than the (absent) network.
+  */
+final class SyntheticFetcher(
+    pages: Map[String, SyntheticPage],
+    robots: Map[String, String],
+    simulatedCostNanos: Long = 0L) extends Fetcher {
+
+  private def simulate(): Unit = {
+    if (simulatedCostNanos > 0) {
+      val end = System.nanoTime() + simulatedCostNanos
+      var x = 0L
+      while (System.nanoTime() < end) { x += 1 }
+    }
+  }
+
+  override def fetch(url: String): FetchResponse = {
+    simulate()
+    pages.get(url) match {
+      case None => FetchResponse(404, "text/html", null, "")
+      case Some(p) => FetchResponse(p.status, p.content_type, p.redirect_to, p.html)
+    }
+  }
+
+  override def fetchRobots(host: String): String = robots.getOrElse(host, "")
+}
+
+/** The Spark-native crawl engine: a driver loop over BFS "waves", each wave
+  * one declarative DataFrame DAG (frontier → politeness schedule → fetch →
+  * extract → analyze/dedup → schedule links → atomic commit), per SURVEY.md
+  * §2.10/§3. State lives exclusively in TableIO tables, which is what makes
+  * a killed run resume exactly (north rule). Semantics are byte-identical to
+  * graft.crawl.SequentialOracle (asserted by CrawlParitySpec).
+  *
+  * Scale notes (designed for 10^10-URL frontiers, tested on local[32]):
+  *  - fetch waves are repartitioned by hashed host so one host's URLs land
+  *    in one partition (politeness is partition-local, J3); the per-host
+  *    per-wave cap (waveBudget / crawlDelay) bounds skew at the SCHEDULING
+  *    level — a hot host can never dominate a wave (SURVEY.md §4);
+  *  - the seen-set anti-join is an equi-join on url_hash longs (never
+  *    broadcast at frontier scale; AQE picks sort-merge vs shuffled-hash);
+  *  - dense seq assignment is sort + zipWithIndex — two linear passes, no
+  *    single-partition window bottleneck (W3);
+  *  - per-host state (robots, crawl delay) is collected + broadcast: the
+  *    host set is bounded by distinct registrable domains (~10^7-10^8 at
+  *    full web scale), millions of times smaller than the URL frontier.
+  */
+final class CrawlEngine(
+    spark: SparkSession,
+    io: TableIO,
+    config: CrawlConfig,
+    fetcher: Fetcher,
+    numPartitions: Int) {
+
+  import spark.implicits._
+
+  private val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
+    .getOrElse(throw new IllegalArgumentException(s"bad root url: ${config.rootUrl}"))
+
+  /** Run (or resume) the crawl to completion; returns waves processed. */
+  def run(maxWavesThisRun: Int = Int.MaxValue): Int = {
+    if (io.committedWave == -2) bootstrap()
+    var wave = io.committedWave + 1
+    var processed = 0
+    var continue = wave < config.maxWaves && processed < maxWavesThisRun
+    while (continue) {
+      val hadWork = runWave(wave)
+      if (hadWork) processed += 1
+      wave += 1
+      continue = hadWork && wave < config.maxWaves && processed < maxWavesThisRun
+    }
+    processed
+  }
+
+  /** Commit "-1": root frontier entry + root hash in the seen set. */
+  private def bootstrap(): Unit = {
+    val rootEntry = FrontierEntry(rootCanon, UrlCanonicalizer.urlHash(rootCanon),
+      UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
+    io.stage("frontier", 0, Seq(rootEntry).toDS())
+    io.stage("seen", 0, Seq(rootEntry.url_hash).toDF("url_hash"))
+    io.commitWave(-1, Map("max_seq" -> 0L))
+  }
+
+  /** Process one wave; false = frontier empty, crawl complete. */
+  def runWave(wave: Int): Boolean = {
+    val frontier = io.readWave("frontier", wave, TableIO.FrontierSchema, lookahead = 1)
+    if (frontier.isEmpty) return false
+    val prevMaxSeq = io.stat("max_seq").getOrElse(0L)
+
+    // ---- 1. robots for hosts newly appearing in the frontier -------------
+    val knownHosts = io.readAll("hosts", TableIO.HostsSchema)
+    val fetcherL = fetcher
+    val cfg = config
+    val newHostStates = frontier.select($"host").distinct()
+      .join(knownHosts.select($"host"), Seq("host"), "left_anti")
+      .as[String]
+      .mapPartitions { hosts =>
+        hosts.map { h =>
+          val content = fetcherL.fetchRobots(h)
+          val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
+          HostState(h, cfg.effectiveDelayMs(delay), content, wave)
+        }
+      }
+      .persist()
+    val hostStates = knownHosts.as[HostState].collect() ++ newHostStates.collect()
+    val compiled: Map[String, CompiledRobots] =
+      hostStates.map(h => h.host -> CompiledRobots.of(h.robots_txt)).toMap
+    val robotsBc = spark.sparkContext.broadcast(compiled)
+    val capByHost: Map[String, Int] = hostStates.map { h =>
+      h.host -> math.max(1L, config.waveBudgetMs / math.max(1L, h.crawl_delay_ms)).toInt
+    }.toMap
+    val capBc = spark.sparkContext.broadcast(capByHost)
+
+    // ---- 2. politeness split: per-host cap in seq order, rest carries ----
+    val hostRank = Window.partitionBy($"host").orderBy($"seq")
+    val ranked = frontier.withColumn("host_rank", row_number().over(hostRank))
+    val capOf = udf((host: String) => capBc.value.getOrElse(host, 1))
+    val due = ranked.filter($"host_rank" <= capOf($"host")).drop("host_rank")
+    val carry = ranked.filter($"host_rank" > capOf($"host")).drop("host_rank")
+      .withColumn("wave", lit(wave + 1))
+
+    // ---- 3. fetch + extract: host-bucketed partition-parallel map --------
+    val results = due.as[FrontierEntry]
+      .repartition(numPartitions, pmod(xxhash64($"host"), lit(numPartitions)))
+      .sortWithinPartitions($"host", $"seq")
+      .mapPartitions { entries =>
+        val pid = TaskContext.getPartitionId()
+        entries.map(e => CrawlEngine.fetchAndExtract(fetcherL, e, pid))
+      }
+      .persist()
+    val pagesFetched = results.count()
+
+    // ---- 4. text-block analysis + first-wins dedup (D3/W2) ---------------
+    val blocks = results.flatMap { r =>
+      DocAnalysis.analyzableItems(r.spans).map(it =>
+        (r.seq, it.offset, it.text_hash, it.words, it.lang))
+    }.toDF("seq", "offset", "text_hash", "words", "lang")
+
+    // first occurrence within the wave, by deterministic (seq, offset) order
+    val firstWin = Window.partitionBy($"text_hash").orderBy($"seq", $"offset")
+    val withRn = blocks.withColumn("rn", row_number().over(firstWin))
+    // not already owned by a previous wave (cross-wave anti-join semantics,
+    // expressed as left join + null test so no self-join lineage is needed)
+    val uniqueBlocksTable = io.readAll("unique_blocks", TableIO.UniqueBlocksSchema)
+    val flagged = withRn.join(
+        uniqueBlocksTable.select($"text_hash").withColumn("prev", lit(true)),
+        Seq("text_hash"), "left")
+      .withColumn("is_unique", $"rn" === 1 && $"prev".isNull)
+      .persist()
+
+    val newUnique = flagged.filter($"is_unique").select($"text_hash", $"words")
+
+    val docTotals = flagged.groupBy($"seq").agg(
+      sum($"words").as("total_words"),
+      sum(when($"is_unique", $"words").otherwise(lit(0L))).as("unique_words"))
+
+    // doc language: argmax words by lang, ties to earliest-seen lang (A3)
+    val langAgg = flagged.groupBy($"seq", $"lang")
+      .agg(sum($"words").as("lang_words"), min($"offset").as("first_off"))
+    val langWin = Window.partitionBy($"seq").orderBy($"lang_words".desc, $"first_off".asc)
+    val docLang = langAgg.withColumn("lrn", row_number().over(langWin))
+      .filter($"lrn" === 1).select($"seq".as("l_seq"), $"lang".as("doc_lang"))
+
+    val docs = results.toDF()
+      .join(docTotals.withColumnRenamed("seq", "t_seq"), $"seq" === $"t_seq", "inner")
+      .join(docLang, $"seq" === $"l_seq", "left")
+      .filter($"unique_words" > 0)
+      .select($"url".as("doc_id"), $"spans", $"title",
+        coalesce($"doc_lang", lit("?")).as("lang"),
+        $"total_words", $"unique_words", $"wave", $"seq")
+
+    // ---- 5. candidate links → seen updates + next frontier (D1/J1/W3) ----
+    val rawCand = results.flatMap { r =>
+      r.out_links.zipWithIndex.map { case (link, idx) =>
+        (r.seq, r.url, r.depth, idx, link,
+          UrlCanonicalizer.urlHash(link), UrlCanonicalizer.host(link))
+      }
+    }.toDF("parent_seq", "parent_url", "parent_depth", "link_index", "url", "url_hash", "host")
+
+    // within-wave first occurrence wins, deterministically (W2 analog)
+    val candWin = Window.partitionBy($"url_hash").orderBy($"parent_seq", $"link_index")
+    val waveDistinct = rawCand.withColumn("crn", row_number().over(candWin))
+      .filter($"crn" === 1).drop("crn")
+
+    // cross-wave: never-seen candidates only (D1 anti-join on hashed urls)
+    val seenTable = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+    val notSeen = waveDistinct.join(seenTable, Seq("url_hash"), "left_anti").persist()
+
+    // every evaluated candidate becomes known — pass or fail (AddKnownUri)
+    val seenAdds = notSeen.select($"url_hash")
+
+    val scope = config.scope
+    val root = rootCanon
+    val maxDepth = config.maxDepth
+    val userAgent = config.userAgent
+    val passesFilters = udf((url: String, host: String, parentDepth: Int) => {
+      parentDepth + 1 <= maxDepth &&
+      ScopeFilter.shouldCrawl(scope, url, root) &&
+      robotsBc.value.getOrElse(host, CompiledRobots.Empty)
+        .allowed(UrlCanonicalizer.pathAndQuery(url), userAgent)
+    })
+    val perPage = Window.partitionBy($"parent_seq").orderBy($"link_index")
+    val passing = notSeen.filter(passesFilters($"url", $"host", $"parent_depth"))
+      .withColumn("page_rank", row_number().over(perPage))
+      .filter($"page_rank" <= config.maxLinksPerPage).drop("page_rank")
+
+    val newFrontier = CrawlEngine.assignSeq(spark,
+        passing.select($"url", $"url_hash", $"host", $"parent_url",
+          ($"parent_depth" + 1).as("depth"), $"parent_seq", $"link_index"),
+        Seq("parent_seq", "link_index"), prevMaxSeq + 1)
+      .select($"url", $"url_hash", $"host", $"parent_url", $"depth", $"seq")
+      .withColumn("wave", lit(wave + 1))
+
+    // ---- 6. per-partition metrics lineage (A1 analog) --------------------
+    val metrics = results.groupBy($"wave", $"partition_id").agg(
+      count(lit(1)).as("pages"),
+      sum(when($"status" >= 400, 1L).otherwise(0L)).as("errors"),
+      lit(0L).as("words"),
+      sum($"fetch_ms").as("fetch_ms"),
+      sum($"extract_ms").as("extract_ms"))
+
+    // ---- 7. stage everything, then atomically commit the wave ------------
+    val nextFrontier = carry.unionByName(newFrontier).persist()
+    val nextMaxSeq = math.max(prevMaxSeq,
+      Option(nextFrontier.agg(max($"seq")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    io.stage("documents", wave, docs)
+    io.stage("unique_blocks", wave, newUnique)
+    io.stage("seen", wave + 1, seenAdds)
+    io.stage("hosts", wave, newHostStates)
+    io.stage("metrics", wave, metrics)
+    io.stage("frontier", wave + 1, nextFrontier)
+    io.commitWave(wave, Map("pages" -> pagesFetched, "max_seq" -> nextMaxSeq))
+
+    results.unpersist()
+    flagged.unpersist()
+    notSeen.unpersist()
+    nextFrontier.unpersist()
+    newHostStates.unpersist()
+    true
+  }
+}
+
+object CrawlEngine {
+
+  /** Fetch one frontier entry and extract it — the per-page unit of work
+    * run inside the fetch mapPartitions (north rule: extraction as a
+    * partition-parallel mapPartitions emitting interleaved text+media span
+    * structs).
+    */
+  def fetchAndExtract(fetcher: Fetcher, e: FrontierEntry, partitionId: Int): PageResult = {
+    val t0 = System.nanoTime()
+    val resp = fetcher.fetch(e.url)
+    val t1 = System.nanoTime()
+    var title = ""
+    var spans = Vector.empty[graft.core.Span]
+    var outLinks = Vector.empty[String]
+    var noFollow = false
+    if (resp.status == 200 && resp.contentType == "text/html") {
+      val dom = HtmlParser.parse(resp.body)
+      val extracted = HtmlToSpans.extractDom(dom)
+      title = extracted.title
+      spans = extracted.spans
+      noFollow = extracted.noFollow
+      if (!noFollow) {
+        val (rawHrefs, baseHref) = HtmlToSpans.rawLinks(dom)
+        val baseUrl = baseHref match {
+          case Some(b) if b.startsWith("//") => e.url.takeWhile(_ != ':') + ":" + b
+          case Some(b) => b
+          case None => e.url
+        }
+        outLinks = dedupResolve(baseUrl, rawHrefs)
+      }
+    } else if (resp.status >= 300 && resp.status < 400 && resp.redirectTo != null) {
+      outLinks = dedupResolve(e.url, Vector(resp.redirectTo))
+    }
+    val t2 = System.nanoTime()
+    PageResult(e.url, e.url_hash, e.host, e.seq, e.depth, e.wave,
+      resp.status, resp.contentType, title, spans, outLinks, noFollow,
+      (t1 - t0) / 1e6, (t2 - t1) / 1e6, partitionId)
+  }
+
+  /** In-page canonical-URL dedup, first occurrence order (D2). */
+  def dedupResolve(baseUrl: String, hrefs: Vector[String]): Vector[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    hrefs.foreach(h => UrlCanonicalizer.resolve(baseUrl, h).foreach(seen.add))
+    seen.toVector
+  }
+
+  /** Deterministic dense sequence assignment: total sort on `orderCols`
+    * then zipWithIndex — two linear passes, no single-partition window, so
+    * it scales to arbitrarily large candidate sets (W3).
+    */
+  def assignSeq(spark: SparkSession, df: DataFrame, orderCols: Seq[String], start: Long): DataFrame = {
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+ StructField("seq", LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (start + i))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.crawl
+
+import graft.core.{RobotsTxt, ScopeFilter, Span}
+
+/** One frontier row — Spark mapping of the reference's `PageToCrawl`
+  * (`Abot/Poco/PageToCrawl.cs:8-91`). `seq` is the deterministic global FIFO
+  * discovery sequence (the contract that replaces queue arrival order),
+  * `wave` the BFS wave the entry is scheduled for.
+  */
+final case class FrontierEntry(
+    url: String,
+    url_hash: Long,
+    host: String,
+    parent_url: String,
+    depth: Int,
+    seq: Long,
+    wave: Int)
+
+/** Synthetic fetch universe row (FIXTURES.md §2). */
+final case class SyntheticPage(
+    url: String,
+    host: String,
+    status: Int,
+    content_type: String,
+    redirect_to: String, // nullable
+    html: String)
+
+/** Result of fetching+extracting one page inside the fetch mapPartitions. */
+final case class PageResult(
+    url: String,
+    url_hash: Long,
+    host: String,
+    seq: Long,
+    depth: Int,
+    wave: Int,
+    status: Int,
+    content_type: String,
+    title: String,
+    spans: Seq[Span],
+    out_links: Seq[String], // canonical, in-page-deduped, document order
+    no_follow: Boolean,
+    fetch_ms: Double,
+    extract_ms: Double,
+    partition_id: Int)
+
+/** One extracted document row — the north-rule table shape
+  * (doc_id, spans) plus analysis metadata.
+  */
+final case class DocumentRow(
+    doc_id: String,
+    spans: Seq[Span],
+    title: String,
+    lang: String,
+    total_words: Long,
+    unique_words: Long,
+    wave: Int,
+    seq: Long)
+
+/** Per-partition crawl lineage + metrics row (north rule). */
+final case class MetricsRow(
+    wave: Int,
+    partition_id: Int,
+    pages: Long,
+    errors: Long,
+    words: Long,
+    fetch_ms: Double,
+    extract_ms: Double)
+
+/** Per-host state (robots rules + politeness), persisted per wave. */
+final case class HostState(
+    host: String,
+    crawl_delay_ms: Long,
+    robots_txt: String, // raw content; "" when absent
+    discovered_wave: Int)
+
+final case class CrawlConfig(
+    rootUrl: String,
+    scope: ScopeFilter.Scope = ScopeFilter.SubDomain,
+    userAgent: String = "graftbot",
+    maxDepth: Int = 1000,
+    maxLinksPerPage: Int = 1000,
+    maxPagesToCrawl: Long = 0L, // 0 = unlimited
+    minCrawlDelayMs: Long = 100L,
+    maxRobotsDelaySec: Int = 5, // robots crawl-delay clamp (PoliteWebCrawler.cs:103-115)
+    waveBudgetMs: Long = 60000L, // politeness budget per host per wave
+    maxWaves: Int = 100) {
+
+  /** Effective per-host delay: max(minCrawlDelay, clamp(robots delay, 5s)) —
+    * `DomainRateLimiter.cs:42-66` + `PoliteWebCrawler.cs:103-115`.
+    */
+  def effectiveDelayMs(robotsDelaySec: Int): Long = {
+    val clamped = math.min(robotsDelaySec, maxRobotsDelaySec).toLong * 1000L
+    math.max(minCrawlDelayMs, clamped)
+  }
+
+  /** Per-host pages-per-wave cap from the politeness budget — a hot host is
+    * serialized by its crawl delay by definition, so it may contribute at
+    * most budget/delay fetches per wave; the rest carries over. This is the
+    * scheduling-level skew control from SURVEY.md §4.
+    */
+  def maxPagesPerHostPerWave(robotsDelaySec: Int): Int =
+    math.max(1L, waveBudgetMs / effectiveDelayMs(robotsDelaySec)).toInt
+}
+
+/** Compiled robots state shared by engine and oracle. */
+final case class CompiledRobots(parsed: RobotsTxt.Parsed) {
+  def allowed(pathAndQuery: String, ua: String): Boolean = parsed.allowed(pathAndQuery, ua)
+  def crawlDelaySec(ua: String): Int = parsed.crawlDelaySec(ua)
+}
+
+object CompiledRobots {
+  val Empty: CompiledRobots = CompiledRobots(RobotsTxt.Empty)
+  def of(content: String): CompiledRobots =
+    if (content == null || content.isEmpty) Empty else CompiledRobots(RobotsTxt.parse(content))
+}

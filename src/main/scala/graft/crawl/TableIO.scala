@@ -1,0 +1,102 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Wave-granular checkpointed table storage for crawl state.
+  *
+  * This is the Iceberg commit contract re-expressed over plain Parquet
+  * (SURVEY.md §7: no Iceberg runtime jar ships in this environment): every
+  * table is a directory of per-wave Parquet partitions (`w0`, `w1`, …), and
+  * a partition is visible iff its wave index is within the committed window
+  * recorded in `manifest.json`, which is replaced ATOMICALLY (tmp file +
+  * ATOMIC_MOVE rename). A killed run therefore resumes exactly at the last
+  * committed wave: partitions staged for an uncommitted wave are invisible
+  * and are overwritten on retry (north rule: "a killed run resumes exactly").
+  *
+  * Tables staged one wave AHEAD (frontier for wave N+1, seen additions) are
+  * read with `lookahead = 1`: they were staged before the commit of wave N,
+  * so index committedWave+1 is already durable.
+  *
+  * If an Iceberg runtime is present, only this class changes: `commitWave`
+  * becomes a multi-table snapshot commit, reads become snapshot reads.
+  */
+final class TableIO(val warehouse: String, spark: SparkSession) {
+  import TableIO._
+
+  private def waveDir(name: String, wave: Int) = s"$warehouse/$name/w$wave"
+  private val manifestPath = Paths.get(s"$warehouse/manifest.json")
+
+  Files.createDirectories(Paths.get(warehouse))
+
+  /** Last committed wave; -2 for a fresh warehouse (bootstrap commits -1). */
+  def committedWave: Int = {
+    if (!Files.exists(manifestPath)) -2
+    else {
+      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      """"committed_wave"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(-2)
+    }
+  }
+
+  /** A long-valued stat persisted with the last commit (e.g. max_seq). */
+  def stat(name: String): Option[Long] = {
+    if (!Files.exists(manifestPath)) None
+    else {
+      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      (""""""" + name + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+  }
+
+  /** Stage one table's rows for wave index `wave` (NOT yet visible). */
+  def stage[T](name: String, wave: Int, ds: Dataset[T]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(waveDir(name, wave))
+
+  /** Atomically commit `wave`, with lineage stats. */
+  def commitWave(wave: Int, stats: Map[String, Long] = Map.empty): Unit = {
+    val statsJson = stats.map { case (k, v) => s""","$k":$v""" }.mkString
+    val json = s"""{"committed_wave":$wave$statsJson}"""
+    val tmp = Paths.get(s"$warehouse/manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Union of all visible wave partitions of a table. */
+  def readAll(name: String, schemaDdl: String, lookahead: Int = 0): DataFrame = {
+    val maxWave = committedWave + lookahead
+    val dirs = (0 to maxWave).map(w => waveDir(name, w))
+      .filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) emptyDf(spark, schemaDdl)
+    else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .parquet(dirs: _*)
+  }
+
+  /** Rows of exactly one visible wave partition. */
+  def readWave(name: String, wave: Int, schemaDdl: String, lookahead: Int = 0): DataFrame = {
+    val d = waveDir(name, wave)
+    if (wave > committedWave + lookahead || !Files.exists(Paths.get(d))) emptyDf(spark, schemaDdl)
+    else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .parquet(d)
+  }
+}
+
+object TableIO {
+  val FrontierSchema =
+    "url string, url_hash bigint, host string, parent_url string, depth int, seq bigint, wave int"
+  val SeenSchema = "url_hash bigint"
+  val UniqueBlocksSchema = "text_hash bigint, words int"
+  val DocumentsSchema =
+    "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, " +
+    "title string, lang string, total_words bigint, unique_words bigint, wave int, seq bigint"
+  val MetricsSchema =
+    "wave int, partition_id int, pages bigint, errors bigint, words bigint, " +
+    "fetch_ms double, extract_ms double"
+  val HostsSchema = "host string, crawl_delay_ms bigint, robots_txt string, discovered_wave int"
+
+  def emptyDf(spark: SparkSession, schemaDdl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+}

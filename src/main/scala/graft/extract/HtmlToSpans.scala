@@ -1,0 +1,441 @@
+package graft.extract
+
+import graft.core.{Span, SpanKinds}
+import scala.collection.mutable
+
+/** Result of extracting one HTML page. `spans` is the interleaved text+media
+  * span sequence (offsets dense); `outLinks` are canonicalized hrefs in
+  * first-occurrence document order (in-page dedup D2,
+  * `Abot/Core/HyperLinkParser.cs:114-115`); `noFollow` reflects a
+  * `<meta name=robots content=nofollow|none>` page
+  * (`Abot/Core/HyperLinkParser.cs:127-157`).
+  */
+final case class ExtractedDoc(
+    title: String,
+    spans: Vector[Span],
+    outLinks: Vector[String],
+    noFollow: Boolean)
+
+/** HTML tree -> span sequence, re-expressing the conversion rules of the
+  * reference converter (`wordslab.webscraper/html/HtmlDocumentConverter.cs`)
+  * and builder (`wordslab.nlptextdoc/NLPTextDocumentBuilder.cs`):
+  *
+  *  - invisible-element filter on class/role/aria-hidden (`:328-344`)
+  *  - script/noscript/style/svg skipped (`:259-263`)
+  *  - h1..h6 + p[role=heading][aria-level] start Sections, attached to their
+  *    computed container element (`AnalyseDocumentStructureToDelimitSections`,
+  *    `:67-171`), header-level nesting pops (`:410-443`)
+  *  - ul/ol -> List or NavigationList (all-anchor detection `:483-511`),
+  *    li -> ListItem with its own text block (`:513-523`)
+  *  - table/tr/th/td with rowspan/colspan coordinate bookkeeping (`:525-605`)
+  *  - text grouping per block-level element, single-space joining, entity
+  *    decode + NBSP trim (`:624-637,664-732`); a/span treated inline (the
+  *    reference promotes them per computed CSS, which we don't evaluate)
+  *  - img: alt folded into the enclosing block exactly like the reference
+  *    (`:607-618`) AND emitted additively as a "Media.Image" span carrying
+  *    media_ref=src — dropping media spans restores reference parity
+  *  - childless <a title=..> contributes its title text (`:359-369`)
+  *  - bare text directly inside List/NavigationList/Table containers is
+  *    dropped (builder guard, `NLPTextDocumentBuilder.cs:56-65`)
+  */
+object HtmlToSpans {
+
+  def extract(html: String): ExtractedDoc = extractDom(HtmlParser.parse(html))
+
+  def extractDom(root: HElem): ExtractedDoc = {
+    val c = new Converter(root)
+    c.run()
+    ExtractedDoc(c.docTitle, c.result(), extractLinks(root), metaNoFollow(root))
+  }
+
+  /** a[href] / area[href] values in document order (before resolution —
+    * resolution happens against the fetched page URL at the crawl layer),
+    * skipping rel=nofollow anchors. Also returns <base href> if present.
+    */
+  def rawLinks(root: HElem): (Vector[String], Option[String]) = {
+    val hrefs = Vector.newBuilder[String]
+    root.descendants.foreach { e =>
+      if ((e.tag == "a" || e.tag == "area") && e.hasAttr("href")) {
+        val rel = e.attr("rel").getOrElse("")
+        if (!rel.toLowerCase.split("[ ,]").contains("nofollow")) {
+          hrefs += e.attr("href").get
+        }
+      }
+    }
+    val base = root.descendants.find(e => e.tag == "base" && e.hasAttr("href")).flatMap(_.attr("href"))
+    (hrefs.result(), base)
+  }
+
+  private def extractLinks(root: HElem): Vector[String] = rawLinks(root)._1
+
+  def metaNoFollow(root: HElem): Boolean =
+    root.descendants.exists { e =>
+      e.tag == "meta" &&
+      e.attr("name").exists(_.equalsIgnoreCase("robots")) &&
+      e.attr("content").exists { v =>
+        val lv = v.toLowerCase
+        lv.contains("nofollow") || lv.contains("none")
+      }
+    }
+
+  // ---------------------------------------------------------------------
+
+  private val SkippedTags = Set("script", "noscript", "style", "svg")
+  private val HeaderTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  private val BlockTags = Set(
+    "article", "aside", "blockquote", "body", "br", "button", "canvas",
+    "caption", "col", "colgroup", "dd", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form",
+    "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr", "li",
+    "map", "object", "ol", "output", "p", "pre", "progress", "section",
+    "table", "tbody", "textarea", "tfoot", "th", "thead", "tr", "ul", "video")
+
+  private def isHeaderElem(e: HElem): Boolean =
+    HeaderTags.contains(e.tag) ||
+      (e.tag == "p" && e.attr("role").contains("heading") && e.hasAttr("aria-level"))
+
+  private def headerLevel(e: HElem): Int =
+    if (HeaderTags.contains(e.tag)) e.tag.substring(1).toInt
+    else e.attr("aria-level").flatMap(v => v.toIntOption).getOrElse(1)
+
+  private def isHiddenElem(e: HElem): Boolean = {
+    val cls = e.attr("class")
+    val role = e.attr("role")
+    (cls.exists(c => c.contains("hidden") || c.contains("invisible") ||
+                     c.contains("login") || c.contains("search"))) ||
+    role.exists(_.contains("search")) ||
+    e.hasAttr("aria-hidden")
+  }
+
+  private final class TableCoords {
+    var row = 1
+    var col = 1
+    var rowSpanCells: mutable.ArrayBuffer[(Int, Int)] = _
+    def isRowSpanCell: Boolean =
+      rowSpanCells != null && rowSpanCells.exists(rc => rc._1 == row && rc._2 == col)
+  }
+
+  private final class Converter(root: HElem) {
+    // --- span builder state (NLPTextDocumentBuilder analog) ---
+    private val spans = Vector.newBuilder[Span]
+    private var spanCount = 0
+    private var containerTypes = List[String]("Section") // doc root container
+    var docTitle: String = ""
+
+    private def emit(kind: String, text: String, mediaRef: String = ""): Unit = {
+      spans += Span(kind, text, mediaRef, spanCount)
+      spanCount += 1
+    }
+    private def startGroup(tpe: String, text: String): Unit = {
+      emit(SpanKinds.start(tpe), text)
+      containerTypes = tpe :: containerTypes
+    }
+    private def endGroup(tpe: String): Unit = {
+      emit(SpanKinds.end(tpe), "")
+      containerTypes = containerTypes.tail
+    }
+    private def addTextBlock(text: String): Unit = {
+      val ct = containerTypes.head
+      if (ct != "List" && ct != "NavigationList" && ct != "Table") {
+        emit(SpanKinds.TextBlockText, text)
+      }
+    }
+
+    // --- converter state ---
+    private var textBuilders = List.empty[StringBuilder]
+    private var disableTextBlockOutput = false
+    private val tableCoordsStack = mutable.Stack.empty[TableCoords]
+    private var sectionHeadersForContainers = Map.empty[HElem, HElem]
+    private var registeredHeaders = Set.empty[HElem]
+
+    def result(): Vector[Span] = spans.result()
+
+    def run(): Unit = {
+      analyseSections()
+      visitChildNodes(root)
+      // close any sections left open at root level is handled per-container
+    }
+
+    // --- section containment analysis (HtmlDocumentConverter.cs:67-171) ---
+    private def analyseSections(): Unit = {
+      val headers = root.descendants.filter(isHeaderElem).toVector
+      if (headers.isEmpty) return
+      val parentsOf: Map[HElem, List[HElem]] =
+        headers.map(h => h -> h.ancestorsAndSelf).toMap
+
+      final case class Candidates(header: HElem) {
+        var commonParentWithPrevious: HElem = _
+        var containerIfGroupedWithPrevious: HElem = _
+        var commonParentWithNext: HElem = _
+        var containerIfGroupedWithNext: HElem = _
+      }
+      final class NestState(var rootElement: HElem, var previousHeader: HElem)
+
+      val candidatesList = mutable.ArrayBuffer.empty[Candidates]
+      val nestStack = mutable.Stack.empty[NestState]
+      nestStack.push(new NestState(root.firstElementChild.getOrElse(root), null))
+
+      headers.foreach { header =>
+        var rootElement = nestStack.top.rootElement
+        while (!parentsOf(header).contains(rootElement) && nestStack.size > 1) {
+          nestStack.pop()
+          rootElement = nestStack.top.rootElement
+        }
+        var previousHeader = nestStack.top.previousHeader
+        if (previousHeader != null && parentsOf(header).contains(previousHeader)) {
+          rootElement = previousHeader
+          previousHeader = null
+          nestStack.push(new NestState(rootElement, previousHeader))
+        }
+        val cand = Candidates(header)
+        candidatesList += cand
+        if (previousHeader != null) {
+          val prevParents = parentsOf(previousHeader)
+          val curParents = parentsOf(header)
+          curParents.zipWithIndex.find { case (p, _) => prevParents.indexOf(p) > 0 } match {
+            case Some((commonAncestor, idxInCur)) =>
+              val idxInPrev = prevParents.indexOf(commonAncestor)
+              cand.commonParentWithPrevious = commonAncestor
+              if (idxInCur > 0) cand.containerIfGroupedWithPrevious = curParents(idxInCur - 1)
+              val prevCand = candidatesList(candidatesList.length - 2)
+              prevCand.commonParentWithNext = commonAncestor
+              prevCand.containerIfGroupedWithNext = prevParents(idxInPrev - 1)
+            case None =>
+          }
+        }
+        nestStack.top.previousHeader = header
+      }
+
+      val containerMap = mutable.LinkedHashMap.empty[HElem, HElem]
+      headers.zipWithIndex.foreach { case (header, i) =>
+        val headerParents = parentsOf(header)
+        val cand = candidatesList(i)
+        val distPrev =
+          if (cand.commonParentWithPrevious == null) Int.MaxValue
+          else headerParents.indexOf(cand.commonParentWithPrevious)
+        val distNext =
+          if (cand.commonParentWithNext == null) Int.MaxValue
+          else headerParents.indexOf(cand.commonParentWithNext)
+        var selected: HElem = null
+        if (distPrev != distNext) {
+          selected =
+            if (distPrev < distNext) cand.containerIfGroupedWithPrevious
+            else cand.containerIfGroupedWithNext
+        } else if (distPrev != Int.MaxValue) {
+          // same non-null depth; reference prefers grouped-with-previous
+          // unless that container is <head>
+          selected =
+            if (cand.containerIfGroupedWithPrevious != null &&
+                cand.containerIfGroupedWithPrevious.tag == "head")
+              cand.containerIfGroupedWithNext
+            else cand.containerIfGroupedWithPrevious
+        }
+        if (selected != null && (selected ne header) &&
+            !selected.firstElementChild.exists(_ eq header)) {
+          containerMap(selected) = header
+        }
+      }
+      sectionHeadersForContainers = containerMap.toMap
+      registeredHeaders = containerMap.values.toSet
+    }
+
+    // --- recursive visit (HtmlDocumentConverter.cs:232-324) ---
+    private def visitChildNodes(parentNode: HElem): Unit = {
+      var headersNestedAtThisLevel = List.empty[HElem]
+
+      def startHeaderSection(headerElement: HElem): Unit = {
+        val currentLevel = headerLevel(headerElement)
+        var continue = true
+        while (continue && headersNestedAtThisLevel.nonEmpty) {
+          if (currentLevel <= headerLevel(headersNestedAtThisLevel.head)) {
+            endGroup("Section")
+            headersNestedAtThisLevel = headersNestedAtThisLevel.tail
+          } else continue = false
+        }
+        var title: String = null
+        if (headerElement.children.nonEmpty) {
+          onStartOfTextBlock(collectPropertyText = true)
+          visitChildNodes(headerElement)
+          title = onEndOfTextBlock(collectPropertyText = true)
+        }
+        startGroup("Section", if (title == null) "" else title)
+        headersNestedAtThisLevel = headerElement :: headersNestedAtThisLevel
+      }
+
+      sectionHeadersForContainers.get(parentNode).foreach(startHeaderSection)
+
+      parentNode.children.foreach {
+        case text: HText => visitTextNode(text)
+        case elem: HElem =>
+          if (!isHiddenElem(elem) && !SkippedTags.contains(elem.tag)) {
+            elem.tag match {
+              case "title" => visitTitle(elem)
+              case "html" => visitHtmlElem(elem)
+              case t if HeaderTags.contains(t) || isHeaderElem(elem) =>
+                if (!registeredHeaders.contains(elem)) startHeaderSection(elem)
+              case "ul" | "ol" => visitList(elem)
+              case "li" => visitListItem(elem)
+              case "table" => visitTable(elem)
+              case "tr" => visitTableRow(elem)
+              case "th" | "td" => visitTableHeaderOrCell(elem)
+              case "img" => visitImage(elem)
+              case "a" => visitLinkElem(elem)
+              case _ => visitOther(elem)
+            }
+          }
+      }
+
+      while (headersNestedAtThisLevel.nonEmpty) {
+        headersNestedAtThisLevel = headersNestedAtThisLevel.tail
+        endGroup("Section")
+      }
+    }
+
+    private def visitTextNode(t: HText): Unit = {
+      val text = t.text.trim
+      if (text.nonEmpty) appendText(text)
+    }
+
+    private def visitLinkElem(e: HElem): Unit = {
+      if (e.children.isEmpty && e.hasAttr("title")) appendText(e.attr("title").get)
+      else visitOther(e)
+    }
+
+    private def visitHtmlElem(e: HElem): Unit = {
+      onStartOfTextBlock()
+      if (e.children.nonEmpty) visitChildNodes(e)
+      onEndOfTextBlock()
+    }
+
+    private def visitOther(e: HElem): Unit = {
+      val collect = !disableTextBlockOutput && BlockTags.contains(e.tag)
+      if (collect) onStartOfTextBlock()
+      if (e.children.nonEmpty) visitChildNodes(e)
+      if (collect) onEndOfTextBlock()
+    }
+
+    private def visitTitle(e: HElem): Unit = {
+      var title: String = null
+      if (e.children.nonEmpty) {
+        onStartOfTextBlock(collectPropertyText = true)
+        visitChildNodes(e)
+        title = onEndOfTextBlock(collectPropertyText = true)
+      }
+      if (title != null) docTitle = title
+    }
+
+    private def visitList(e: HElem): Unit = {
+      val tpe = if (detectNavigationList(e)) "NavigationList" else "List"
+      startGroup(tpe, "")
+      if (e.children.nonEmpty) visitChildNodes(e)
+      endGroup(tpe)
+    }
+
+    /** `HtmlDocumentConverter.DetectNavigationList:483-511`: a list whose
+      * item children are all anchors except at most one non-anchor total.
+      */
+    private def detectNavigationList(listElem: HElem): Boolean = {
+      var anchors = 0
+      var nonAnchors = 0
+      listElem.childElems.foreach { li =>
+        if (li.tag != "li") return false
+        li.childElems.foreach { c =>
+          if (c.tag == "a") anchors += 1 else nonAnchors += 1
+          if (nonAnchors > 1) return false
+        }
+      }
+      anchors > 0
+    }
+
+    private def visitListItem(e: HElem): Unit = {
+      startGroup("ListItem", "")
+      onStartOfTextBlock()
+      if (e.children.nonEmpty) visitChildNodes(e)
+      onEndOfTextBlock()
+      endGroup("ListItem")
+    }
+
+    private def visitTable(e: HElem): Unit = {
+      startGroup("Table", "")
+      tableCoordsStack.push(new TableCoords)
+      if (e.children.nonEmpty) visitChildNodes(e)
+      tableCoordsStack.pop()
+      endGroup("Table")
+    }
+
+    private def visitTableRow(e: HElem): Unit = {
+      if (e.children.nonEmpty) visitChildNodes(e)
+      if (tableCoordsStack.nonEmpty) {
+        val tc = tableCoordsStack.top
+        tc.row += 1
+        tc.col = 1
+      }
+    }
+
+    private def visitTableHeaderOrCell(e: HElem): Unit = {
+      if (tableCoordsStack.isEmpty) { visitOther(e); return }
+      onStartOfTextBlock()
+      val tc = tableCoordsStack.top
+      while (tc.isRowSpanCell) tc.col += 1
+      val rowSpan = e.attr("rowspan").flatMap(_.toIntOption).getOrElse(1)
+      val colSpan = e.attr("colspan").flatMap(_.toIntOption).getOrElse(1)
+      val coords =
+        if (rowSpan == 1 && colSpan == 1) s"${tc.row},${tc.col}"
+        else s"${tc.row}:$rowSpan,${tc.col}:$colSpan"
+      val tpe = if (e.tag == "th") "TableHeader" else "TableCell"
+      startGroup(tpe, coords)
+      if (e.children.nonEmpty) visitChildNodes(e)
+      onEndOfTextBlock()
+      endGroup(tpe)
+      if (rowSpan > 1) {
+        if (tc.rowSpanCells == null) tc.rowSpanCells = mutable.ArrayBuffer.empty
+        for (addRow <- 1 until rowSpan; addCol <- 0 until colSpan) {
+          tc.rowSpanCells += ((tc.row + addRow, tc.col + addCol))
+        }
+      }
+      tc.col += colSpan
+    }
+
+    private def visitImage(e: HElem): Unit = {
+      val alt = e.attr("alt").getOrElse("")
+      if (alt.nonEmpty) appendText(alt)
+      // media generalization: emit the span (suppressed inside title capture)
+      if (!disableTextBlockOutput) {
+        val src = e.attr("src").getOrElse("")
+        if (src.nonEmpty || alt.nonEmpty) {
+          emit(SpanKinds.MediaImage, cleanText(alt), src)
+        }
+      }
+    }
+
+    // --- text-block collection (HtmlDocumentConverter.cs:624-657) ---
+    private def cleanText(text: String): String = {
+      val decoded = HtmlParser.htmlDecode(text.trim)
+      decoded.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    }
+
+    private def appendText(text: String): Unit = {
+      textBuilders.headOption.foreach { tb =>
+        if (tb.nonEmpty) tb.append(' ')
+        tb.append(cleanText(text))
+      }
+    }
+
+    private def onStartOfTextBlock(collectPropertyText: Boolean = false): Unit = {
+      textBuilders = new StringBuilder :: textBuilders
+      if (collectPropertyText) disableTextBlockOutput = true
+    }
+
+    private def onEndOfTextBlock(collectPropertyText: Boolean = false): String = {
+      if (collectPropertyText) disableTextBlockOutput = false
+      val tb = textBuilders.head
+      textBuilders = textBuilders.tail
+      if (tb.nonEmpty) {
+        val text = tb.toString
+        if (!collectPropertyText) addTextBlock(text)
+        text
+      } else null
+    }
+  }
+}

@@ -1,0 +1,308 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlCanonicalizerSpec extends AnyFunSuite {
+  import UrlCanonicalizer._
+
+  test("fragment strip + relative resolution") {
+    assert(resolve("https://a.com/dir/page.html", "other.html#frag")
+      .contains("https://a.com/dir/other.html"))
+    assert(resolve("https://a.com/dir/page.html", "#frag")
+      .contains("https://a.com/dir/page.html"))
+    assert(resolve("https://a.com/dir/page.html", "/abs.html")
+      .contains("https://a.com/abs.html"))
+    assert(resolve("https://a.com/dir/", "../up.html")
+      .contains("https://a.com/up.html"))
+  }
+
+  test("scheme-relative and absolute hrefs") {
+    assert(resolve("https://a.com/x", "//b.com/y").contains("https://b.com/y"))
+    assert(resolve("http://a.com/x", "//b.com/y").contains("http://b.com/y"))
+    assert(resolve("https://a.com/x", "http://c.com/z?q=1")
+      .contains("http://c.com/z?q=1"))
+  }
+
+  test("normalization: case, ports, trailing dots, empty path") {
+    assert(canonicalize("HTTPS://WWW.Site.COM").contains("https://www.site.com/"))
+    assert(canonicalize("https://a.com:443/x").contains("https://a.com/x"))
+    assert(canonicalize("http://a.com:80/x").contains("http://a.com/x"))
+    assert(canonicalize("http://a.com:8080/x").contains("http://a.com:8080/x"))
+    assert(canonicalize("https://a.com./x").contains("https://a.com/x"))
+  }
+
+  test("non-http schemes and garbage are rejected") {
+    assert(canonicalize("mailto:x@y.com").isEmpty)
+    assert(canonicalize("javascript:void(0)").isEmpty)
+    assert(canonicalize("ftp://a.com/f").isEmpty)
+    assert(resolve("https://a.com/", "mailto:x@y.com").isEmpty)
+  }
+
+  test("query preserved, urlHash stable and collision-free on samples") {
+    assert(canonicalize("https://a.com/p?a=1&b=2").contains("https://a.com/p?a=1&b=2"))
+    val urls = (0 until 1000).map(i => s"https://h$i.com/p$i.html")
+    assert(urls.map(urlHash).distinct.size == 1000)
+    assert(urlHash("https://a.com/") == urlHash("https://a.com/"))
+  }
+
+  test("pathAndQuery") {
+    assert(pathAndQuery("https://a.com/x/y?q=1") == "/x/y?q=1")
+    assert(pathAndQuery("https://a.com") == "/")
+  }
+}
+
+class ScopeFilterSpec extends AnyFunSuite {
+  import ScopeFilter._
+
+  test("base domain = last two labels when 3+") {
+    assert(baseDomain("www.west-wind.com") == "west-wind.com")
+    assert(baseDomain("a.b.c.d.com") == "d.com")
+    assert(baseDomain("west-wind.com") == "west-wind.com")
+    assert(baseDomain("localhost") == "localhost")
+  }
+
+  test("scope truth table (HtmlFileUtils.ShouldCrawlUri)") {
+    val root = "https://www.site.com/docs/index.html"
+    // Domain: same base domain
+    assert(shouldCrawl(Domain, "https://blog.site.com/x", root))
+    assert(!shouldCrawl(Domain, "https://other.com/x", root))
+    // SubDomain: same host
+    assert(shouldCrawl(SubDomain, "https://www.site.com/any", root))
+    assert(!shouldCrawl(SubDomain, "https://blog.site.com/x", root))
+    // Path: same host + root path prefix
+    assert(shouldCrawl(Path, "https://www.site.com/docs/sub/page.html", root))
+    assert(!shouldCrawl(Path, "https://www.site.com/other/page.html", root))
+    assert(!shouldCrawl(Path, "https://blog.site.com/docs/x", root))
+  }
+
+  test("rootPath cuts at last slash before first dot") {
+    assert(rootPath("/docs/index.html") == "/docs/")
+    assert(rootPath("/docs/guide/") == "/docs/guide/")
+    assert(rootPath("/") == "/")
+  }
+}
+
+class RobotsSpec extends AnyFunSuite {
+  import RobotsTxt._
+
+  test("matcher: literal, mid-*, $-anchor, mid-$ literal") {
+    assert(matches("/private/page", "/private/"))
+    assert(!matches("/public/page", "/private/"))
+    assert(matches("/a/b/file.pdf", "/*.pdf$"))
+    assert(!matches("/a/b/file.pdfx", "/*.pdf$"))
+    assert(matches("/a/b/file.pdf?x=1", "/*.pdf"))
+    assert(matches("/x$y", "/x$y")) // '$' literal when not at end
+    assert(matches("/fish/salmon", "/fish"))
+    assert(matches("/fishheads", "/fish"))
+    assert(!matches("/Fish", "/fish")) // case sensitive
+    assert(matches("/anything", "/"))
+    assert(matches("/a/b/c", "/*/c$"))
+  }
+
+  test("parse: groups, fallback to *, exact UA match, crawl-delay") {
+    val r = parse(
+      """User-agent: *
+        |Disallow: /private/
+        |Crawl-delay: 2
+        |
+        |User-agent: graftbot
+        |Disallow: /only-graft/
+        |Crawl-delay: 7
+        |""".stripMargin)
+    assert(!r.allowed("/only-graft/x", "graftbot"))
+    assert(r.allowed("/private/x", "graftbot")) // exact group wins, no merge
+    assert(!r.allowed("/private/x", "otherbot")) // falls back to *
+    assert(r.crawlDelaySec("graftbot") == 7)
+    assert(r.crawlDelaySec("zzz") == 2)
+    assert(r.crawlDelaySec("GRAFTBOT") == 7) // case-insensitive UA compare
+  }
+
+  test("disallow always beats allow (reference patch)") {
+    val r = parse(
+      """User-agent: *
+        |Allow: /dir/page.html
+        |Disallow: /dir/
+        |""".stripMargin)
+    assert(!r.allowed("/dir/page.html", "anybot"))
+  }
+
+  test("/robots.txt always disallowed when entries exist; empty file allows") {
+    val r = parse("User-agent: *\nDisallow: /x/\n")
+    assert(!r.allowed("/robots.txt", "anybot"))
+    assert(RobotsTxt.parse("").allowed("/anything", "anybot"))
+    assert(RobotsTxt.parse("").allowed("/robots.txt", "anybot"))
+  }
+
+  test("no matching group allows; malformed crawl-delay -> 0") {
+    val r = parse("User-agent: somebot\nDisallow: /\n")
+    assert(r.allowed("/x", "graftbot")) // no * group, no exact match
+    val r2 = parse("User-agent: *\nCrawl-delay: abc\nDisallow: /q/\n")
+    assert(r2.crawlDelaySec("x") == 0)
+    assert(!r2.allowed("/q/1", "x"))
+  }
+
+  test("consecutive UA lines share rules; comments stripped") {
+    val r = parse(
+      """# top comment
+        |User-agent: a
+        |User-agent: b
+        |Disallow: /both/ # trailing comment
+        |""".stripMargin)
+    assert(!r.allowed("/both/x", "a"))
+    assert(!r.allowed("/both/x", "b"))
+  }
+}
+
+class TextStatsSpec extends AnyFunSuite {
+
+  test("CountWordsAndChars reference semantics") {
+    val s = TextStats.of("Hello world 42!")
+    assert(s.chars == 15)
+    assert(s.words == 3)
+    assert(s.letterChars == 10)
+    assert(s.numberChars == 2)
+    assert(s.otherChars == 1) // '!'
+    assert(s.whitespaceChars == 2)
+    assert(s.avgWordLength == (5 + 5 + 3) / 3)
+    assert(TextStats.of("").words == 0)
+    assert(TextStats.of("   ").words == 0)
+    assert(TextStats.of("a").avgWordLength == 1)
+  }
+
+  test("char classes partition the text (property)") {
+    val rnd = new java.util.Random(42)
+    for (_ <- 0 until 500) {
+      val t = (0 until rnd.nextInt(80)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val s = TextStats.of(t)
+      assert(s.letterChars + s.numberChars + s.otherChars + s.whitespaceChars == s.chars)
+    }
+  }
+
+  test("words = whitespace-separated runs (property)") {
+    val rnd = new java.util.Random(7)
+    for (_ <- 0 until 500) {
+      val parts = (0 until rnd.nextInt(10)).map { _ =>
+        if (rnd.nextBoolean()) "" else (0 until 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      val text = parts.mkString(" ")
+      val expected = text.split("\\s+").count(_.nonEmpty)
+      assert(TextStats.of(text).words == expected)
+    }
+  }
+}
+
+class XxHash64Spec extends AnyFunSuite {
+
+  private def h(s: String): Long = XxHash64.hash(s.getBytes("UTF-8"), 0L)
+
+  test("public xxh64 seed-0 test vectors") {
+    assert(h("") == 0xEF46DB3751D8E999L)
+    assert(h("a") == 0xD24EC4F1A98C6E5BL)
+    assert(h("abc") == 0x44BC2CF5AD770999L)
+  }
+
+  test("matches Spark's catalyst XXH64 on random inputs (all code paths)") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val rnd = new java.util.Random(42)
+    for (trial <- 0 until 300) {
+      val len = rnd.nextInt(120)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      val seed = rnd.nextLong()
+      val expected = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+      assert(XxHash64.hash(bytes, seed) == expected, s"trial $trial len $len")
+    }
+    // and specifically lengths around the 32/8/4 boundaries
+    for (len <- Seq(0, 1, 3, 4, 7, 8, 15, 31, 32, 33, 63, 64, 100)) {
+      val bytes = Array.tabulate(len)(i => (i * 31).toByte)
+      val expected = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 0L)
+      assert(XxHash64.hash(bytes, 0L) == expected, s"len $len")
+    }
+  }
+
+  test("hashLong consistent with byte form") {
+    val rnd = new java.util.Random(9)
+    for (_ <- 0 until 200) {
+      val v = rnd.nextLong()
+      val bytes = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+      assert(XxHash64.hashLong(v, 5L) == XxHash64.hash(bytes, 5L))
+    }
+  }
+}
+
+class FilterSpec extends AnyFunSuite {
+
+  test("bloom: no false negatives, bounded false positives") {
+    val bf = BloomFilter64.forCapacity(10000, 0.01)
+    val keys = (0 until 10000).map(i => XxHash64.hashLong(i.toLong, 99L))
+    keys.foreach(bf.add)
+    assert(keys.forall(bf.mightContain))
+    val probes = (20000 until 40000).map(i => XxHash64.hashLong(i.toLong, 99L))
+    val fp = probes.count(bf.mightContain)
+    assert(fp < probes.size * 0.03, s"fp rate too high: $fp/${probes.size}")
+  }
+
+  test("bloom merge = union") {
+    val a = new BloomFilter64(1 << 16, 5)
+    val b = new BloomFilter64(1 << 16, 5)
+    a.add(1L); b.add(2L)
+    a.merge(b)
+    assert(a.mightContain(1L) && a.mightContain(2L))
+  }
+
+  test("cuckoo: membership + deletion") {
+    val cf = new CuckooFilter64(14) // 16384 buckets * 4 slots
+    val keys = (0 until 20000).map(_.toLong)
+    val inserted = keys.takeWhile(cf.add)
+    assert(inserted.size > 15000, s"filled only ${inserted.size}")
+    assert(inserted.forall(cf.mightContain))
+    inserted.take(500).foreach(k => assert(cf.remove(k)))
+    val falseAfterDelete = inserted.take(500).count(cf.mightContain)
+    // fingerprint collisions may keep a few "present"; most must be gone
+    assert(falseAfterDelete < 50, s"$falseAfterDelete still present after delete")
+  }
+}
+
+class SpanTreeSpec extends AnyFunSuite {
+  import graft.core.{Span, SpanTree}
+
+  test("validate accepts balanced, rejects broken") {
+    val ok = Vector(
+      Span("Section.Start", "t", "", 0),
+      Span("TextBlock.Text", "x", "", 1),
+      Span("Media.Image", "alt", "/i.png", 2),
+      Span("Section.End", "", "", 3))
+    assert(SpanTree.validate(ok).isEmpty)
+    val badOffsets = ok.map(_.copy(offset = 0))
+    assert(SpanTree.validate(badOffsets).nonEmpty)
+    val unbalanced = ok.dropRight(1)
+    assert(SpanTree.validate(unbalanced).nonEmpty)
+    val textInList = Vector(
+      Span("List.Start", "", "", 0),
+      Span("TextBlock.Text", "x", "", 1),
+      Span("List.End", "", "", 2))
+    assert(SpanTree.validate(textInList).nonEmpty)
+  }
+
+  test("referenceRows drops media spans and renumbers") {
+    val spans = Vector(
+      Span("Media.Image", "a", "/x.png", 0),
+      Span("TextBlock.Text", "t", "", 1))
+    val ref = SpanTree.referenceRows(spans)
+    assert(ref == Vector(Span("TextBlock.Text", "t", "", 0)))
+  }
+}
+
+class LangIdSpec extends AnyFunSuite {
+  test("detects planted languages, abstains on ambiguous") {
+    assert(LangId.detect("the cat and the dog are in the house") == "en")
+    assert(LangId.detect("le chat et le chien sont dans la maison") == "fr")
+    assert(LangId.detect("der Hund und die Katze sind in dem Haus") == "de")
+    assert(LangId.detect("el perro y el gato en la casa") == "es")
+    assert(LangId.detect("zzz qqq xxx") == "?")
+    assert(LangId.detect("word") == "?")
+  }
+}

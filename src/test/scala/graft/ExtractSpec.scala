@@ -1,0 +1,190 @@
+package graft
+
+import graft.core.{Span, SpanTree}
+import graft.extract.{HtmlParser, HtmlToSpans}
+import graft.crawl.SyntheticWeb
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden HTML micro-fixtures (FIXTURES.md §3) — expected span sequences
+  * hand-derived from the reference converter rules
+  * (`html/HtmlDocumentConverter.cs`).
+  */
+class ExtractSpec extends AnyFunSuite {
+
+  private def spansOf(html: String): Vector[Span] = HtmlToSpans.extract(html).spans
+  private def kinds(spans: Seq[Span]): Seq[String] = spans.map(_.kind)
+  private def ktext(spans: Seq[Span]): Seq[(String, String)] = spans.map(s => (s.kind, s.text))
+
+  test("title_meta: <title> → doc title, no text block") {
+    val d = HtmlToSpans.extract(
+      "<html><head><title>My &amp; Title</title></head><body><p>body</p></body></html>")
+    assert(d.title == "My & Title")
+    assert(ktext(d.spans) == Seq(("TextBlock.Text", "body")))
+  }
+
+  test("headers_nesting: sibling headers nest by level, pop on equal/lower") {
+    val html =
+      """<html><body>
+        |<h2>A</h2><p>pa</p>
+        |<h3>B</h3><p>pb</p>
+        |<h2>C</h2><p>pc</p>
+        |</body></html>""".stripMargin
+    assert(ktext(spansOf(html)) == Seq(
+      ("Section.Start", "A"), ("TextBlock.Text", "pa"),
+      ("Section.Start", "B"), ("TextBlock.Text", "pb"),
+      ("Section.End", ""), ("Section.End", ""), // h2 C pops B then A
+      ("Section.Start", "C"), ("TextBlock.Text", "pc"),
+      ("Section.End", "")))
+  }
+
+  test("headers in containers: section attaches to the common container") {
+    // two headers each wrapped in a div inside body: the header's section
+    // must wrap its whole div (container registration, converter :67-171)
+    val html =
+      """<html><body>
+        |<div><h2>A</h2><p>one</p></div>
+        |<div><h2>B</h2><p>two</p></div>
+        |</body></html>""".stripMargin
+    val got = ktext(spansOf(html))
+    assert(got == Seq(
+      ("Section.Start", "A"), ("TextBlock.Text", "one"), ("Section.End", ""),
+      ("Section.Start", "B"), ("TextBlock.Text", "two"), ("Section.End", "")),
+      s"got: $got")
+  }
+
+  test("p[role=heading][aria-level] acts as header") {
+    val html =
+      """<html><body><p role="heading" aria-level="2">H</p><p>x</p></body></html>"""
+    assert(ktext(spansOf(html)) == Seq(
+      ("Section.Start", "H"), ("TextBlock.Text", "x"), ("Section.End", "")))
+  }
+
+  test("nav_vs_content_list") {
+    val nav =
+      """<html><body><ul>
+        |<li><a href="/a">A</a></li><li><a href="/b">B</a></li>
+        |</ul></body></html>""".stripMargin
+    assert(kinds(spansOf(nav)) == Seq(
+      "NavigationList.Start", "ListItem.Start", "TextBlock.Text", "ListItem.End",
+      "ListItem.Start", "TextBlock.Text", "ListItem.End", "NavigationList.End"))
+    val content =
+      """<html><body><ul><li>plain one</li><li>plain two</li></ul></body></html>"""
+    assert(kinds(spansOf(content)).head == "List.Start")
+    // one non-anchor child is still a nav list; two are not
+    val mixed1 =
+      """<html><body><ul><li><a href="/a">A</a></li><li><span>s</span></li></ul></body></html>"""
+    assert(kinds(spansOf(mixed1)).head == "NavigationList.Start")
+    val mixed2 =
+      """<html><body><ul><li><span>s</span></li><li><span>t</span></li><li><a href="/a">A</a></li></ul></body></html>"""
+    assert(kinds(spansOf(mixed2)).head == "List.Start")
+  }
+
+  test("table_spans: rowspan/colspan coordinate bookkeeping") {
+    val html =
+      """<html><body><table>
+        |<tr><th rowspan="2">R</th><th>B</th></tr>
+        |<tr><td>C</td></tr>
+        |<tr><td colspan="2">W</td></tr>
+        |</table></body></html>""".stripMargin
+    val got = ktext(spansOf(html)).filter(x => x._1.endsWith(".Start") || x._1 == "TextBlock.Text")
+    assert(got == Seq(
+      ("Table.Start", ""),
+      ("TableHeader.Start", "1:2,1:1"), ("TextBlock.Text", "R"),
+      ("TableHeader.Start", "1,2"), ("TextBlock.Text", "B"),
+      // row 2: col 1 occupied by the rowspan cell → C lands at 2,2
+      ("TableCell.Start", "2,2"), ("TextBlock.Text", "C"),
+      ("TableCell.Start", "3:1,1:2"), ("TextBlock.Text", "W")), s"got: $got")
+  }
+
+  test("hidden_elements are skipped") {
+    val html =
+      """<html><body>
+        |<div class="menu hidden"><p>no</p></div>
+        |<div class="search-bar"><p>no</p></div>
+        |<div role="search"><p>no</p></div>
+        |<div aria-hidden="true"><p>no</p></div>
+        |<p class="loginbox">no</p>
+        |<p>yes</p>
+        |</body></html>""".stripMargin
+    assert(ktext(spansOf(html)) == Seq(("TextBlock.Text", "yes")))
+  }
+
+  test("inline_blocks: inline fragments join with single spaces, entities decode") {
+    val html =
+      """<html><body><div>one <span>two</span> three&nbsp;&amp; four<p>inner block</p>tail</div></body></html>"""
+    // <p> is a nested block: emitted first (inner closes before outer div)
+    assert(ktext(spansOf(html)) == Seq(
+      ("TextBlock.Text", "inner block"),
+      ("TextBlock.Text", "one two three & four tail")))
+  }
+
+  test("images_links: img alt folded into block AND emitted as media span") {
+    val html =
+      """<html><body><p>before <img src="/i.png" alt="pic"> after</p>
+        |<a href="/x" title="childless title"></a></body></html>""".stripMargin
+    val d = HtmlToSpans.extract(html)
+    assert(d.spans.map(s => (s.kind, s.text, s.media_ref)) == Seq(
+      ("Media.Image", "pic", "/i.png"),
+      ("TextBlock.Text", "before pic after", ""),
+      ("TextBlock.Text", "childless title", "")))
+    // reference parity projection: media span dropped
+    assert(SpanTree.referenceRows(d.spans).map(_.kind) ==
+      Seq("TextBlock.Text", "TextBlock.Text"))
+  }
+
+  test("img without alt yields media span only, no text") {
+    val html = """<html><body><p>x <img src="/i.png"> y</p></body></html>"""
+    assert(ktext(spansOf(html)) == Seq(
+      ("Media.Image", ""), ("TextBlock.Text", "x y")))
+  }
+
+  test("script/style/svg/noscript skipped; raw text not parsed") {
+    val html =
+      """<html><body><script>var a = "<p>no</p>";</script><style>p{}</style>
+        |<svg><text>no</text></svg><p>yes</p></body></html>""".stripMargin
+    assert(ktext(spansOf(html)) == Seq(("TextBlock.Text", "yes")))
+  }
+
+  test("bare text directly in list/table containers is dropped (builder guard)") {
+    // a block element directly inside <ul> closes while the current container
+    // is List → its AddTextBlock is dropped (NLPTextDocumentBuilder.cs:56-65)
+    val html = """<html><body><ul><p>dropped</p><li>kept</li></ul></body></html>"""
+    assert(ktext(spansOf(html)) == Seq(
+      ("List.Start", ""), ("ListItem.Start", ""), ("TextBlock.Text", "kept"),
+      ("ListItem.End", ""), ("List.End", "")))
+    // bare TEXT inside <ul> is NOT dropped: it appends to the still-open
+    // enclosing block (body's), which closes after the list — reference
+    // AppendText semantics (HtmlDocumentConverter.cs:624-637)
+    val html2 = """<html><body><ul>stray<li>kept</li></ul></body></html>"""
+    assert(ktext(spansOf(html2)) == Seq(
+      ("List.Start", ""), ("ListItem.Start", ""), ("TextBlock.Text", "kept"),
+      ("ListItem.End", ""), ("List.End", ""), ("TextBlock.Text", "stray")))
+  }
+
+  test("links: rel=nofollow excluded, meta robots nofollow detected, base href") {
+    val dom = HtmlParser.parse(
+      """<html><head><base href="https://b.com/dir/"><meta name="robots" content="NOFOLLOW"></head>
+        |<body><a href="x.html">a</a><a rel="nofollow" href="/no">b</a></body></html>""".stripMargin)
+    val (hrefs, base) = HtmlToSpans.rawLinks(dom)
+    assert(hrefs == Vector("x.html"))
+    assert(base.contains("https://b.com/dir/"))
+    assert(HtmlToSpans.metaNoFollow(dom))
+  }
+
+  test("synthetic web: extractor reproduces generator ground truth exactly") {
+    val site = SyntheticWeb.generate(SyntheticWeb.Spec(hosts = 3, pagesPerHost = 8, hotHostFactor = 2))
+    var checked = 0
+    site.expected.foreach { case (url, exp) =>
+      val page = site.pages(url)
+      val d = HtmlToSpans.extract(page.html)
+      assert(d.title == exp.title, s"title mismatch for $url")
+      assert(d.spans == exp.spans,
+        s"span mismatch for $url:\n got=${d.spans}\n exp=${exp.spans}")
+      val dom = HtmlParser.parse(page.html)
+      assert(HtmlToSpans.rawLinks(dom)._1 == exp.rawHrefs, s"links mismatch for $url")
+      assert(SpanTree.validate(d.spans).isEmpty, s"invalid spans for $url")
+      checked += 1
+    }
+    assert(checked > 20)
+  }
+}
