@@ -1,0 +1,128 @@
+package graft
+
+import graft.core.ScopeFilter
+import graft.crawl._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The north-rule invariant (SURVEY.md §5.3): the Spark engine must
+  * reproduce the sequential oracle's crawl ordering, final URL-seen set,
+  * and per-row span sequences, and must resume exactly from a checkpoint.
+  */
+class CrawlParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val site = SyntheticWeb.generate(
+    SyntheticWeb.Spec(hosts = 2, pagesPerHost = 6, hotHostFactor = 2, fanout = 3))
+  // small politeness budget so per-host caps bind and carryover is exercised
+  private val config = CrawlConfig(rootUrl = site.rootUrl,
+    scope = ScopeFilter.Domain, waveBudgetMs = 3000L, maxWaves = 40)
+  private lazy val oracle = SequentialOracle.crawl(site, config)
+
+  private def runEngine(warehouse: String, wavesPerRun: Int = Int.MaxValue): TableIO = {
+    val io = new TableIO(warehouse, spark)
+    val engine = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
+    engine.run(wavesPerRun)
+    io
+  }
+
+  private def docsOf(io: TableIO): Vector[DocumentRow] = {
+    import spark.implicits._
+    io.readAll("documents", TableIO.DocumentsSchema).as[DocumentRow]
+      .collect().sortBy(_.seq).toVector
+  }
+  private def seenOf(io: TableIO): Set[Long] =
+    io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+      .collect().map(_.getLong(0)).toSet
+
+  private lazy val fullIo: TableIO =
+    runEngine(Files.createTempDirectory("graft-parity").toString)
+
+  test("final URL-seen set is identical to the oracle") {
+    assert(seenOf(fullIo) == oracle.seen)
+  }
+
+  test("documents match the oracle row-for-row, span-for-span") {
+    val engineDocs = docsOf(fullIo)
+    val oracleDocs = oracle.documents
+    assert(engineDocs.size == oracleDocs.size)
+    engineDocs.zip(oracleDocs).foreach { case (e, o) =>
+      assert(e.doc_id == o.doc_id, "doc order")
+      assert(e.seq == o.seq, s"seq for ${o.doc_id}")
+      assert(e.wave == o.wave, s"wave for ${o.doc_id}")
+      assert(e.title == o.title, s"title for ${o.doc_id}")
+      assert(e.lang == o.lang, s"lang for ${o.doc_id}")
+      assert(e.total_words == o.total_words, s"total_words for ${o.doc_id}")
+      assert(e.unique_words == o.unique_words, s"unique_words for ${o.doc_id}")
+      // per-row invariant: span-sequence equality (kind, text, media_ref, order)
+      assert(e.spans == o.spans, s"spans for ${o.doc_id}")
+    }
+  }
+
+  test("crawl ordering matches: every page fetched at the same wave and seq") {
+    // engine side: a frontier entry is fetched in the LAST wave it appears in
+    // (politeness carryover restages it with wave+1 until it is due)
+    val frontierAll = fullIo.readAll("frontier", TableIO.FrontierSchema, lookahead = 1)
+      .collect().map(r => (r.getString(0), r.getLong(5), r.getInt(6)))
+    val fetchedWave = frontierAll.groupBy(_._1).map { case (url, rows) =>
+      (url, rows.head._2, rows.map(_._3).max)
+    }.toSet
+    val oracleOrder = oracle.crawlOrder.map(e => (e.url, e.seq, e.wave)).toSet
+    assert(fetchedWave == oracleOrder)
+  }
+
+  test("politeness: per-host per-wave cap of 1 forces carryover, parity holds") {
+    // budget 150ms + min delay 100ms → cap 1 page/host/wave everywhere
+    val pSite = SyntheticWeb.generate(
+      SyntheticWeb.Spec(hosts = 1, pagesPerHost = 5, hotHostFactor = 1, fanout = 4))
+    val pConfig = CrawlConfig(rootUrl = pSite.rootUrl,
+      scope = ScopeFilter.Domain, waveBudgetMs = 150L, maxWaves = 30)
+    val pOracle = SequentialOracle.crawl(pSite, pConfig)
+    // oracle must show ≤1 fetch per host per wave, and must need more waves
+    // than pages of the deepest BFS level (i.e. the cap actually bound)
+    val byWaveHost = pOracle.crawlOrder.groupBy(e => (e.wave, e.host))
+    assert(byWaveHost.values.forall(_.size <= 1), "cap of 1 exceeded")
+    assert(pOracle.crawlOrder.map(_.wave).max >= 4, "cap never bound")
+
+    val wh = Files.createTempDirectory("graft-polite").toString
+    val io = new TableIO(wh, spark)
+    new CrawlEngine(spark, io, pConfig,
+      new SyntheticFetcher(pSite.pages, pSite.robots), numPartitions = 4).run()
+    // engine fetched each entry at the oracle's wave (carryover included)
+    val frontierAll = io.readAll("frontier", TableIO.FrontierSchema, lookahead = 1)
+      .collect().map(r => (r.getString(0), r.getLong(5), r.getInt(6)))
+    val fetchedWave = frontierAll.groupBy(_._1).map { case (url, rows) =>
+      (url, rows.head._2, rows.map(_._3).max)
+    }.toSet
+    assert(fetchedWave == pOracle.crawlOrder.map(e => (e.url, e.seq, e.wave)).toSet)
+    // carryover really happened: some entry appears in >1 frontier wave
+    val carried = frontierAll.groupBy(_._1).count(_._2.length > 1)
+    assert(carried > 0, "no frontier entry was ever carried over")
+  }
+
+  test("unique_blocks table equals the oracle's first-wins dictionary") {
+    val engineBlocks = fullIo.readAll("unique_blocks", TableIO.UniqueBlocksSchema)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(engineBlocks == oracle.uniqueBlocks)
+  }
+
+  test("killed run resumes exactly: stop after 2 waves, resume, identical tables") {
+    val wh = Files.createTempDirectory("graft-resume").toString
+    runEngine(wh, wavesPerRun = 2) // "killed" after 2 committed waves
+    val io2 = runEngine(wh) // fresh engine instance resumes from manifest
+    assert(docsOf(io2) == docsOf(fullIo))
+    assert(seenOf(io2) == seenOf(fullIo))
+    val m1 = io2.readAll("metrics", TableIO.MetricsSchema).agg(
+      org.apache.spark.sql.functions.sum("pages")).head().getLong(0)
+    assert(m1 == oracle.crawlOrder.size)
+  }
+}
