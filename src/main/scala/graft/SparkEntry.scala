@@ -1,13 +1,404 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator has BOTH a `queries` entry and an
+  * `oracleSql` entry (DuckDB, same column names/types); hash-based and
+  * engine-specific operators (minhash/simhash/LSH/crawl) have queries-only
+  * entries → the driver records rows-only checks, and their correctness is
+  * asserted in ScalaTest against plain-Scala oracles instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the north-rule interleaved documents table
+    * (doc_id, spans array<struct<kind,text,media_ref,offset>>) produced by
+    * the extraction pipeline over a seeded synthetic web.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val site = graft.crawl.SyntheticWeb.generate(
+      graft.crawl.SyntheticWeb.Spec(hosts = 2, pagesPerHost = 5, hotHostFactor = 1))
+    site.pages.values.toSeq.sortBy(_.url)
+      .map(p => (p.url, graft.extract.HtmlToSpans.extract(p.html).spans))
+      .toDF("doc_id", "spans")
+      .filter(size($"spans") > 0)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregations (SURVEY §2.5) -----------------------------------
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_orders_by_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- windows (W1 rolling last-10, W2 first-wins) -------------------
+    "q_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      t(s, dir, "events")
+        .withColumn("rolling_avg", round(avg(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("rolling_avg"))
+    }),
+
+    "q_first_wins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+    }),
+
+    // ---- joins (J1 anti, J2 semi, broadcast dim join) ------------------
+    "q_anti_join" -> ((s, dir) => {
+      // D1 seen-set shape: customers with no large order (anti over a
+      // filtered build side; unfiltered FK coverage is dense in testdata)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    "q_join_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- sorts / top-k (O1/O2) -----------------------------------------
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("l_returnflag"), col("rank"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    "q_global_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- time windows (streaming-shaped batch agg) ---------------------
+    "q_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- documents: language histogram / split (A8/O5) -----------------
+    "q_lang_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 10)
+        .orderBy(col("lang"))
+    }),
+
+    "q_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", TextOps.splitAssign(col("doc_id")))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))
+    }),
+
+    // ---- text analysis (A5/C10 + pipeline ops) --------------------------
+    "q_doc_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        length(col("text")).as("chars"),
+        TextOps.wordCount(col("text")).as("words"),
+        TextOps.tokenCount(col("text")).as("tokens"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      TextOps.withQuality(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+          col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"),
+          col("quality_ok"))
+    }),
+
+    "q_lang_guess" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langGuess(col("text")).as("lang_guess"))
+    }),
+
+    // ---- dedup family ---------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactFirstWins(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("is_canonical"))
+    }),
+
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, threshold = 0.2)
+    }),
+
+    // hash-family dedup: engine-specific hashes → rows-only driver check;
+    // correctness asserted against plain-Scala oracles in OpsSpec
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+    }),
+
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+    }),
+
+    // ---- similarity search ----------------------------------------------
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_embedding_neardup" -> ((s, dir) => {
+      Similarity.exactNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.3)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => { // rows-only: plane coefs are Scala-side
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 32, numPlanes = 4, threshold = 0.25,
+        numTables = 8)
+    }),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "q_media_meta" -> ((s, dir) => {
+      Multimodal.mediaMeta(
+          Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"))
+    }),
+
+    "q_media_features" -> ((s, dir) => { // rows-only: stubbed decode kernel
+      val spark = s
+      import spark.implicits._
+      Multimodal.extractFeatures(
+          Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+          col("height"), round(element_at(col("feature"), 2), 4).as("mean_byte"))
+    }),
+
+    // ---- crawl-native (north rule; engine-specific → rows-only) ---------
+    "q_crawl_documents" -> ((s, dir) => {
+      val d = entry(s)
+      d.select(col("doc_id"), size(col("spans")).as("n_spans"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |       avg(l_quantity) AS avg_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_orders_by_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rolling_window" ->
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+        |FROM events""".stripMargin,
+
+    "q_first_wins" ->
+      """SELECT event_type, event_id, user_id FROM (
+        |  SELECT event_type, event_id, user_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT l_returnflag, rank, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rank
+        |  FROM lineitem) WHERE rank <= 3""".stripMargin,
+
+    "q_global_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_lang_histogram" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT split, count(*) AS n_docs FROM (
+        |  SELECT CASE
+        |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 <= 7 THEN 'train'
+        |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 = 8 THEN 'valid'
+        |    ELSE 'test' END AS split
+        |  FROM documents) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_stats" ->
+      """SELECT doc_id, length(text) AS chars,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS words,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id, n_words,
+        |       CASE WHEN n_words > 0 THEN round(CAST(length(text) - n_words + 1 AS DOUBLE) / n_words, 4) ELSE 0.0 END AS avg_word_len,
+        |       CASE WHEN length(text) > 0 THEN round(CAST(punct AS DOUBLE) / length(text), 4) ELSE 0.0 END AS punct_ratio,
+        |       CASE WHEN length(text) > 0 THEN round(CAST(digits AS DOUBLE) / length(text), 4) ELSE 0.0 END AS digit_ratio,
+        |       CASE WHEN n_words > 0 THEN round(CAST(stop_hits AS DOUBLE) / n_words, 4) ELSE 0.0 END AS stopword_ratio,
+        |       (n_words BETWEEN 5 AND 100000)
+        |         AND (CASE WHEN length(text) > 0 THEN CAST(punct AS DOUBLE) / length(text) ELSE 0.0 END < 0.3)
+        |         AND (CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END > 0.0) AS quality_ok
+        |FROM (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+        |         len(regexp_extract_all(text, '[0-9]')) AS digits,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             w -> w IN ('the','a','of','to','and','in','is','it'))) AS stop_hits
+        |  FROM documents)""".stripMargin,
+
+    "q_lang_guess" ->
+      """SELECT doc_id, CASE
+        |  WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+        |  WHEN fr >= de AND fr > 0 THEN 'fr'
+        |  WHEN de > 0 THEN 'de'
+        |  ELSE '?' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('the','and','of','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('le','la','et','est','les'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('der','die','das','und','ist'))) AS de
+        |  FROM documents)""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, rn = 1 AS is_canonical FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS sh FROM (
+        |    SELECT doc_id, [array_to_string(words[i:i+1], ' ')
+        |                    FOR i IN range(1, len(words) - 0)] AS sh_list
+        |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |          FROM documents))),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cs,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       8 + octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       CAST(16 + doc_id % 64 AS INT) AS width,
+        |       CAST(16 + doc_id % 48 AS INT) AS height
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, Spark-first:
+  * everything is groupBy/join/window over hashed keys — the same shapes as
+  * the crawl engine's D1/D3 dedup (SURVEY.md §2.3) applied corpus-wide.
+  *
+  * Scale notes: all flavors key their shuffles on a 64-bit hash (or a small
+  * band/bucket id), so they hash-partition evenly at 100 TB; candidate
+  * generation (LSH banding, prefix blocking) bounds the quadratic pair
+  * space before any pairwise work happens.
+  */
+object Dedup {
+
+  /** Exact dedup: first-wins by deterministic key order within each
+    * normalized-text group (never `dropDuplicates`, which picks an
+    * arbitrary winner — SURVEY.md "hard parts").
+    * Output: input rows + `is_canonical` flag.
+    */
+  def exactFirstWins(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(orderCol))
+    df.withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_canonical", col("dup_rank") === 1)
+      .drop("dup_rank")
+  }
+
+  /** Word n-gram shingles of a text column (distinct, as array). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    array_distinct(filter(
+      transform(words, (_, i) =>
+        when(i + n <= size(words), concat_ws(" ", slice(words, i + 1, lit(n))))),
+      s => s.isNotNull))
+  }
+
+  /** n-gram Jaccard near-dup pairs via shingle-equality blocking:
+    * explode distinct shingles → self-join on shingle → per-pair
+    * intersection counts → Jaccard. Pure equi-joins on strings, fully
+    * oracle-expressible. Returns pairs (id_a < id_b) with jaccard ≥
+    * threshold.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k hash functions of the universal family
+    * (a_i * h + b_i) over xxhash64(shingle), min per function. Returned as
+    * an array column "minhash".
+    */
+  def withMinHash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = explode(shingles(col(textCol), n))
+    val exploded = df.select(col(idCol).as("id"), sh.as("sh"))
+    // hash family i = xxhash64(i, shingle): independent, no overflow under
+    // ANSI arithmetic (Spark 4 default), and stays in whole-stage codegen
+    val minCols = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh$i")
+    }
+    val sig = exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    sig.withColumn("minhash", array((0 until k).map(i => col(s"mh$i")): _*))
+      .select(col("id"), col("minhash"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands of `rowsPerBand`
+    * values), bucket-join on (band index, band hash). Classic
+    * shingle→minhash→band→bucket-join (Broder; Leskovec et al., MMDS ch.3 —
+    * public material). Returns candidate pairs with estimated similarity =
+    * fraction of matching minhash positions.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sig = withMinHash(df, idCol, textCol, n, k)
+    val bands = k / rowsPerBand
+    val banded = sig.select(col("id"), col("minhash"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b,
+            concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.minhash").as("mh_a"), col("b.minhash").as("mh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_sim",
+        aggregate(zip_with(col("mh_a"), col("mh_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
+  }
+
+  /** Plain-Scala SimHash kernel (Charikar, STOC 2002 — public): sign-sum of
+    * per-token hash bits, tokens = lowercased whitespace words, token hash =
+    * XXH64(UTF-8, seed 42) — the same family as Spark's builtin xxhash64.
+    */
+  def simHash64(text: String): Long = {
+    val sums = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { t =>
+      if (t.nonEmpty) {
+        val h = graft.core.XxHash64.hash(t.getBytes("UTF-8"), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash column via a Scala UDF — the bit-vote loop is 64× per token and
+    * genuinely faster as compiled Scala than as a Catalyst expression tree;
+    * this is the documented UDF exception on this path.
+    */
+  def withSimHash(df: DataFrame, textCol: String): DataFrame = {
+    val sh = udf((t: String) => simHash64(if (t == null) "" else t))
+    df.withColumn("simhash", sh(col(textCol)))
+  }
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair within
+    * Hamming distance ≤ 4 of 64 bits shares at least one exact quarter far
+    * more often than chance), then exact Hamming distance filter.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val withSh = withSimHash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    val quarters = withSh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qval")
+    val cand = quarters.as("a").join(quarters.as("b"),
+        col("a.q") === col("b.q") && col("a.qval") === col("b.qval") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * exclusively from codegen'd `org.apache.spark.sql.functions` so they stay
+  * inside whole-stage codegen (no UDFs on the hot path) and their semantics
+  * are DuckDB-oracle-expressible.
+  *
+  * These generalize the reference's per-block analysis (word/char stats,
+  * `wordslab.nlptextdoc/NLPTextAnalyzer.cs:205-255`; language id `:45-59`;
+  * stable hashing `:269-274`) to whole-corpus Dataset operators.
+  */
+object TextOps {
+
+  /** Whitespace word count, identical to reference word semantics
+    * (maximal non-whitespace runs).
+    */
+  def wordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Quality features + accept flag (Gopher-style length/punct/stopword
+    * gates; the concrete thresholds are pipeline policy, not magic).
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = wordCount(t)
+    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+    val stopHits = size(filter(split(lower(trim(t)), "\\s+"),
+      w => array_contains(typedLit(StopWords), w)))
+    df.withColumn("n_words", words)
+      .withColumn("avg_word_len",
+        when(words > 0, round((length(t) - words + 1).cast("double") / words, 4))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(t) > 0, round(punct.cast("double") / length(t), 4)).otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(length(t) > 0, round(digits.cast("double") / length(t), 4)).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(words > 0, round(stopHits.cast("double") / words, 4)).otherwise(lit(0.0)))
+      .withColumn("quality_ok",
+        words.between(5, 100000) && col("punct_ratio") < 0.3 && col("stopword_ratio") > 0.0)
+  }
+
+  /** Deterministic, engine-portable document fingerprint: md5 of the
+    * whitespace-normalized lowercased text. Used for exact near-duplicate
+    * detection across engines (the reference's xxHash64 dictionary analog,
+    * in a form DuckDB can reproduce).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Portable 0..9 hash bucket (md5 hex prefix → int), the seeded
+    * replacement for the reference's unseeded Fisher-Yates 80/10/10 split
+    * (`parquet/HuggingFaceDatasetBuilder.cs:427-440`, SURVEY.md O5).
+    */
+  def hashBucket10(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 10
+
+  /** train/valid/test 80/10/10 split assignment. */
+  def splitAssign(key: Column): Column = {
+    val b = hashBucket10(key)
+    when(b <= 7, lit("train")).when(b === 8, lit("valid")).otherwise(lit("test"))
+  }
+
+  /** Cheap n-gram-profile language guess, SQL-expressible (stopword hit
+    * counting per language). Coarser than graft.core.LangId (used in the
+    * crawl path); this one exists as a *relational* operator whose oracle
+    * is plain SQL.
+    */
+  def langGuess(text: Column): Column = {
+    def hits(ws: Seq[String]): Column =
+      size(filter(split(lower(trim(text)), "\\s+"),
+        w => array_contains(typedLit(ws), w)))
+    val en = hits(Seq("the", "and", "of", "is", "in"))
+    val fr = hits(Seq("le", "la", "et", "est", "les"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    when(en >= fr && en >= de && en > 0, lit("en"))
+      .when(fr >= de && fr > 0, lit("fr"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("?"))
+  }
+}

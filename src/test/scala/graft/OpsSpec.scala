@@ -1,0 +1,175 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the pipeline operators whose hashes the DuckDB oracle
+  * cannot reproduce (minhash/simhash/LSH): assert against plain-Scala
+  * oracles and known constructions instead.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def nearDupCorpus: DataFrame = {
+    // 20 base docs; docs 100+i are near-duplicates of doc i (1 word changed
+    // out of 30); docs 200+ are unrelated
+    val rnd = new java.util.Random(7)
+    def words(n: Int, tag: String) =
+      (0 until n).map(i => s"w${rnd.nextInt(400)}_$tag$i").mkString(" ")
+    val base = (0 until 20).map(i => (i.toLong, (0 until 30).map(k => s"tok${i}_$k").mkString(" ")))
+    val dups = base.map { case (id, text) =>
+      (id + 100, text.split(" ").updated(15, "CHANGED").mkString(" "))
+    }
+    val noise = (200 until 220).map(i => (i.toLong, words(30, s"n$i")))
+    (base ++ dups ++ noise).toDF("doc_id", "text")
+  }
+
+  test("minhash-LSH finds all planted near-duplicates, no wild false positives") {
+    val pairs = Dedup.minHashLshPairs(nearDupCorpus, "doc_id", "text",
+      n = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, i + 100L)).toSet
+    // recall: LSH with 8 bands of 2 at ~0.93 true Jaccard → expect all found
+    val found = planted.intersect(pairs)
+    assert(found.size >= 18, s"recall too low: ${found.size}/20")
+    // precision: noise docs must not pair with anything
+    assert(!pairs.exists { case (a, b) => a >= 200 || b >= 200 },
+      "unrelated docs paired")
+  }
+
+  test("minhash est_sim tracks true jaccard on planted dups") {
+    val est = Dedup.minHashLshPairs(nearDupCorpus, "doc_id", "text",
+      n = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    est.filterKeys { case (a, b) => b == a + 100 }.values.foreach { sim =>
+      assert(sim >= 0.5, s"estimated similarity $sim too low for a 29/31 dup")
+    }
+  }
+
+  test("simhash: identical texts → hamming 0; near-dups close; random far") {
+    assert(Dedup.simHash64("hello world foo") == Dedup.simHash64("hello world foo"))
+    val a = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val b = a.split(" ").updated(20, "CHANGED").mkString(" ")
+    val hamAB = java.lang.Long.bitCount(Dedup.simHash64(a) ^ Dedup.simHash64(b))
+    assert(hamAB <= 16, s"near-dup hamming $hamAB")
+    val rnd = new java.util.Random(3)
+    val c = (0 until 40).map(_ => s"z${rnd.nextInt(100000)}").mkString(" ")
+    val hamAC = java.lang.Long.bitCount(Dedup.simHash64(a) ^ Dedup.simHash64(c))
+    assert(hamAC > 16, s"unrelated hamming $hamAC")
+  }
+
+  test("simhash pairs find planted near-dups") {
+    val pairs = Dedup.simHashPairs(nearDupCorpus, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, i + 100L)).toSet
+    assert(planted.intersect(pairs).size >= 16,
+      s"simhash recall ${planted.intersect(pairs).size}/20")
+  }
+
+  test("LSH ANN recall vs exact near-dup pairs on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = 32, numPlanes = 3, threshold = 0.3, numTables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "LSH produced a pair below threshold")
+    assert(exact.nonEmpty)
+    // 12 tables x 3 planes at sim>=0.3: recall = 1-(1-p^3)^12 ≈ 0.9 for
+    // p = 1 - acos(0.3)/pi ≈ 0.60; assert a conservative floor
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low for 12x3 LSH")
+  }
+
+  test("brute-force top-k is exact: matches a driver-side computation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = emb.filter(_._1 < 3).flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid)
+        .map { case (nid, nv) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((q, n, c), i) => (q, n, i + 1) }
+    }.toSet
+    val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.bruteForceTopK(embDf, embDf.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
+  test("multimodal: synthesized blobs decode back to their metadata") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.width == 16 + (f.media_id % 64).toInt, "width roundtrip")
+      assert(f.height == 16 + (f.media_id % 48).toInt, "height roundtrip")
+      assert(f.feature.length == 4)
+      assert(f.n_bytes >= 8)
+    }
+    // decode stub never throws on garbage
+    assert(Multimodal.decodeStub(null)._3.sameElements(Array.fill(4)(0.0)))
+    assert(Multimodal.decodeStub(Array[Byte](1, 2))._1 == 0)
+  }
+
+  test("split assignment is deterministic and ~80/10/10") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val counts = docs.withColumn("split", TextOps.splitAssign(col("doc_id")))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    assert(counts.keySet == Set("train", "valid", "test"))
+    // determinism across evaluations
+    val again = docs.withColumn("split", TextOps.splitAssign(col("doc_id")))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("structured streaming: windowed counts equal the batch aggregation") {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val agg = src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ev_counts")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
