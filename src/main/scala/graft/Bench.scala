@@ -1,24 +1,92 @@
 package graft
+
+import graft.crawl._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR plus the crawl-engine throughput bench, prints ONE
+  * JSON line. `SPARK_GRAFT_CPUS` selects the parallelism level — the
+  * sandbox stand-in for cluster size (BASELINE.md §4): run at 8 and 32 to
+  * evidence the N→4N scaling criterion.
+  */
 object Bench {
+
+  /** Headline subset: the heavier relational/window/dedup/similarity ops.
+    * (q_jaccard_pairs is excluded: its shingle-blocking self-join is
+    * quadratic on the tiny-vocabulary synthetic corpus at sf0.1 — bounded
+    * variants are exercised by Verify at sf0.01.)
+    */
+  private val headline = Seq(
+    "q_agg_pricing", "q_orders_by_priority", "q_rolling_window",
+    "q_first_wins", "q_anti_join", "q_semi_join", "q_join_agg",
+    "q_topk_per_group", "q_global_topk", "q_hourly_events",
+    "q_lang_histogram", "q_split_assign", "q_doc_stats", "q_quality",
+    "q_lang_guess", "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs",
+    "q_cosine_topk", "q_embedding_neardup", "q_ann_lsh", "q_media_meta",
+    "q_media_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- crawl-engine throughput (pages fetched+extracted per second) ----
+    val (crawlSec, pages, waves) = crawlBench(spark, cpus)
+    results("crawl") = crawlSec
+    val pagesPerSec = pages / crawlSec
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"}}""")
     spark.stop()
+  }
+
+  /** Seeded synthetic-web crawl: tree-shaped links (BFS depth ~log_f n) so
+    * waves are large and the engine — not wave-loop fixed cost — dominates.
+    * Fixed simulated per-page fetch cost exercises the politeness/schedule/
+    * extract pipeline rather than the absent network.
+    */
+  def crawlBench(spark: SparkSession, cpus: Int,
+      hosts: Int = 24, pagesPerHost: Int = 400): (Double, Long, Int) = {
+    val site = SyntheticWeb.generate(SyntheticWeb.Spec(
+      hosts = hosts, pagesPerHost = pagesPerHost, hotHostFactor = 3,
+      fanout = 20, seed = 42L, treeLinks = true, sharedDomain = true))
+    val config = CrawlConfig(rootUrl = site.rootUrl,
+      scope = graft.core.ScopeFilter.Domain,
+      waveBudgetMs = 600000L, // politeness caps stay real but large
+      maxWaves = 60)
+    // 50 ms simulated per-page cost: the order of magnitude of fetching and
+    // parsing a real ~100 KB page (network + TLS + DOM), so the measurement
+    // exercises engine scheduling around realistic per-page work
+    val fetcher = SyntheticFetcher.broadcast(spark, site,
+      simulatedCostNanos = 50000000L)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
+    val io = new TableIO(wh, spark)
+    val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)
+    val t0 = System.nanoTime()
+    val waves = engine.run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val pages = io.readAll("metrics", TableIO.MetricsSchema)
+      .agg(sum(col("pages"))).head().getLong(0)
+    (sec, pages, waves)
   }
 }

@@ -47,6 +47,28 @@ final class SyntheticFetcher(
   override def fetchRobots(host: String): String = robots.getOrElse(host, "")
 }
 
+object SyntheticFetcher {
+  /** Broadcast-backed variant: the page corpus ships to executors once via
+    * torrent broadcast instead of riding in every task closure — the right
+    * shape when the synthetic corpus is large (bench) or executors are
+    * remote.
+    */
+  def broadcast(spark: org.apache.spark.sql.SparkSession,
+      site: SyntheticWeb.Site, simulatedCostNanos: Long = 0L): Fetcher = {
+    val bc = spark.sparkContext.broadcast((site.pages, site.robots))
+    new BroadcastSyntheticFetcher(bc, simulatedCostNanos)
+  }
+}
+
+private final class BroadcastSyntheticFetcher(
+    bc: org.apache.spark.broadcast.Broadcast[(Map[String, SyntheticPage], Map[String, String])],
+    simulatedCostNanos: Long) extends Fetcher {
+  @transient private lazy val inner =
+    new SyntheticFetcher(bc.value._1, bc.value._2, simulatedCostNanos)
+  override def fetch(url: String): FetchResponse = inner.fetch(url)
+  override def fetchRobots(host: String): String = inner.fetchRobots(host)
+}
+
 /** The Spark-native crawl engine: a driver loop over BFS "waves", each wave
   * one declarative DataFrame DAG (frontier → politeness schedule → fetch →
   * extract → analyze/dedup → schedule links → atomic commit), per SURVEY.md
@@ -79,6 +101,13 @@ final class CrawlEngine(
   private val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
     .getOrElse(throw new IllegalArgumentException(s"bad root url: ${config.rootUrl}"))
 
+  /** Driver-side cache of per-host state (robots, delay). Authoritative
+    * copy lives in the `hosts` table (rebuilt here on resume); the cache
+    * only saves the per-wave re-read. Size is bounded by distinct hosts,
+    * not URLs — safe to hold on the driver (SURVEY.md §4).
+    */
+  private var hostCache: scala.collection.mutable.Map[String, HostState] = _
+
   /** Run (or resume) the crawl to completion; returns waves processed. */
   def run(maxWavesThisRun: Int = Int.MaxValue): Int = {
     if (io.committedWave == -2) bootstrap()
@@ -100,31 +129,66 @@ final class CrawlEngine(
       UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
     io.stage("frontier", 0, Seq(rootEntry).toDS())
     io.stage("seen", 0, Seq(rootEntry.url_hash).toDF("url_hash"))
-    io.commitWave(-1, Map("max_seq" -> 0L))
+    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L))
+  }
+
+  private val trace = sys.env.contains("GRAFT_TRACE")
+  private def timed[T](wave: Int, step: String)(f: => T): T = {
+    if (!trace) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[trace] w$wave $step%-14s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
   }
 
   /** Process one wave; false = frontier empty, crawl complete. */
   def runWave(wave: Int): Boolean = {
+    // fast empty check from the previous commit's lineage stats (the Spark
+    // isEmpty job only runs on the resume edge where no stat exists)
+    if (io.stat("next_frontier").contains(0L) && io.committedWave == wave - 1) return false
     val frontier = io.readWave("frontier", wave, TableIO.FrontierSchema, lookahead = 1)
-    if (frontier.isEmpty) return false
+    if (io.stat("next_frontier").isEmpty || io.committedWave != wave - 1) {
+      if (timed(wave, "isEmpty")(frontier.isEmpty)) return false
+    }
     val prevMaxSeq = io.stat("max_seq").getOrElse(0L)
+    // this wave's frontier size, from the previous commit's lineage when
+    // available (resume edge falls back to a count job)
+    val frontierCount =
+      if (io.committedWave == wave - 1) io.stat("next_frontier").getOrElse(frontier.count())
+      else frontier.count()
 
     // ---- 1. robots for hosts newly appearing in the frontier -------------
-    val knownHosts = io.readAll("hosts", TableIO.HostsSchema)
+    if (hostCache == null) {
+      hostCache = scala.collection.mutable.Map.empty
+      io.readAll("hosts", TableIO.HostsSchema).as[HostState].collect()
+        .foreach(h => hostCache(h.host) = h)
+    }
     val fetcherL = fetcher
     val cfg = config
-    val newHostStates = frontier.select($"host").distinct()
-      .join(knownHosts.select($"host"), Seq("host"), "left_anti")
-      .as[String]
-      .mapPartitions { hosts =>
-        hosts.map { h =>
+    val frontierHosts = timed(wave, "hosts")(
+      frontier.select($"host").distinct().as[String].collect())
+    val newHostNames = frontierHosts.filterNot(hostCache.contains)
+    // few new hosts → fetch robots on the driver; many → distribute
+    val newHostStates: Seq[HostState] = timed(wave, "robots")(
+      if (newHostNames.length <= 64) {
+        newHostNames.toSeq.map { h =>
           val content = fetcherL.fetchRobots(h)
           val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
           HostState(h, cfg.effectiveDelayMs(delay), content, wave)
         }
-      }
-      .persist()
-    val hostStates = knownHosts.as[HostState].collect() ++ newHostStates.collect()
+      } else {
+        spark.createDataset(newHostNames.toSeq).repartition(numPartitions)
+          .mapPartitions { hosts =>
+            hosts.map { h =>
+              val content = fetcherL.fetchRobots(h)
+              val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
+              HostState(h, cfg.effectiveDelayMs(delay), content, wave)
+            }
+          }.collect().toSeq
+      })
+    newHostStates.foreach(h => hostCache(h.host) = h)
+    val hostStates = hostCache.values.toArray
     val compiled: Map[String, CompiledRobots] =
       hostStates.map(h => h.host -> CompiledRobots.of(h.robots_txt)).toMap
     val robotsBc = spark.sparkContext.broadcast(compiled)
@@ -150,13 +214,15 @@ final class CrawlEngine(
         entries.map(e => CrawlEngine.fetchAndExtract(fetcherL, e, pid))
       }
       .persist()
-    val pagesFetched = results.count()
+    val pagesFetched = timed(wave, "fetch+extract")(results.count())
 
     // ---- 4. text-block analysis + first-wins dedup (D3/W2) ---------------
+    // Only UNIQUENESS needs cross-doc work; totals/language were folded
+    // locally in the extract mapPartitions (PageResult.total_words/lang).
     val blocks = results.flatMap { r =>
       DocAnalysis.analyzableItems(r.spans).map(it =>
-        (r.seq, it.offset, it.text_hash, it.words, it.lang))
-    }.toDF("seq", "offset", "text_hash", "words", "lang")
+        (r.seq, it.offset, it.text_hash, it.words))
+    }.toDF("seq", "offset", "text_hash", "words")
 
     // first occurrence within the wave, by deterministic (seq, offset) order
     val firstWin = Window.partitionBy($"text_hash").orderBy($"seq", $"offset")
@@ -164,31 +230,21 @@ final class CrawlEngine(
     // not already owned by a previous wave (cross-wave anti-join semantics,
     // expressed as left join + null test so no self-join lineage is needed)
     val uniqueBlocksTable = io.readAll("unique_blocks", TableIO.UniqueBlocksSchema)
-    val flagged = withRn.join(
+    val newUnique = withRn.join(
         uniqueBlocksTable.select($"text_hash").withColumn("prev", lit(true)),
         Seq("text_hash"), "left")
-      .withColumn("is_unique", $"rn" === 1 && $"prev".isNull)
+      .filter($"rn" === 1 && $"prev".isNull)
+      .select($"seq", $"text_hash", $"words")
       .persist()
 
-    val newUnique = flagged.filter($"is_unique").select($"text_hash", $"words")
-
-    val docTotals = flagged.groupBy($"seq").agg(
-      sum($"words").as("total_words"),
-      sum(when($"is_unique", $"words").otherwise(lit(0L))).as("unique_words"))
-
-    // doc language: argmax words by lang, ties to earliest-seen lang (A3)
-    val langAgg = flagged.groupBy($"seq", $"lang")
-      .agg(sum($"words").as("lang_words"), min($"offset").as("first_off"))
-    val langWin = Window.partitionBy($"seq").orderBy($"lang_words".desc, $"first_off".asc)
-    val docLang = langAgg.withColumn("lrn", row_number().over(langWin))
-      .filter($"lrn" === 1).select($"seq".as("l_seq"), $"lang".as("doc_lang"))
+    val uniquePerDoc = newUnique.groupBy($"seq")
+      .agg(sum($"words").as("unique_words"))
+      .withColumnRenamed("seq", "u_seq")
 
     val docs = results.toDF()
-      .join(docTotals.withColumnRenamed("seq", "t_seq"), $"seq" === $"t_seq", "inner")
-      .join(docLang, $"seq" === $"l_seq", "left")
+      .join(uniquePerDoc, $"seq" === $"u_seq", "inner") // inner: unique_words>0 implied
       .filter($"unique_words" > 0)
-      .select($"url".as("doc_id"), $"spans", $"title",
-        coalesce($"doc_lang", lit("?")).as("lang"),
+      .select($"url".as("doc_id"), $"spans", $"title", $"lang",
         $"total_words", $"unique_words", $"wave", $"seq")
 
     // ---- 5. candidate links → seen updates + next frontier (D1/J1/W3) ----
@@ -242,22 +298,28 @@ final class CrawlEngine(
       sum($"extract_ms").as("extract_ms"))
 
     // ---- 7. stage everything, then atomically commit the wave ------------
-    val nextFrontier = carry.unionByName(newFrontier).persist()
-    val nextMaxSeq = math.max(prevMaxSeq,
-      Option(nextFrontier.agg(max($"seq")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
-    io.stage("documents", wave, docs)
-    io.stage("unique_blocks", wave, newUnique)
-    io.stage("seen", wave + 1, seenAdds)
-    io.stage("hosts", wave, newHostStates)
-    io.stage("metrics", wave, metrics)
-    io.stage("frontier", wave + 1, nextFrontier)
-    io.commitWave(wave, Map("pages" -> pagesFetched, "max_seq" -> nextMaxSeq))
+    timed(wave, "stage:docs")(io.stage("documents", wave, docs))
+    timed(wave, "stage:blocks")(io.stage("unique_blocks", wave,
+      newUnique.select($"text_hash", $"words")))
+    timed(wave, "stage:seen")(io.stage("seen", wave + 1, seenAdds))
+    if (newHostStates.nonEmpty)
+      timed(wave, "stage:hosts")(io.stage("hosts", wave, newHostStates.toDS()))
+    timed(wave, "stage:metrics")(io.stage("metrics", wave, metrics))
+    val newFrontierP = newFrontier.persist()
+    timed(wave, "stage:frontier")(
+      io.stage("frontier", wave + 1, carry.unionByName(newFrontierP)))
+    // dense assignment: max seq after this wave = prev + new entries (no agg)
+    val newCount = newFrontierP.count()
+    val carryCount = frontierCount - pagesFetched
+    io.commitWave(wave, Map(
+      "pages" -> pagesFetched,
+      "max_seq" -> (prevMaxSeq + newCount),
+      "next_frontier" -> (newCount + carryCount)))
 
     results.unpersist()
-    flagged.unpersist()
+    newUnique.unpersist()
     notSeen.unpersist()
-    nextFrontier.unpersist()
-    newHostStates.unpersist()
+    newFrontierP.unpersist()
     true
   }
 }
@@ -296,9 +358,13 @@ object CrawlEngine {
       outLinks = dedupResolve(e.url, Vector(resp.redirectTo))
     }
     val t2 = System.nanoTime()
+    // per-doc stats are doc-local facts: fold them here, never shuffle them
+    val items = DocAnalysis.analyzableItems(spans)
+    val totalWords = items.map(_.words.toLong).sum
+    val lang = DocAnalysis.docLanguage(items)
     PageResult(e.url, e.url_hash, e.host, e.seq, e.depth, e.wave,
       resp.status, resp.contentType, title, spans, outLinks, noFollow,
-      (t1 - t0) / 1e6, (t2 - t1) / 1e6, partitionId)
+      (t1 - t0) / 1e6, (t2 - t1) / 1e6, partitionId, totalWords, lang)
   }
 
   /** In-page canonical-URL dedup, first occurrence order (D2). */

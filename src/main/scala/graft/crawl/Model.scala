@@ -41,7 +41,9 @@ final case class PageResult(
     no_follow: Boolean,
     fetch_ms: Double,
     extract_ms: Double,
-    partition_id: Int)
+    partition_id: Int,
+    total_words: Long, // per-doc local aggregate (A4) — no shuffle needed
+    lang: String)      // per-doc argmax language (A3) — local fold
 
 /** One extracted document row — the north-rule table shape
   * (doc_id, spans) plus analysis metadata.

@@ -41,10 +41,17 @@ object SyntheticWeb {
     "es" -> Vector("el", "la", "los", "de", "que", "en", "una", "por", "con", "para", "como"))
 
   def hostName(i: Int): String = s"www.host$i.example$i.com"
+  /** subdomain-mode hosts share the base domain (Domain-scope crawls span
+    * them all) — used by the crawl benchmark. */
+  def hostNameOf(spec: Spec, i: Int): String =
+    if (spec.sharedDomain) s"h$i.graftbench.com" else hostName(i)
   def hostLang(seed: Long, i: Int): String = hostLangs(rndInt(seed, s"lang/$i", hostLangs.size))
-  def pageUrl(i: Int, j: Int): String =
-    if (j >= 0) s"https://${hostName(i)}/p$j.html"
-    else s"https://${hostName(i)}/private/secret${-j}.html"
+  def pageUrl(i: Int, j: Int): String = pageUrlOf(null, i, j)
+  def pageUrlOf(spec: Spec, i: Int, j: Int): String = {
+    val h = if (spec == null) hostName(i) else hostNameOf(spec, i)
+    if (j >= 0) s"https://$h/p$j.html"
+    else s"https://$h/private/secret${-j}.html"
+  }
   def rootUrl(i: Int): String = pageUrl(i, 0)
 
   /** Number of pages for host i (host 0 is the hot host). */
@@ -56,7 +63,9 @@ object SyntheticWeb {
       pagesPerHost: Int = 10,
       hotHostFactor: Int = 3,
       fanout: Int = 3,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      treeLinks: Boolean = false,   // j -> j*fanout+1..j*fanout+fanout (BFS depth ~log_f n)
+      sharedDomain: Boolean = false) // all hosts under one base domain
 
   def generate(spec: Spec): Site = {
     val pages = Map.newBuilder[String, SyntheticPage]
@@ -64,7 +73,7 @@ object SyntheticWeb {
     val robots = Map.newBuilder[String, String]
 
     for (i <- 0 until spec.hosts) {
-      val host = hostName(i)
+      val host = hostNameOf(spec, i)
       val delay = rndInt(spec.seed, s"delay/$i", 3) // 0..2 s
       robots += host -> s"""User-agent: *
                            |Disallow: /private/
@@ -85,11 +94,11 @@ object SyntheticWeb {
         // a redirect page every 11 pages
         if (j % 11 == 5) {
           val rUrl = s"https://$host/r$j.html"
-          pages += rUrl -> SyntheticPage(rUrl, host, 301, "text/html", pageUrl(i, (j + 1) % n), "")
+          pages += rUrl -> SyntheticPage(rUrl, host, 301, "text/html", pageUrlOf(spec, i, (j + 1) % n), "")
         }
       }
     }
-    Site(pages.result(), robots.result(), expected.result(), rootUrl(0))
+    Site(pages.result(), robots.result(), expected.result(), pageUrlOf(spec, 0, 0))
   }
 
   // --- page model ------------------------------------------------------
@@ -116,8 +125,8 @@ object SyntheticWeb {
 
   private def buildPage(spec: Spec, i: Int, j: Int, n: Int): (SyntheticPage, PageExpectation) = {
     val seed = spec.seed
-    val host = hostName(i)
-    val url = pageUrl(i, j)
+    val host = hostNameOf(spec, i)
+    val url = pageUrlOf(spec, i, j)
     val lang = hostLang(seed, i)
     val title = s"Page $j of $host"
 
@@ -162,15 +171,29 @@ object SyntheticWeb {
     // links: forward fan-out within host, one cross-host, one disallowed,
     // one duplicate, one nofollow, one fragment variant
     val linkItems = ArrayBuffer.empty[Item]
-    val fanout = 1 + rndInt(seed, s"fan/$i/$j", spec.fanout)
-    for (f <- 1 to fanout) {
-      val t = (j + f) % n
-      linkItems += LinkPara(sentence(seed, s"lp/$i/$j/$f", lang, ""), s"/p$t.html", s"link $t")
+    if (spec.treeLinks) {
+      for (f <- 1 to spec.fanout) {
+        val t = j * spec.fanout + f
+        if (t < n) linkItems += LinkPara("", s"/p$t.html", s"link $t")
+      }
+      // host-spanning: every root page links to every other host root, so a
+      // Domain-scope crawl under sharedDomain covers all hosts in one wave
+      if (j == 0 && spec.sharedDomain) {
+        for (o <- 0 until spec.hosts if o != i) {
+          linkItems += LinkPara("", s"https://${hostNameOf(spec, o)}/p0.html", s"host $o")
+        }
+      }
+    } else {
+      val fanout = 1 + rndInt(seed, s"fan/$i/$j", spec.fanout)
+      for (f <- 1 to fanout) {
+        val t = (j + f) % n
+        linkItems += LinkPara(sentence(seed, s"lp/$i/$j/$f", lang, ""), s"/p$t.html", s"link $t")
+      }
     }
     linkItems += LinkPara("", s"/p${(j + 1) % n}.html#frag", "dup with fragment")
     if (j % 5 == 1) linkItems += LinkPara("", s"/private/secret${(j % 7) + 1}.html", "secret")
     if (j % 11 == 5) linkItems += LinkPara("", s"/r$j.html", "redirect hop")
-    if (j % 4 == 2 && spec.hosts > 1)
+    if (j % 4 == 2 && spec.hosts > 1 && !spec.sharedDomain)
       linkItems += LinkPara("", s"https://${hostName((i + 1) % spec.hosts)}/p0.html", "other site")
     if (j % 6 == 3) linkItems += LinkPara("", s"/missing$j.html", "dead link")
     items ++= linkItems
