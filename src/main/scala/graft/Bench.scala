@@ -66,19 +66,20 @@ object Bench {
     * extract pipeline rather than the absent network.
     */
   def crawlBench(spark: SparkSession, cpus: Int,
-      hosts: Int = 24, pagesPerHost: Int = 400): (Double, Long, Int) = {
+      hosts: Int = 24, pagesPerHost: Int = 1250): (Double, Long, Int) = {
     val site = SyntheticWeb.generate(SyntheticWeb.Spec(
       hosts = hosts, pagesPerHost = pagesPerHost, hotHostFactor = 3,
-      fanout = 20, seed = 42L, treeLinks = true, sharedDomain = true))
+      fanout = 50, seed = 42L, treeLinks = true, sharedDomain = true))
     val config = CrawlConfig(rootUrl = site.rootUrl,
       scope = graft.core.ScopeFilter.Domain,
-      waveBudgetMs = 600000L, // politeness caps stay real but large
-      maxWaves = 60)
-    // 50 ms simulated per-page cost: the order of magnitude of fetching and
-    // parsing a real ~100 KB page (network + TLS + DOM), so the measurement
-    // exercises engine scheduling around realistic per-page work
+      waveBudgetMs = 600000L, // politeness caps stay real but non-binding
+      maxWaves = 60,
+      // ~25 ms CPU per page stands in for parsing realistically-sized pages
+      // (the synthetic fixtures are ~2 KB; real pages are ~100 KB)
+      simulatedExtractCostNanos = 25000000L)
+    // 1 ms simulated fetch cost (socket/TLS bookkeeping in the paced stage)
     val fetcher = SyntheticFetcher.broadcast(spark, site,
-      simulatedCostNanos = 50000000L)
+      simulatedCostNanos = 1000000L)
     val wh = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
     val io = new TableIO(wh, spark)
     val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)

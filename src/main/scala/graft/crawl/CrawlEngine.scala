@@ -108,17 +108,52 @@ final class CrawlEngine(
     */
   private var hostCache: scala.collection.mutable.Map[String, HostState] = _
 
-  /** Run (or resume) the crawl to completion; returns waves processed. */
+  // --- stop-condition / budget state (wave-synchronous contract shared
+  // with SequentialOracle; all fields recoverable from tables/stats) ------
+  private var stateLoaded = false
+  private var pagesTotal = 0L
+  private var errorsTotal = 0L
+  private var excludedPrefixes = Vector.empty[String]
+  private var window10 = Vector.empty[(String, Double)] // (url, pct), seq order
+  private var crawledByHost = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+  var stopReason: Option[String] = None
+
+  private def loadState(): Unit = {
+    if (stateLoaded) return
+    stateLoaded = true
+    pagesTotal = io.stat("pages_total").getOrElse(0L)
+    errorsTotal = io.stat("errors_total").getOrElse(0L)
+    stopReason = io.statStr("stop_reason")
+    val cw = io.committedWave
+    if (config.minUniquePct > 0 && cw >= 0) {
+      excludedPrefixes = io.readWave("excludes", cw, TableIO.ExcludesSchema)
+        .collect().map(_.getString(0)).toVector
+      window10 = io.readWave("window10", cw, TableIO.Window10Schema)
+        .collect().sortBy(_.getInt(2)).map(r => (r.getString(0), r.getDouble(1))).toVector
+    }
+    if (config.maxPagesPerDomain > 0 && cw >= 0) {
+      io.readWave("host_counts", cw, TableIO.HostCountsSchema)
+        .collect().foreach(r => crawledByHost(r.getString(0)) = r.getLong(1))
+    }
+  }
+
+  /** Run (or resume) the crawl to completion or a stop condition; returns
+    * waves processed. A crawl stopped by the cascade stays stopped across
+    * resumes (stop_reason persists in the manifest).
+    */
   def run(maxWavesThisRun: Int = Int.MaxValue): Int = {
     if (io.committedWave == -2) bootstrap()
+    loadState()
     var wave = io.committedWave + 1
     var processed = 0
-    var continue = wave < config.maxWaves && processed < maxWavesThisRun
+    var continue = stopReason.isEmpty &&
+      wave < config.maxWaves && processed < maxWavesThisRun
     while (continue) {
       val hadWork = runWave(wave)
       if (hadWork) processed += 1
       wave += 1
-      continue = hadWork && wave < config.maxWaves && processed < maxWavesThisRun
+      continue = hadWork && stopReason.isEmpty &&
+        wave < config.maxWaves && processed < maxWavesThisRun
     }
     processed
   }
@@ -144,6 +179,8 @@ final class CrawlEngine(
 
   /** Process one wave; false = frontier empty, crawl complete. */
   def runWave(wave: Int): Boolean = {
+    loadState()
+    if (stopReason.nonEmpty) return false
     // fast empty check from the previous commit's lineage stats (the Spark
     // isEmpty job only runs on the resume edge where no stat exists)
     if (io.stat("next_frontier").contains(0L) && io.committedWave == wave - 1) return false
@@ -197,24 +234,53 @@ final class CrawlEngine(
     }.toMap
     val capBc = spark.sparkContext.broadcast(capByHost)
 
-    // ---- 2. politeness split: per-host cap in seq order, rest carries ----
+    // ---- 2. politeness split: per-host cap in seq order, rest carries;
+    //         per-domain budget DROPS entries beyond the allowance (O3) ----
     val hostRank = Window.partitionBy($"host").orderBy($"seq")
-    val ranked = frontier.withColumn("host_rank", row_number().over(hostRank))
+    val ranked0 = frontier.withColumn("host_rank", row_number().over(hostRank))
     val capOf = udf((host: String) => capBc.value.getOrElse(host, 1))
-    val due = ranked.filter($"host_rank" <= capOf($"host")).drop("host_rank")
+    val ranked =
+      if (config.maxPagesPerDomain > 0) {
+        val crawledBc = spark.sparkContext.broadcast(crawledByHost.toMap)
+        val maxPerDomain = config.maxPagesPerDomain
+        val allowanceOf = udf((host: String) =>
+          math.max(0L, maxPerDomain - crawledBc.value.getOrElse(host, 0L)))
+        ranked0.filter($"host_rank" <= allowanceOf($"host"))
+      } else ranked0
+    val dueByHost = ranked.filter($"host_rank" <= capOf($"host")).drop("host_rank")
     val carry = ranked.filter($"host_rank" > capOf($"host")).drop("host_rank")
       .withColumn("wave", lit(wave + 1))
+    // global page budget truncates in deterministic seq order (wave-level
+    // MaxPagesToCrawl; overflow entries are dropped, matching the oracle)
+    val due =
+      if (config.maxPagesToCrawl > 0) {
+        val budget = math.max(0L, config.maxPagesToCrawl - pagesTotal)
+        CrawlEngine.assignSeq(spark, dueByHost, Seq("seq"), 0L, "gidx")
+          .filter($"gidx" < budget).drop("gidx")
+      } else dueByHost
 
-    // ---- 3. fetch + extract: host-bucketed partition-parallel map --------
-    val results = due.as[FrontierEntry]
+    // ---- 3a. fetch: host-bucketed partitions (politeness is partition-
+    //          local state; one host never spans two partitions) -----------
+    val fetched = due.as[FrontierEntry]
       .repartition(numPartitions, pmod(xxhash64($"host"), lit(numPartitions)))
       .sortWithinPartitions($"host", $"seq")
-      .mapPartitions { entries =>
+      .mapPartitions(entries => entries.map(e => CrawlEngine.fetchOne(fetcherL, e)))
+
+    // ---- 3b. extract: salted even repartition — hot-host skew constrains
+    //          FETCH PACING only; parsing is embarrassingly parallel -------
+    val extractCost = config.simulatedExtractCostNanos
+    val results = fetched
+      .repartition(numPartitions, pmod($"seq", lit(numPartitions)))
+      .mapPartitions { pages =>
         val pid = TaskContext.getPartitionId()
-        entries.map(e => CrawlEngine.fetchAndExtract(fetcherL, e, pid))
+        pages.map(p => CrawlEngine.extractOne(p, pid, extractCost))
       }
       .persist()
-    val pagesFetched = timed(wave, "fetch+extract")(results.count())
+    val waveAgg = timed(wave, "fetch+extract")(
+      results.toDF().agg(count(lit(1)),
+        sum(when($"is_error", 1L).otherwise(0L))).head())
+    val pagesFetched = waveAgg.getLong(0)
+    val errorsWave = if (pagesFetched == 0) 0L else waveAgg.getLong(1)
 
     // ---- 4. text-block analysis + first-wins dedup (D3/W2) ---------------
     // Only UNIQUENESS needs cross-doc work; totals/language were folded
@@ -271,11 +337,13 @@ final class CrawlEngine(
     val root = rootCanon
     val maxDepth = config.maxDepth
     val userAgent = config.userAgent
+    val excludesBc = spark.sparkContext.broadcast(excludedPrefixes)
     val passesFilters = udf((url: String, host: String, parentDepth: Int) => {
       parentDepth + 1 <= maxDepth &&
       ScopeFilter.shouldCrawl(scope, url, root) &&
       robotsBc.value.getOrElse(host, CompiledRobots.Empty)
-        .allowed(UrlCanonicalizer.pathAndQuery(url), userAgent)
+        .allowed(UrlCanonicalizer.pathAndQuery(url), userAgent) &&
+      !excludesBc.value.exists(url.startsWith)
     })
     val perPage = Window.partitionBy($"parent_seq").orderBy($"link_index")
     val passing = notSeen.filter(passesFilters($"url", $"host", $"parent_depth"))
@@ -292,12 +360,56 @@ final class CrawlEngine(
     // ---- 6. per-partition metrics lineage (A1 analog) --------------------
     val metrics = results.groupBy($"wave", $"partition_id").agg(
       count(lit(1)).as("pages"),
-      sum(when($"status" >= 400, 1L).otherwise(0L)).as("errors"),
+      sum(when($"is_error", 1L).otherwise(0L)).as("errors"),
       lit(0L).as("words"),
       sum($"fetch_ms").as("fetch_ms"),
       sum($"extract_ms").as("extract_ms"))
 
-    // ---- 7. stage everything, then atomically commit the wave ------------
+    // ---- 7. wave-boundary stop cascade (WebsiteTextExtractor.cs:638-767) -
+    pagesTotal += pagesFetched
+    errorsTotal += errorsWave
+    if (config.maxPagesPerDomain > 0) {
+      results.groupBy($"host").agg(count(lit(1)).as("n")).collect()
+        .foreach(r => crawledByHost(r.getString(0)) += r.getLong(1))
+    }
+    var newExclude: Option[String] = None
+    if (config.minUniquePct > 0) {
+      val waveRows = results.toDF()
+        .filter($"status" === 200 && $"content_type" === "text/html")
+        .select($"seq", $"url", $"total_words")
+        .join(uniquePerDoc, $"seq" === $"u_seq", "left")
+        .select($"seq", $"url",
+          when($"total_words" > 0,
+            coalesce($"unique_words", lit(0L)).cast("double") / $"total_words")
+            .otherwise(lit(0.0)).as("pct"))
+        .orderBy($"seq").collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toVector
+      window10 = (window10 ++ waveRows).takeRight(10)
+    }
+    if (config.maxErrors > 0 && errorsTotal >= config.maxErrors) {
+      stopReason = Some("max_errors")
+    } else if (config.maxPagesToCrawl > 0 && pagesTotal >= config.maxPagesToCrawl) {
+      stopReason = Some("max_pages")
+    } else if (config.minUniquePct > 0 && window10.size >= 10) {
+      val avgPct = window10.map(_._2).sum / 10.0 * 100.0
+      if (avgPct < config.minUniquePct) {
+        // auto-exclude the longest common URL prefix of the last 10 pages
+        // (WebsiteTextExtractor.cs:697-747); stop when no useful prefix
+        val urls = window10.map(_._1)
+        val lcp = urls.reduce { (a, b) =>
+          a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1).mkString }
+        val rootPrefix = rootCanon.take(rootCanon.indexOf('/', 8) + 1)
+        if (lcp.length > rootPrefix.length && !excludedPrefixes.contains(lcp)) {
+          excludedPrefixes :+= lcp
+          newExclude = Some(lcp)
+          window10 = Vector.empty // reference resets its window after excluding
+        } else {
+          stopReason = Some("min_unique_text")
+        }
+      }
+    }
+
+    // ---- 8. stage everything, then atomically commit the wave ------------
     timed(wave, "stage:docs")(io.stage("documents", wave, docs))
     timed(wave, "stage:blocks")(io.stage("unique_blocks", wave,
       newUnique.select($"text_hash", $"words")))
@@ -305,42 +417,79 @@ final class CrawlEngine(
     if (newHostStates.nonEmpty)
       timed(wave, "stage:hosts")(io.stage("hosts", wave, newHostStates.toDS()))
     timed(wave, "stage:metrics")(io.stage("metrics", wave, metrics))
+    if (config.minUniquePct > 0) {
+      io.stage("excludes", wave,
+        excludedPrefixes.zipWithIndex.map { case (p, _) => (p, wave) }
+          .toDF("pattern", "wave"))
+      io.stage("window10", wave,
+        window10.zipWithIndex.map { case ((u, p), i) => (u, p, i) }
+          .toDF("url", "pct", "ord"))
+    }
+    if (config.maxPagesPerDomain > 0) {
+      io.stage("host_counts", wave, crawledByHost.toSeq.toDF("host", "pages"))
+    }
+    // seqs are assigned BEFORE the retroactive exclude filter (the oracle's
+    // seq counter is monotonic over assignments, not survivors)
     val newFrontierP = newFrontier.persist()
-    timed(wave, "stage:frontier")(
-      io.stage("frontier", wave + 1, carry.unionByName(newFrontierP)))
-    // dense assignment: max seq after this wave = prev + new entries (no agg)
-    val newCount = newFrontierP.count()
-    val carryCount = frontierCount - pagesFetched
+    val newAssigned = newFrontierP.count()
+    // new exclude applies retroactively to the pending frontier
+    // (Scheduler.FilterAllowedUrlsAfterConfig analog, Scheduler.cs:123-139)
+    val nextFrontierAll = carry.unionByName(newFrontierP)
+    val nextFrontierOut = newExclude match {
+      case Some(lcp) => nextFrontierAll.filter(!$"url".startsWith(lcp))
+      case None => nextFrontierAll
+    }
+    val nextFrontierP = nextFrontierOut.persist()
+    val nextCount = timed(wave, "stage:frontier") {
+      io.stage("frontier", wave + 1, nextFrontierP)
+      nextFrontierP.count()
+    }
     io.commitWave(wave, Map(
       "pages" -> pagesFetched,
-      "max_seq" -> (prevMaxSeq + newCount),
-      "next_frontier" -> (newCount + carryCount)))
+      "pages_total" -> pagesTotal,
+      "errors_total" -> errorsTotal,
+      "max_seq" -> (prevMaxSeq + newAssigned),
+      "next_frontier" -> nextCount), stopReason)
 
     results.unpersist()
     newUnique.unpersist()
     notSeen.unpersist()
     newFrontierP.unpersist()
+    nextFrontierP.unpersist()
     true
   }
 }
 
 object CrawlEngine {
 
-  /** Fetch one frontier entry and extract it — the per-page unit of work
-    * run inside the fetch mapPartitions (north rule: extraction as a
-    * partition-parallel mapPartitions emitting interleaved text+media span
-    * structs).
+  /** Fetch one frontier entry (I/O only) — runs in the host-bucketed,
+    * politeness-paced fetch stage.
     */
-  def fetchAndExtract(fetcher: Fetcher, e: FrontierEntry, partitionId: Int): PageResult = {
+  def fetchOne(fetcher: Fetcher, e: FrontierEntry): FetchedPage = {
     val t0 = System.nanoTime()
     val resp = fetcher.fetch(e.url)
     val t1 = System.nanoTime()
+    FetchedPage(e.url, e.url_hash, e.host, e.seq, e.depth, e.wave,
+      resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6)
+  }
+
+  /** Extract one fetched page — the CPU-bound unit of work run in the
+    * salted extract stage (north rule: extraction as a partition-parallel
+    * mapPartitions emitting interleaved text+media span structs).
+    */
+  def extractOne(p: FetchedPage, partitionId: Int, simulatedCostNanos: Long = 0L): PageResult = {
+    val t1 = System.nanoTime()
+    if (simulatedCostNanos > 0) {
+      val end = t1 + simulatedCostNanos
+      var x = 0L
+      while (System.nanoTime() < end) { x += 1 }
+    }
     var title = ""
     var spans = Vector.empty[graft.core.Span]
     var outLinks = Vector.empty[String]
     var noFollow = false
-    if (resp.status == 200 && resp.contentType == "text/html") {
-      val dom = HtmlParser.parse(resp.body)
+    if (p.status == 200 && p.content_type == "text/html") {
+      val dom = HtmlParser.parse(p.body)
       val extracted = HtmlToSpans.extractDom(dom)
       title = extracted.title
       spans = extracted.spans
@@ -348,23 +497,26 @@ object CrawlEngine {
       if (!noFollow) {
         val (rawHrefs, baseHref) = HtmlToSpans.rawLinks(dom)
         val baseUrl = baseHref match {
-          case Some(b) if b.startsWith("//") => e.url.takeWhile(_ != ':') + ":" + b
+          case Some(b) if b.startsWith("//") => p.url.takeWhile(_ != ':') + ":" + b
           case Some(b) => b
-          case None => e.url
+          case None => p.url
         }
         outLinks = dedupResolve(baseUrl, rawHrefs)
       }
-    } else if (resp.status >= 300 && resp.status < 400 && resp.redirectTo != null) {
-      outLinks = dedupResolve(e.url, Vector(resp.redirectTo))
+    } else if (p.status >= 300 && p.status < 400 && p.redirect_to != null) {
+      outLinks = dedupResolve(p.url, Vector(p.redirect_to))
     }
     val t2 = System.nanoTime()
     // per-doc stats are doc-local facts: fold them here, never shuffle them
     val items = DocAnalysis.analyzableItems(spans)
     val totalWords = items.map(_.words.toLong).sum
     val lang = DocAnalysis.docLanguage(items)
-    PageResult(e.url, e.url_hash, e.host, e.seq, e.depth, e.wave,
-      resp.status, resp.contentType, title, spans, outLinks, noFollow,
-      (t1 - t0) / 1e6, (t2 - t1) / 1e6, partitionId, totalWords, lang)
+    // error classification (F9): any non-200 except a followable redirect
+    val isError = p.status != 200 &&
+      !(p.status >= 300 && p.status < 400 && p.redirect_to != null)
+    PageResult(p.url, p.url_hash, p.host, p.seq, p.depth, p.wave,
+      p.status, p.content_type, title, spans, outLinks, noFollow,
+      p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError)
   }
 
   /** In-page canonical-URL dedup, first occurrence order (D2). */
@@ -378,9 +530,10 @@ object CrawlEngine {
     * then zipWithIndex — two linear passes, no single-partition window, so
     * it scales to arbitrarily large candidate sets (W3).
     */
-  def assignSeq(spark: SparkSession, df: DataFrame, orderCols: Seq[String], start: Long): DataFrame = {
+  def assignSeq(spark: SparkSession, df: DataFrame, orderCols: Seq[String],
+      start: Long, outCol: String = "seq"): DataFrame = {
     val sorted = df.orderBy(orderCols.map(col): _*)
-    val schema = StructType(sorted.schema.fields :+ StructField("seq", LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (start + i))
     }

@@ -25,6 +25,24 @@ final case class SyntheticPage(
     redirect_to: String, // nullable
     html: String)
 
+/** Raw fetch result rows — the output of the host-bucketed, politeness-
+  * paced fetch stage, BEFORE extraction. Bodies are shuffled to a salted
+  * even partitioning for the CPU-bound extract stage (hot-host skew applies
+  * to fetch pacing, never to parsing — SURVEY.md §4).
+  */
+final case class FetchedPage(
+    url: String,
+    url_hash: Long,
+    host: String,
+    seq: Long,
+    depth: Int,
+    wave: Int,
+    status: Int,
+    content_type: String,
+    redirect_to: String,
+    body: String,
+    fetch_ms: Double)
+
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(
     url: String,
@@ -43,7 +61,8 @@ final case class PageResult(
     extract_ms: Double,
     partition_id: Int,
     total_words: Long, // per-doc local aggregate (A4) — no shuffle needed
-    lang: String)      // per-doc argmax language (A3) — local fold
+    lang: String,      // per-doc argmax language (A3) — local fold
+    is_error: Boolean) // F9 classification: non-200 except followable 3xx
 
 /** One extracted document row — the north-rule table shape
   * (doc_id, spans) plus analysis metadata.
@@ -81,11 +100,18 @@ final case class CrawlConfig(
     userAgent: String = "graftbot",
     maxDepth: Int = 1000,
     maxLinksPerPage: Int = 1000,
-    maxPagesToCrawl: Long = 0L, // 0 = unlimited
+    maxPagesToCrawl: Long = 0L, // 0 = unlimited (CrawlDecisionMaker.cs:56-63)
+    maxPagesPerDomain: Long = 0L, // 0 = unlimited (CrawlDecisionMaker.cs:64-71)
+    maxErrors: Long = 0L, // 0 = unlimited (maxErrorsCount default 10 in ref)
+    minUniquePct: Double = 0.0, // 0 = off; reference minUniqueText=5 (%)
     minCrawlDelayMs: Long = 100L,
     maxRobotsDelaySec: Int = 5, // robots crawl-delay clamp (PoliteWebCrawler.cs:103-115)
     waveBudgetMs: Long = 60000L, // politeness budget per host per wave
-    maxWaves: Int = 100) {
+    maxWaves: Int = 100,
+    // bench-only knob: fixed busy-work per extracted page, standing in for
+    // the parse cost of realistically-sized pages (synthetic fixtures are
+    // tiny); 0 in all correctness paths
+    simulatedExtractCostNanos: Long = 0L) {
 
   /** Effective per-host delay: max(minCrawlDelay, clamp(robots delay, 5s)) —
     * `DomainRateLimiter.cs:42-66` + `PoliteWebCrawler.cs:103-115`.

@@ -30,7 +30,9 @@ object SequentialOracle {
       seen: Set[Long],
       documents: Vector[DocumentRow],
       errors: Vector[String],
-      uniqueBlocks: Map[Long, Int])
+      uniqueBlocks: Map[Long, Int],
+      stopReason: String = "frontier_empty",
+      excludedPrefixes: Vector[String] = Vector.empty)
 
   def crawl(site: SyntheticWeb.Site, config: CrawlConfig): Result = {
     val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl).get
@@ -49,22 +51,44 @@ object SequentialOracle {
       "", 0, 0L, 0))
     var nextSeq = 1L
     var wave = 0
+    // stop-condition state (wave-synchronous contract shared with the engine)
+    var pagesCrawled = 0L
+    var errorCount = 0L
+    var crawledByHost = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var excludedPrefixes = Vector.empty[String]
+    var stopReason = "frontier_empty"
+    // rolling last-10 fetched-HTML-pages uniqueness window (W1/A6)
+    val lastDocsPct = mutable.ArrayBuffer.empty[(String, Double)] // (url, pct)
 
-    while (frontier.nonEmpty && wave < config.maxWaves) {
-      // politeness: per-host cap, fetch in seq order, rest carries over
+    var stopped = false
+    while (!stopped && frontier.nonEmpty && wave < config.maxWaves) {
+      // politeness: per-host cap, fetch in seq order, rest carries over;
+      // per-domain budget drops (not carries) entries beyond the cap (O3)
       val byHost = frontier.groupBy(_.host)
-      val due = mutable.ArrayBuffer.empty[FrontierEntry]
+      val due0 = mutable.ArrayBuffer.empty[FrontierEntry]
       val carry = mutable.ArrayBuffer.empty[FrontierEntry]
       byHost.foreach { case (host, entries) =>
-        val cap = config.maxPagesPerHostPerWave(robotsOf(host).crawlDelaySec(config.userAgent))
-        val sorted = entries.sortBy(_.seq)
-        due ++= sorted.take(cap)
-        carry ++= sorted.drop(cap).map(e => e.copy(wave = wave + 1))
+        var cap = config.maxPagesPerHostPerWave(robotsOf(host).crawlDelaySec(config.userAgent)).toLong
+        val domainAllowance =
+          if (config.maxPagesPerDomain > 0) math.max(0L, config.maxPagesPerDomain - crawledByHost(host))
+          else Long.MaxValue
+        val sorted = entries.sortBy(_.seq).take(
+          if (domainAllowance == Long.MaxValue) Int.MaxValue else domainAllowance.toInt)
+        due0 ++= sorted.take(math.min(cap, Int.MaxValue).toInt)
+        carry ++= sorted.drop(math.min(cap, Int.MaxValue).toInt).map(e => e.copy(wave = wave + 1))
       }
+      // global page budget truncates in seq order (wave-level MaxPagesToCrawl)
+      val due1 = due0.sortBy(_.seq)
+      val due = if (config.maxPagesToCrawl > 0) {
+        val budget = math.max(0L, config.maxPagesToCrawl - pagesCrawled)
+        due1.take(budget.toInt)
+      } else due1
       val newFrontier = mutable.ArrayBuffer.empty[FrontierEntry]
 
-      due.sortBy(_.seq).foreach { entry =>
+      due.foreach { entry =>
         order += entry
+        pagesCrawled += 1
+        crawledByHost(entry.host) += 1
 
         def scheduleCandidates(hrefs: Vector[String], baseUrl: String): Unit = {
           val inPage = mutable.Set.empty[String]
@@ -78,6 +102,7 @@ object SequentialOracle {
                   val pass = entry.depth + 1 <= config.maxDepth &&
                     ScopeFilter.shouldCrawl(config.scope, canon, rootCanon) &&
                     robotsOf(cHost).allowed(UrlCanonicalizer.pathAndQuery(canon), config.userAgent) &&
+                    !excludedPrefixes.exists(canon.startsWith) &&
                     scheduled < config.maxLinksPerPage
                   seen += h
                   if (pass) {
@@ -95,10 +120,12 @@ object SequentialOracle {
         site.pages.get(entry.url) match {
           case None =>
             errors += s"404 ${entry.url}"
+            errorCount += 1
           case Some(page) if page.status >= 300 && page.status < 400 && page.redirect_to != null =>
             scheduleCandidates(Vector(page.redirect_to), entry.url)
           case Some(page) if page.status != 200 =>
             errors += s"${page.status} ${entry.url}"
+            errorCount += 1
           case Some(page) if page.content_type != "text/html" =>
             () // PDF path is stubbed: counted, no doc, no links
           case Some(page) =>
@@ -119,6 +146,8 @@ object SequentialOracle {
               docs += DocumentRow(entry.url, extracted.spans, extracted.title,
                 DocAnalysis.docLanguage(items), totalWords, uniqueWords, wave, entry.seq)
             }
+            lastDocsPct += ((entry.url,
+              if (totalWords > 0) uniqueWords.toDouble / totalWords else 0.0))
             if (!extracted.noFollow) {
               val (rawHrefs, baseHref) = HtmlToSpans.rawLinks(dom)
               val baseUrl = baseHref match {
@@ -134,8 +163,36 @@ object SequentialOracle {
 
       frontier = (carry ++ newFrontier).sortBy(_.seq).toVector
       wave += 1
-    }
 
-    Result(order.result(), seen.toSet, docs.result(), errors.result(), uniqueBlocks.toMap)
+      // ---- wave-boundary stop cascade (WebsiteTextExtractor.cs:638-767) --
+      if (config.maxErrors > 0 && errorCount >= config.maxErrors) {
+        stopped = true; stopReason = "max_errors"
+      } else if (config.maxPagesToCrawl > 0 && pagesCrawled >= config.maxPagesToCrawl) {
+        stopped = true; stopReason = "max_pages"
+      } else if (config.minUniquePct > 0 && lastDocsPct.size >= 10) {
+        val last10 = lastDocsPct.takeRight(10)
+        val avgPct = last10.map(_._2).sum / 10.0 * 100.0
+        if (avgPct < config.minUniquePct) {
+          // auto-exclude: longest common URL prefix of the last 10 pages
+          // (WebsiteTextExtractor.cs:697-747); stop if no useful prefix
+          val urls = last10.map(_._1)
+          val lcp = urls.reduce { (a, b) =>
+            a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1).mkString }
+          val rootPrefix = rootCanon.take(rootCanon.indexOf('/', 8) + 1)
+          if (lcp.length > rootPrefix.length && !excludedPrefixes.contains(lcp)) {
+            excludedPrefixes :+= lcp
+            // retroactively filter the pending frontier (Scheduler.cs:123-139)
+            frontier = frontier.filterNot(e => lcp.nonEmpty && e.url.startsWith(lcp))
+            lastDocsPct.clear() // reference resets its window after excluding
+          } else {
+            stopped = true; stopReason = "min_unique_text"
+          }
+        }
+      }
+    }
+    if (!stopped && wave >= config.maxWaves && frontier.nonEmpty) stopReason = "max_waves"
+
+    Result(order.result(), seen.toSet, docs.result(), errors.result(), uniqueBlocks.toMap,
+      stopReason, excludedPrefixes)
   }
 }

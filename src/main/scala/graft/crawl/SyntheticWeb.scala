@@ -74,7 +74,9 @@ object SyntheticWeb {
 
     for (i <- 0 until spec.hosts) {
       val host = hostNameOf(spec, i)
-      val delay = rndInt(spec.seed, s"delay/$i", 3) // 0..2 s
+      // sharedDomain (bench) mode keeps delays at 0 so politeness caps stay
+      // real but non-binding; fixture mode exercises 0..2 s delays
+      val delay = if (spec.sharedDomain) 0 else rndInt(spec.seed, s"delay/$i", 3)
       robots += host -> s"""User-agent: *
                            |Disallow: /private/
                            |Disallow: /*.pdf$$

@@ -49,14 +49,27 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
     }
   }
 
+  /** String-valued manifest field (e.g. stop_reason). */
+  def statStr(name: String): Option[String] = {
+    if (!Files.exists(manifestPath)) None
+    else {
+      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
   /** Stage one table's rows for wave index `wave` (NOT yet visible). */
   def stage[T](name: String, wave: Int, ds: Dataset[T]): Unit =
     ds.write.mode(SaveMode.Overwrite).parquet(waveDir(name, wave))
 
-  /** Atomically commit `wave`, with lineage stats. */
-  def commitWave(wave: Int, stats: Map[String, Long] = Map.empty): Unit = {
+  /** Atomically commit `wave`, with lineage stats and an optional terminal
+    * stop reason (a stopped crawl stays stopped across resumes).
+    */
+  def commitWave(wave: Int, stats: Map[String, Long] = Map.empty,
+      stopReason: Option[String] = None): Unit = {
     val statsJson = stats.map { case (k, v) => s""","$k":$v""" }.mkString
-    val json = s"""{"committed_wave":$wave$statsJson}"""
+    val stopJson = stopReason.map(r => s""","stop_reason":"$r"""").getOrElse("")
+    val json = s"""{"committed_wave":$wave$statsJson$stopJson}"""
     val tmp = Paths.get(s"$warehouse/manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
@@ -94,6 +107,9 @@ object TableIO {
     "wave int, partition_id int, pages bigint, errors bigint, words bigint, " +
     "fetch_ms double, extract_ms double"
   val HostsSchema = "host string, crawl_delay_ms bigint, robots_txt string, discovered_wave int"
+  val ExcludesSchema = "pattern string, wave int"
+  val Window10Schema = "url string, pct double, ord int"
+  val HostCountsSchema = "host string, pages bigint"
 
   def emptyDf(spark: SparkSession, schemaDdl: String): DataFrame =
     spark.createDataFrame(
