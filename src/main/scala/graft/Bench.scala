@@ -67,6 +67,12 @@ object Bench {
     */
   def crawlBench(spark: SparkSession, cpus: Int,
       hosts: Int = 24, pagesPerHost: Int = 1250): (Double, Long, Int) = {
+    val (sec, pages, waves, _) = crawlBenchIo(spark, cpus, hosts, pagesPerHost)
+    (sec, pages, waves)
+  }
+
+  def crawlBenchIo(spark: SparkSession, cpus: Int,
+      hosts: Int = 24, pagesPerHost: Int = 1250): (Double, Long, Int, TableIO) = {
     val site = SyntheticWeb.generate(SyntheticWeb.Spec(
       hosts = hosts, pagesPerHost = pagesPerHost, hotHostFactor = 3,
       fanout = 50, seed = 42L, treeLinks = true, sharedDomain = true))
@@ -88,6 +94,6 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     val pages = io.readAll("metrics", TableIO.MetricsSchema)
       .agg(sum(col("pages"))).head().getLong(0)
-    (sec, pages, waves)
+    (sec, pages, waves, io)
   }
 }

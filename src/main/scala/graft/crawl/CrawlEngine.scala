@@ -261,8 +261,12 @@ final class CrawlEngine(
 
     // ---- 3a. fetch: host-bucketed partitions (politeness is partition-
     //          local state; one host never spans two partitions) -----------
+    // repartition hashes the KEY itself — never pre-bucket with pmod, or the
+    // partitioner re-hashes the bucket ids and collides them (observed 32→20
+    // occupied partitions with 3x skew). hash(host) keeps one host in exactly
+    // one partition, which is the politeness requirement.
     val fetched = due.as[FrontierEntry]
-      .repartition(numPartitions, pmod(xxhash64($"host"), lit(numPartitions)))
+      .repartition(numPartitions, $"host")
       .sortWithinPartitions($"host", $"seq")
       .mapPartitions(entries => entries.map(e => CrawlEngine.fetchOne(fetcherL, e)))
 
@@ -270,7 +274,7 @@ final class CrawlEngine(
     //          FETCH PACING only; parsing is embarrassingly parallel -------
     val extractCost = config.simulatedExtractCostNanos
     val results = fetched
-      .repartition(numPartitions, pmod($"seq", lit(numPartitions)))
+      .repartition(numPartitions, $"seq")
       .mapPartitions { pages =>
         val pid = TaskContext.getPartitionId()
         pages.map(p => CrawlEngine.extractOne(p, pid, extractCost))

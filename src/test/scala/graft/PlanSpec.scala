@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the queries must produce the plans we'd want
+  * at 100 TB — column pruning and filter pushdown reaching the parquet
+  * scan, broadcast joins for dimension tables, whole-stage codegen on the
+  * hot paths. A query that "works" with the wrong plan is not done.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("column pruning: q_agg_pricing scans only the 5 needed lineitem columns") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("ReadSchema"), p)
+    val read = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("filter pushdown: q_anti_join pushes the price filter to the orders scan") {
+    val p = plan("q_anti_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]") ||
+           p.contains("GreaterThan(o_totalprice"), s"no pushed filter:\n$p")
+  }
+
+  test("broadcast joins where a side is small: q_join_agg and q_cosine_topk") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"), "part dim not broadcast")
+    assert(plan("q_cosine_topk").contains("Broadcast"), "query side not broadcast")
+  }
+
+  test("semi/anti joins planned as joins, not subquery re-execution") {
+    assert(plan("q_anti_join").contains("LeftAnti"), plan("q_anti_join"))
+    assert(plan("q_semi_join").contains("LeftSemi"), plan("q_semi_join"))
+  }
+
+  test("whole-stage codegen on the scan+filter+project hot path of q_doc_stats") {
+    val p = plan("q_doc_stats")
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("partial aggregation (map-side combine) before the shuffle in q_agg_pricing") {
+    val p = plan("q_agg_pricing")
+    // HashAggregate appears twice: partial then final across the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+}
