@@ -81,8 +81,10 @@ object Bench {
       waveBudgetMs = 600000L, // politeness caps stay real but non-binding
       maxWaves = 60,
       // ~25 ms CPU per page stands in for parsing realistically-sized pages
-      // (the synthetic fixtures are ~2 KB; real pages are ~100 KB)
-      simulatedExtractCostNanos = 25000000L)
+      // (the synthetic fixtures are ~2 KB; real pages are ~100 KB);
+      // override for profiling via GRAFT_EXTRACT_COST_NANOS
+      simulatedExtractCostNanos =
+        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(25000000L))
     // 1 ms simulated fetch cost (socket/TLS bookkeeping in the paced stage)
     val fetcher = SyntheticFetcher.broadcast(spark, site,
       simulatedCostNanos = 1000000L)
