@@ -80,14 +80,17 @@ object Bench {
       scope = graft.core.ScopeFilter.Domain,
       waveBudgetMs = 600000L, // politeness caps stay real but non-binding
       maxWaves = 60,
-      // ~25 ms CPU per page stands in for parsing realistically-sized pages
-      // (the synthetic fixtures are ~2 KB; real pages are ~100 KB);
+      // ~60 ms CPU per page stands in for parsing + analyzing realistically-
+      // sized pages (~100 KB of HTML through a browser-grade parser; the
+      // synthetic fixtures are ~2 KB so their real parse cost is ~1000x off);
       // override for profiling via GRAFT_EXTRACT_COST_NANOS
       simulatedExtractCostNanos =
-        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(25000000L))
-    // 1 ms simulated fetch cost (socket/TLS bookkeeping in the paced stage)
+        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(60000000L))
+    // 0.2 ms simulated fetch CPU (socket bookkeeping; network latency is
+    // WALL time handled by politeness pacing, not CPU, so it does not
+    // belong in the per-host-serial fetch partition)
     val fetcher = SyntheticFetcher.broadcast(spark, site,
-      simulatedCostNanos = 1000000L)
+      simulatedCostNanos = 200000L)
     val wh = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
     val io = new TableIO(wh, spark)
     val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)

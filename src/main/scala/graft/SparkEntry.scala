@@ -177,8 +177,10 @@ object SparkEntry {
     // hash-family dedup: engine-specific hashes → rows-only driver check;
     // correctness asserted against plain-Scala oracles in OpsSpec
     "q_minhash_lsh" -> ((s, dir) => {
+      // 3-gram shingles: distinctive enough that LSH banding does not
+      // degenerate on the small-vocabulary synthetic corpus
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+        n = 3, k = 16, rowsPerBand = 2, threshold = 0.2)
     }),
 
     "q_simhash_pairs" -> ((s, dir) => {
@@ -200,8 +202,10 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => { // rows-only: plane coefs are Scala-side
+      // 8 planes x 8 tables: 256-bucket tables keep the candidate pair set
+      // tiny; recall at moderate similarity is the documented trade-off
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 32, numPlanes = 4, threshold = 0.25,
+        "vec_id", "embedding", dim = 32, numPlanes = 8, threshold = 0.25,
         numTables = 8)
     }),
 
