@@ -118,6 +118,29 @@ final class CrawlEngine(
   private var crawledByHost = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
   var stopReason: Option[String] = None
 
+  /** Bloom negative-cache over seen url_hashes: candidates that definitely
+    * were never seen skip the exact anti-join entirely; "maybe seen" ones
+    * still go through it (false positives are safe, false negatives cannot
+    * happen because every add passes through `bloomAdd`). At 10^10-URL
+    * scale this becomes one filter per hash-bucket partition; locally a
+    * single broadcast filter is the same contract.
+    */
+  private var seenBloom: graft.core.BloomFilter64 = _
+
+  private def bloomEnabled: Boolean = config.bloomCapacity > 0
+
+  private def buildBloom(hashes: org.apache.spark.sql.Dataset[java.lang.Long]): graft.core.BloomFilter64 = {
+    val cap = config.bloomCapacity
+    val fpr = config.bloomFpr
+    val parts = hashes.mapPartitions { it =>
+      val bf = graft.core.BloomFilter64.forCapacity(cap, fpr)
+      it.foreach(h => bf.add(h))
+      Iterator(bf)
+    }(org.apache.spark.sql.Encoders.kryo[graft.core.BloomFilter64]).collect()
+    val base = graft.core.BloomFilter64.forCapacity(cap, fpr)
+    parts.foldLeft(base)((acc, b) => acc.merge(b))
+  }
+
   private def loadState(): Unit = {
     if (stateLoaded) return
     stateLoaded = true
@@ -134,6 +157,10 @@ final class CrawlEngine(
     if (config.maxPagesPerDomain > 0 && cw >= 0) {
       io.readWave("host_counts", cw, TableIO.HostCountsSchema)
         .collect().foreach(r => crawledByHost(r.getString(0)) = r.getLong(1))
+    }
+    if (bloomEnabled) {
+      seenBloom = buildBloom(io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+        .select($"url_hash").as[java.lang.Long])
     }
   }
 
@@ -339,9 +366,20 @@ final class CrawlEngine(
     val waveDistinct = rawCand.withColumn("crn", row_number().over(candWin))
       .filter($"crn" === 1).drop("crn")
 
-    // cross-wave: never-seen candidates only (D1 anti-join on hashed urls)
+    // cross-wave: never-seen candidates only (D1 anti-join on hashed urls),
+    // with the Bloom negative-cache peeling off definitely-new candidates so
+    // only "maybe seen" rows pay the join (SURVEY.md §7 step 7)
     val seenTable = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
-    val notSeen = waveDistinct.join(seenTable, Seq("url_hash"), "left_anti").persist()
+    val notSeen = (if (bloomEnabled) {
+      val bloomBc = spark.sparkContext.broadcast(seenBloom)
+      val maybeSeen = udf((h: Long) => bloomBc.value.mightContain(h))
+      val definitelyNew = waveDistinct.filter(!maybeSeen($"url_hash"))
+      val needJoin = waveDistinct.filter(maybeSeen($"url_hash"))
+        .join(seenTable, Seq("url_hash"), "left_anti")
+      definitelyNew.unionByName(needJoin)
+    } else {
+      waveDistinct.join(seenTable, Seq("url_hash"), "left_anti")
+    }).persist()
 
     // every evaluated candidate becomes known — pass or fail (AddKnownUri)
     val seenAdds = notSeen.select($"url_hash")
@@ -463,6 +501,12 @@ final class CrawlEngine(
       "errors_total" -> errorsTotal,
       "max_seq" -> (prevMaxSeq + newAssigned),
       "next_frontier" -> nextCount), stopReason)
+
+    // fold this wave's additions into the Bloom cache (driver-side here;
+    // partition-local at cluster scale)
+    if (bloomEnabled) {
+      seenBloom = seenBloom.merge(buildBloom(notSeen.select($"url_hash").as[java.lang.Long]))
+    }
 
     results.unpersist()
     fetchedP.unpersist()

@@ -108,6 +108,11 @@ final case class CrawlConfig(
     maxRobotsDelaySec: Int = 5, // robots crawl-delay clamp (PoliteWebCrawler.cs:103-115)
     waveBudgetMs: Long = 60000L, // politeness budget per host per wave
     maxWaves: Int = 100,
+    // Bloom negative-cache in front of the exact seen anti-join (the exact
+    // set stays authoritative; reference sizing 2,000,001 @ 0.1% FPR,
+    // Abot/Core/BloomFilterCrawledUrlRepository.cs:19). 0 disables.
+    bloomCapacity: Long = 2000001L,
+    bloomFpr: Double = 0.001,
     // bench-only knob: fixed busy-work per extracted page, standing in for
     // the parse cost of realistically-sized pages (synthetic fixtures are
     // tiny); 0 in all correctness paths
