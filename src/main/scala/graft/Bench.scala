@@ -85,7 +85,7 @@ object Bench {
       // synthetic fixtures are ~2 KB so their real parse cost is ~1000x off);
       // override for profiling via GRAFT_EXTRACT_COST_NANOS
       simulatedExtractCostNanos =
-        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(60000000L))
+        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(90000000L))
     // 0.2 ms simulated fetch CPU (socket bookkeeping; network latency is
     // WALL time handled by politeness pacing, not CPU, so it does not
     // belong in the per-host-serial fetch partition)

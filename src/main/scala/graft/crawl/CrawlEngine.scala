@@ -467,7 +467,7 @@ final class CrawlEngine(
     timed(wave, "stage:seen")(io.stage("seen", wave + 1, seenAdds))
     if (newHostStates.nonEmpty)
       timed(wave, "stage:hosts")(io.stage("hosts", wave, newHostStates.toDS()))
-    timed(wave, "stage:metrics")(io.stage("metrics", wave, metrics))
+    timed(wave, "stage:metrics")(io.stage("metrics", wave, metrics.coalesce(1)))
     if (config.minUniquePct > 0) {
       io.stage("excludes", wave,
         excludedPrefixes.zipWithIndex.map { case (p, _) => (p, wave) }

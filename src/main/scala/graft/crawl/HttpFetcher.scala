@@ -1,0 +1,132 @@
+package graft.crawl
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.time.Duration
+import java.util.zip.GZIPInputStream
+
+/** Production HTTP fetcher — the S1/S2 surface of the reference
+  * (`Abot/Core/PageRequester.cs:69-199`, `Abot/Core/WebContentExtractor.cs:
+  * 22-111`) on java.net.http:
+  *
+  *  - GET with configurable User-Agent, gzip accepted, 15 s timeout,
+  *    at most 7 manually-followed redirects (the chain is observed, not
+  *    hidden inside the client — the engine treats targets as candidates);
+  *  - charset resolution: Content-Type header param, else `<meta charset>`
+  *    / http-equiv sniff in the first bytes, else UTF-8 (C5);
+  *  - per-host politeness pacing INSIDE the fetch partition: consecutive
+  *    fetches of one host wait out the host's crawl delay (wall-clock —
+  *    this is the DomainRateLimiter analog, `Abot/Util/RateLimiter.cs`);
+  *    correctness tests never use this class (no network in CI) — the pure
+  *    helpers below are unit-tested instead.
+  */
+final class HttpFetcher(
+    userAgent: String = "graftbot",
+    timeoutSec: Int = 15,
+    maxBodyBytes: Int = 10 * 1024 * 1024,
+    delayMsByHost: Map[String, Long] = Map.empty,
+    defaultDelayMs: Long = 100L) extends Fetcher {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NEVER)
+    .connectTimeout(Duration.ofSeconds(timeoutSec.toLong))
+    .build()
+
+  @transient private lazy val lastFetchByHost =
+    scala.collection.mutable.Map.empty[String, Long]
+
+  private def pace(host: String): Unit = {
+    val delay = delayMsByHost.getOrElse(host, defaultDelayMs)
+    val now = System.currentTimeMillis()
+    lastFetchByHost.get(host).foreach { last =>
+      val wait = last + delay - now
+      if (wait > 0) Thread.sleep(wait)
+    }
+    lastFetchByHost(host) = System.currentTimeMillis()
+  }
+
+  override def fetch(url: String): FetchResponse = {
+    try {
+      val host = Option(new URI(url).getHost).getOrElse("")
+      pace(host)
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(timeoutSec.toLong))
+        .header("User-Agent", userAgent)
+        .header("Accept-Encoding", "gzip")
+        .GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      val status = resp.statusCode()
+      val contentType = resp.headers().firstValue("Content-Type").orElse("")
+      val mime = HttpFetcher.mimeOf(contentType)
+      if (status >= 300 && status < 400) {
+        val loc = resp.headers().firstValue("Location").orElse(null)
+        FetchResponse(status, mime, loc, "")
+      } else if (status == 200 && HttpFetcher.isTextual(mime)) {
+        var bytes = resp.body()
+        if (bytes.length > maxBodyBytes) bytes = bytes.take(maxBodyBytes)
+        if (resp.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+          bytes = HttpFetcher.gunzip(bytes)
+        val charset = HttpFetcher.resolveCharset(contentType, bytes)
+        FetchResponse(status, mime, null, new String(bytes, charset))
+      } else {
+        FetchResponse(status, mime, null, "")
+      }
+    } catch {
+      case _: Exception => FetchResponse(-1, "", null, "")
+    }
+  }
+
+  override def fetchRobots(host: String): String = {
+    val r = fetch(s"https://$host/robots.txt")
+    if (r.status == 200) r.body
+    else {
+      val r2 = fetch(s"http://$host/robots.txt")
+      if (r2.status == 200) r2.body else ""
+    }
+  }
+}
+
+object HttpFetcher {
+
+  /** mime type without parameters, lowercased. */
+  def mimeOf(contentType: String): String =
+    contentType.split(';')(0).trim.toLowerCase
+
+  /** The reference's processed content types (`CrawlDecisionMaker.cs:99-144`,
+    * config at `WebsiteTextExtractor.cs:121`).
+    */
+  def isTextual(mime: String): Boolean =
+    mime == "text/html" || mime == "text/plain" || mime == ""
+
+  private val HeaderCharset = """(?i)charset\s*=\s*"?([\w_\-:.]+)"?""".r
+  private val MetaCharset =
+    """(?i)<meta[^>]+charset\s*=\s*["']?([\w_\-:.]+)""".r
+
+  /** Charset resolution order of `WebContentExtractor.GetContent`
+    * (`WebContentExtractor.cs:22-111`): header param, then meta tag sniffed
+    * from the body prefix, then UTF-8.
+    */
+  def resolveCharset(contentTypeHeader: String, bodyPrefix: Array[Byte]): Charset = {
+    def lookup(name: String): Option[Charset] =
+      try Some(Charset.forName(name)) catch { case _: Exception => None }
+    HeaderCharset.findFirstMatchIn(Option(contentTypeHeader).getOrElse(""))
+      .flatMap(m => lookup(m.group(1)))
+      .orElse {
+        val prefix = new String(bodyPrefix.take(4096), StandardCharsets.ISO_8859_1)
+        MetaCharset.findFirstMatchIn(prefix).flatMap(m => lookup(m.group(1)))
+      }
+      .getOrElse(StandardCharsets.UTF_8)
+  }
+
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } catch { case _: Exception => bytes }
+  }
+}
