@@ -82,10 +82,10 @@ object Bench {
       maxWaves = 60,
       // ~60 ms CPU per page stands in for parsing + analyzing realistically-
       // sized pages (~100 KB of HTML through a browser-grade parser; the
-      // synthetic fixtures are ~2 KB so their real parse cost is ~1000x off);
+      // synthetic fixtures are ~2 KB so their real parse cost is ~30x off);
       // override for profiling via GRAFT_EXTRACT_COST_NANOS
       simulatedExtractCostNanos =
-        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(90000000L))
+        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(60000000L))
     // 0.2 ms simulated fetch CPU (socket bookkeeping; network latency is
     // WALL time handled by politeness pacing, not CPU, so it does not
     // belong in the per-host-serial fetch partition)
