@@ -75,7 +75,7 @@ object Bench {
       hosts: Int = 24, pagesPerHost: Int = 1250): (Double, Long, Int, TableIO) = {
     val site = SyntheticWeb.generate(SyntheticWeb.Spec(
       hosts = hosts, pagesPerHost = pagesPerHost, hotHostFactor = 3,
-      fanout = 50, seed = 42L, treeLinks = true, sharedDomain = true))
+      fanout = 64, seed = 42L, treeLinks = true, sharedDomain = true))
     val config = CrawlConfig(rootUrl = site.rootUrl,
       scope = graft.core.ScopeFilter.Domain,
       waveBudgetMs = 600000L, // politeness caps stay real but non-binding

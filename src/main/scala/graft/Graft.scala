@@ -1,0 +1,85 @@
+package graft
+
+import graft.crawl._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Top-level library facade — the API surface a user of the reference tool
+  * programs against (`wordslab-webscraper [scope] [rootUrl]`, `continue`,
+  * `restart`, `dataset` — `wordslab.webscraper/Program.cs:74-139`),
+  * re-expressed as a Spark library.
+  *
+  * {{{
+  * import graft.Graft
+  * val result = Graft.crawl(spark, CrawlConfig("https://site/", scope),
+  *                          new HttpFetcher("mybot"), "/warehouse/site")
+  * val docs   = Graft.documents(spark, "/warehouse/site")   // north-rule table
+  * Graft.exportDataset(docs, "/out/dataset", lang = Some("en"))
+  * }}}
+  */
+object Graft {
+
+  final case class CrawlResult(
+      wavesProcessed: Int,
+      pagesCrawled: Long,
+      errors: Long,
+      stopReason: Option[String],
+      warehouse: String)
+
+  /** Start or RESUME a crawl (the `continue` semantics: a warehouse with a
+    * committed manifest picks up exactly where it stopped).
+    */
+  def crawl(spark: SparkSession, config: CrawlConfig, fetcher: Fetcher,
+      warehouse: String, numPartitions: Int = 0): CrawlResult = {
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val io = new TableIO(warehouse, spark)
+    val engine = new CrawlEngine(spark, io, config, fetcher, parts)
+    val waves = engine.run()
+    CrawlResult(waves,
+      io.stat("pages_total").getOrElse(0L),
+      io.stat("errors_total").getOrElse(0L),
+      engine.stopReason, warehouse)
+  }
+
+  /** `restart` semantics: wipe the warehouse, then crawl fresh. */
+  def restart(spark: SparkSession, config: CrawlConfig, fetcher: Fetcher,
+      warehouse: String, numPartitions: Int = 0): CrawlResult = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = new java.io.File(warehouse)
+    if (dir.exists()) rm(dir)
+    crawl(spark, config, fetcher, warehouse, numPartitions)
+  }
+
+  /** The north-rule documents table: (doc_id, spans, title, lang,
+    * total_words, unique_words, wave, seq).
+    */
+  def documents(spark: SparkSession, warehouse: String): DataFrame =
+    new TableIO(warehouse, spark).readAll("documents", TableIO.DocumentsSchema)
+
+  def documentsTyped(spark: SparkSession, warehouse: String): Dataset[DocumentRow] = {
+    import spark.implicits._
+    documents(spark, warehouse).as[DocumentRow]
+  }
+
+  /** Crawl-state tables for inspection/lineage. */
+  def metrics(spark: SparkSession, warehouse: String): DataFrame =
+    new TableIO(warehouse, spark).readAll("metrics", TableIO.MetricsSchema)
+  def seenHashes(spark: SparkSession, warehouse: String): DataFrame =
+    new TableIO(warehouse, spark).readAll("seen", TableIO.SeenSchema, lookahead = 1)
+  def hostStates(spark: SparkSession, warehouse: String): DataFrame =
+    new TableIO(warehouse, spark).readAll("hosts", TableIO.HostsSchema)
+
+  /** The `dataset` entry point (§3.3): filter + gate + split + export. */
+  def exportDataset(docs: DataFrame, outDir: String,
+      lang: Option[String] = None, minDocsPerSite: Long = 50L): Unit =
+    graft.ops.DatasetExport.write(docs, "doc_id", outDir, lang, minDocsPerSite)
+
+  /** Render one document's spans (reference output formats, S5). */
+  def toMarkdown(doc: DocumentRow): String =
+    graft.extract.SpanRenderers.toMarkdown(doc.title, doc.spans)
+  def toCsvDataframe(doc: DocumentRow): String =
+    graft.extract.SpanRenderers.toCsv(doc.doc_id, doc.title, doc.spans)
+}

@@ -132,7 +132,9 @@ final class CrawlEngine(
   private def buildBloom(hashes: org.apache.spark.sql.Dataset[java.lang.Long]): graft.core.BloomFilter64 = {
     val cap = config.bloomCapacity
     val fpr = config.bloomFpr
-    val parts = hashes.mapPartitions { it =>
+    // few coalesced partitions: each partial filter is megabytes (cap-sized
+    // bit arrays), so bound the number shipped to the driver
+    val parts = hashes.coalesce(4).mapPartitions { it =>
       val bf = graft.core.BloomFilter64.forCapacity(cap, fpr)
       it.foreach(h => bf.add(h))
       Iterator(bf)
@@ -502,10 +504,11 @@ final class CrawlEngine(
       "max_seq" -> (prevMaxSeq + newAssigned),
       "next_frontier" -> nextCount), stopReason)
 
-    // fold this wave's additions into the Bloom cache (driver-side here;
-    // partition-local at cluster scale)
+    // fold this wave's additions into the Bloom cache on the driver (cheap:
+    // notSeen is already persisted; partition-local filters at cluster scale)
     if (bloomEnabled) {
-      seenBloom = seenBloom.merge(buildBloom(notSeen.select($"url_hash").as[java.lang.Long]))
+      notSeen.select($"url_hash").as[java.lang.Long].collect()
+        .foreach(h => seenBloom.add(h))
     }
 
     results.unpersist()

@@ -1,0 +1,55 @@
+package graft
+
+import graft.core.ScopeFilter
+import graft.crawl._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class GraftFacadeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-facade-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("crawl → documents → export → render, end to end through the facade") {
+    val site = SyntheticWeb.generate(
+      SyntheticWeb.Spec(hosts = 1, pagesPerHost = 8, hotHostFactor = 1))
+    val wh = Files.createTempDirectory("graft-facade").toString
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain)
+    val fetcher = new SyntheticFetcher(site.pages, site.robots)
+
+    val r = Graft.crawl(spark, config, fetcher, wh, numPartitions = 4)
+    assert(r.pagesCrawled > 0 && r.wavesProcessed > 0)
+    assert(r.stopReason.isEmpty)
+
+    val docs = Graft.documentsTyped(spark, wh).collect()
+    assert(docs.nonEmpty)
+    val md = Graft.toMarkdown(docs.head)
+    assert(md.nonEmpty && md.contains("#"))
+    val csv = Graft.toCsvDataframe(docs.head)
+    assert(csv.startsWith("DocEltType;"))
+
+    // resume is a no-op on a finished crawl
+    val r2 = Graft.crawl(spark, config, fetcher, wh, numPartitions = 4)
+    assert(r2.wavesProcessed == 0 && r2.pagesCrawled == r.pagesCrawled)
+
+    // restart wipes and re-crawls to the same result
+    val r3 = Graft.restart(spark, config, fetcher, wh, numPartitions = 4)
+    assert(r3.pagesCrawled == r.pagesCrawled)
+
+    // export (gate below corpus size so something passes)
+    val out = Files.createTempDirectory("graft-facade-out").toString
+    Graft.exportDataset(Graft.documents(spark, wh), out, minDocsPerSite = 1)
+    assert(spark.read.parquet(out).count() == docs.length)
+
+    // lineage surfaces
+    assert(Graft.metrics(spark, wh).count() > 0)
+    assert(Graft.seenHashes(spark, wh).count() >= r.pagesCrawled)
+    assert(Graft.hostStates(spark, wh).count() == 1)
+  }
+}
