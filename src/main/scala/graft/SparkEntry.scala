@@ -227,6 +227,18 @@ object SparkEntry {
           col("height"), round(element_at(col("feature"), 2), 4).as("mean_byte"))
     }),
 
+    // ---- dataset export (§3.3): gate + split, oracle-checked -------------
+    "q_export_stats" -> ((s, dir) => {
+      graft.ops.DatasetExport.prepare(
+          t(s, dir, "documents")
+            .withColumn("doc_url", concat(lit("https://"), col("source"),
+              lit(".example.com/d"), col("doc_id"))),
+          "doc_url", langFilter = Some("en"), minDocs = 10)
+        .groupBy(col("website"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("website"), col("split"))
+    }),
+
     // ---- crawl-native (north rule; engine-specific → rows-only) ---------
     "q_crawl_documents" -> ((s, dir) => {
       val d = entry(s)
@@ -395,6 +407,36 @@ object SparkEntry {
         |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3""".stripMargin,
+
+    "q_export_stats" ->
+      """WITH prepared AS (
+        |  SELECT 'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR) AS doc_url,
+        |         source || '.example.com' AS website, lang
+        |  FROM documents WHERE lang = 'en'),
+        |gated AS (
+        |  SELECT website FROM prepared GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT p.website, CASE
+        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 <= 7 THEN 'train'
+        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 = 8 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM prepared p JOIN gated g ON p.website = g.website
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_export_stats" ->
+      """WITH prepared AS (
+        |  SELECT 'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR) AS doc_url,
+        |         source || '.example.com' AS website, lang
+        |  FROM documents WHERE lang = 'en'),
+        |gated AS (
+        |  SELECT website FROM prepared GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT p.website, CASE
+        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 <= 7 THEN 'train'
+        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 = 8 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM prepared p JOIN gated g ON p.website = g.website
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -172,7 +172,20 @@ class ExtractSpec extends AnyFunSuite {
   }
 
   test("synthetic web: extractor reproduces generator ground truth exactly") {
-    val site = SyntheticWeb.generate(SyntheticWeb.Spec(hosts = 3, pagesPerHost = 8, hotHostFactor = 2))
+    checkSite(SyntheticWeb.generate(SyntheticWeb.Spec(hosts = 3, pagesPerHost = 8, hotHostFactor = 2)))
+  }
+
+  test("generator ground truth holds across seeds and modes (fuzz)") {
+    for (seed <- Seq(7L, 99L, 1234L)) {
+      checkSite(SyntheticWeb.generate(SyntheticWeb.Spec(
+        hosts = 2, pagesPerHost = 6, hotHostFactor = 2, fanout = 4, seed = seed)))
+      checkSite(SyntheticWeb.generate(SyntheticWeb.Spec(
+        hosts = 2, pagesPerHost = 6, hotHostFactor = 1, fanout = 8, seed = seed,
+        treeLinks = true, sharedDomain = true)))
+    }
+  }
+
+  private def checkSite(site: SyntheticWeb.Site): Unit = {
     var checked = 0
     site.expected.foreach { case (url, exp) =>
       val page = site.pages(url)
@@ -185,6 +198,6 @@ class ExtractSpec extends AnyFunSuite {
       assert(SpanTree.validate(d.spans).isEmpty, s"invalid spans for $url")
       checked += 1
     }
-    assert(checked > 20)
+    assert(checked > 10)
   }
 }
