@@ -80,6 +80,7 @@ object Bench {
       scope = graft.core.ScopeFilter.Domain,
       waveBudgetMs = 600000L, // politeness caps stay real but non-binding
       maxWaves = 60,
+      logFetches = false, // request-log I/O excluded from the measured loop
       // ~60 ms CPU per page stands in for parsing + analyzing realistically-
       // sized pages (~100 KB of HTML through a browser-grade parser; the
       // synthetic fixtures are ~2 KB so their real parse cost is ~30x off);

@@ -71,6 +71,8 @@ object Graft {
     new TableIO(warehouse, spark).readAll("seen", TableIO.SeenSchema, lookahead = 1)
   def hostStates(spark: SparkSession, warehouse: String): DataFrame =
     new TableIO(warehouse, spark).readAll("hosts", TableIO.HostsSchema)
+  def fetchLog(spark: SparkSession, warehouse: String): DataFrame =
+    new TableIO(warehouse, spark).readAll("fetch_log", TableIO.FetchLogSchema)
 
   /** The `dataset` entry point (§3.3): filter + gate + split + export. */
   def exportDataset(docs: DataFrame, outDir: String,

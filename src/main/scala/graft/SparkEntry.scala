@@ -227,6 +227,12 @@ object SparkEntry {
           col("height"), round(element_at(col("feature"), 2), 4).as("mean_byte"))
     }),
 
+    "q_winnow_pairs" -> ((s, dir) => { // rows-only: rolling-hash fingerprints
+      graft.ops.Winnowing.fingerprintPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, w = 16, threshold = 0.05)
+    }),
+
     // ---- dataset export (§3.3): gate + split, oracle-checked -------------
     "q_export_stats" -> ((s, dir) => {
       graft.ops.DatasetExport.prepare(

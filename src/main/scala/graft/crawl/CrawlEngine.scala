@@ -470,6 +470,17 @@ final class CrawlEngine(
     if (newHostStates.nonEmpty)
       timed(wave, "stage:hosts")(io.stage("hosts", wave, newHostStates.toDS()))
     timed(wave, "stage:metrics")(io.stage("metrics", wave, metrics.coalesce(1)))
+    if (config.logFetches) {
+      // request log (S9): one row per fetch, mirroring the reference's
+      // per-request CSV columns that exist in our model
+      val fetchLog = results.toDF().select(
+        $"wave", $"seq", $"url", $"host", $"depth", $"status",
+        $"content_type", $"no_follow", $"is_error",
+        size($"out_links").as("n_links"), size($"spans").as("n_spans"),
+        $"total_words", round($"fetch_ms", 3).as("fetch_ms"),
+        round($"extract_ms", 3).as("extract_ms"))
+      timed(wave, "stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
+    }
     if (config.minUniquePct > 0) {
       io.stage("excludes", wave,
         excludedPrefixes.zipWithIndex.map { case (p, _) => (p, wave) }

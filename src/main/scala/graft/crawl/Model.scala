@@ -113,6 +113,9 @@ final case class CrawlConfig(
     // Abot/Core/BloomFilterCrawledUrlRepository.cs:19). 0 disables.
     bloomCapacity: Long = 2000001L,
     bloomFpr: Double = 0.001,
+    // request-log table (S9 analog of the reference's 13-column request log,
+    // WebsiteTextExtractor.cs:415-474); off in benchmarks
+    logFetches: Boolean = true,
     // bench-only knob: fixed busy-work per extracted page, standing in for
     // the parse cost of realistically-sized pages (synthetic fixtures are
     // tiny); 0 in all correctness paths

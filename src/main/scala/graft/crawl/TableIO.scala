@@ -110,6 +110,10 @@ object TableIO {
   val ExcludesSchema = "pattern string, wave int"
   val Window10Schema = "url string, pct double, ord int"
   val HostCountsSchema = "host string, pages bigint"
+  val FetchLogSchema =
+    "wave int, seq bigint, url string, host string, depth int, status int, " +
+    "content_type string, no_follow boolean, is_error boolean, n_links int, " +
+    "n_spans int, total_words bigint, fetch_ms double, extract_ms double"
 
   def emptyDf(spark: SparkSession, schemaDdl: String): DataFrame =
     spark.createDataFrame(

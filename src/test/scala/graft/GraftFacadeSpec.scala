@@ -51,5 +51,9 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Graft.metrics(spark, wh).count() > 0)
     assert(Graft.seenHashes(spark, wh).count() >= r.pagesCrawled)
     assert(Graft.hostStates(spark, wh).count() == 1)
+    // request log (S9): one row per fetched page, 14 columns
+    val log = Graft.fetchLog(spark, wh)
+    assert(log.count() == r.pagesCrawled)
+    assert(log.columns.length == 14 && log.columns.contains("fetch_ms"))
   }
 }

@@ -150,6 +150,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("structured streaming: exact-dedup stream equals batch distinct") {
+    // streaming ingestion of a documents corpus with online exact dedup —
+    // the D3 first-wins shape as a stream (state = seen fingerprints)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val q = src.dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("docs_dedup").count()
+    val batch = spark.read.parquet(tmp)
+      .select(TextOps.fingerprint(col("text"))).distinct().count()
+    assert(streamed == batch)
+  }
+
   test("structured streaming: windowed counts equal the batch aggregation") {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
