@@ -13,18 +13,18 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** Headline subset: the heavier relational/window/dedup/similarity ops.
-    * (q_jaccard_pairs is excluded: its shingle-blocking self-join is
-    * quadratic on the tiny-vocabulary synthetic corpus at sf0.1 — bounded
-    * variants are exercised by Verify at sf0.01.)
+    * q_jaccard_pairs is back in the list (round 2): its blocking join is
+    * frequency-capped (maxDocFreq), which bounds the hot-shingle quadratic
+    * blow-up that forced its round-1 exclusion.
     */
   private val headline = Seq(
     "q_agg_pricing", "q_orders_by_priority", "q_rolling_window",
     "q_first_wins", "q_anti_join", "q_semi_join", "q_join_agg",
     "q_topk_per_group", "q_global_topk", "q_hourly_events",
     "q_lang_histogram", "q_split_assign", "q_doc_stats", "q_quality",
-    "q_lang_guess", "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs",
-    "q_cosine_topk", "q_embedding_neardup", "q_ann_lsh", "q_media_meta",
-    "q_media_features")
+    "q_lang_guess", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_lsh",
+    "q_simhash_pairs", "q_cosine_topk", "q_embedding_neardup", "q_ann_lsh",
+    "q_media_meta", "q_media_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

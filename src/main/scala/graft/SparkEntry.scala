@@ -48,11 +48,13 @@ object SparkEntry {
     }),
 
     "q_orders_by_priority" -> ((s, dir) => {
+      // round AFTER the double sum (not decimal casts per value): Spark and
+      // DuckDB round double→decimal differently at ulp boundaries, which
+      // diverges over a 30k-row sum — rounding the final sum is stable
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(18,4)").as("total_price"))
+          round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -170,8 +172,11 @@ object SparkEntry {
     }),
 
     "q_jaccard_pairs" -> ((s, dir) => {
+      // maxDocFreq = 64 frequency-caps the blocking join (hot shingles are
+      // quadratic); jaccard is over the capped sets on both sides — the
+      // oracle applies the identical cap
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 2, threshold = 0.2)
+        n = 2, threshold = 0.2, maxDocFreq = 64)
     }),
 
     // hash-family dedup: engine-specific hashes → rows-only driver check;
@@ -184,8 +189,11 @@ object SparkEntry {
     }),
 
     "q_simhash_pairs" -> ((s, dir) => {
+      // maxHamming = 7 is the contractual radius: 8-block blocking
+      // GUARANTEES recall up to Hamming 7 (pigeonhole); larger radii are
+      // probabilistic (Dedup.simHashCandidatePairs doc)
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 7)
     }),
 
     // ---- similarity search ----------------------------------------------
@@ -202,11 +210,11 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => { // rows-only: plane coefs are Scala-side
-      // 8 planes x 8 tables: 256-bucket tables keep the candidate pair set
-      // tiny; recall at moderate similarity is the documented trade-off
+      // dim derived from the data (all 64 dims hashed), plane count scaled
+      // to the corpus size (planesFor: ~8 at sf0.1, ~25 at 10^9 vectors);
+      // recall at moderate similarity is the documented LSH trade-off
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 32, numPlanes = 8, threshold = 0.25,
-        numTables = 8)
+        "vec_id", "embedding", threshold = 0.25, numTables = 8)
     }),
 
     // ---- multimodal plumbing --------------------------------------------
@@ -230,7 +238,7 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, dir) => { // rows-only: rolling-hash fingerprints
       graft.ops.Winnowing.fingerprintPairs(
         t(s, dir, "documents").filter(col("doc_id") < 300),
-        "doc_id", "text", k = 8, w = 16, threshold = 0.05)
+        "doc_id", "text", k = 8, w = 16, threshold = 0.05, maxDocFreq = 64)
     }),
 
     // ---- dataset export (§3.3): gate + split, oracle-checked -------------
@@ -263,7 +271,7 @@ object SparkEntry {
 
     "q_orders_by_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_price
+        |       round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rolling_window" ->
@@ -371,12 +379,15 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
 
     "q_jaccard_pairs" ->
-      """WITH sh AS (
+      """WITH sh_all AS (
         |  SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS sh FROM (
         |    SELECT doc_id, [array_to_string(words[i:i+1], ' ')
         |                    FOR i IN range(1, len(words) - 0)] AS sh_list
         |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
         |          FROM documents))),
+        |sh AS (
+        |  SELECT id, sh FROM sh_all WHERE sh IN (
+        |    SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= 64)),
         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -413,21 +424,6 @@ object SparkEntry {
         |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3""".stripMargin,
-
-    "q_export_stats" ->
-      """WITH prepared AS (
-        |  SELECT 'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR) AS doc_url,
-        |         source || '.example.com' AS website, lang
-        |  FROM documents WHERE lang = 'en'),
-        |gated AS (
-        |  SELECT website FROM prepared GROUP BY 1 HAVING count(*) >= 10)
-        |SELECT p.website, CASE
-        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 <= 7 THEN 'train'
-        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 = 8 THEN 'valid'
-        |    ELSE 'test' END AS split,
-        |  count(*) AS n_docs
-        |FROM prepared p JOIN gated g ON p.website = g.website
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_export_stats" ->
       """WITH prepared AS (

@@ -184,6 +184,15 @@ final class CrawlEngine(
       continue = hadWork && stopReason.isEmpty &&
         wave < config.maxWaves && processed < maxWavesThisRun
     }
+    // the maxWaves cap with work still pending is a terminal stop like any
+    // other (SequentialOracle.scala:193): record it so CrawlResult callers
+    // can tell it from natural completion, and persist it so resumes respect
+    // it. (maxWavesThisRun is a per-call slice, NOT a stop condition.)
+    if (stopReason.isEmpty && wave >= config.maxWaves &&
+        io.stat("next_frontier").exists(_ > 0)) {
+      stopReason = Some("max_waves")
+      io.setStopReason("max_waves")
+    }
     processed
   }
 
@@ -414,7 +423,7 @@ final class CrawlEngine(
     val metrics = results.groupBy($"wave", $"partition_id").agg(
       count(lit(1)).as("pages"),
       sum(when($"is_error", 1L).otherwise(0L)).as("errors"),
-      lit(0L).as("words"),
+      sum($"total_words").as("words"),
       sum($"fetch_ms").as("fetch_ms"),
       sum($"extract_ms").as("extract_ms"))
 
@@ -427,7 +436,9 @@ final class CrawlEngine(
     }
     var newExclude: Option[String] = None
     if (config.minUniquePct > 0) {
-      val waveRows = results.toDF()
+      // only the LAST 10 html rows of the wave can survive takeRight(10):
+      // top-10 by seq desc collects exactly 10 rows, never the whole wave
+      val waveTail = results.toDF()
         .filter($"status" === 200 && $"content_type" === "text/html")
         .select($"seq", $"url", $"total_words")
         .join(uniquePerDoc, $"seq" === $"u_seq", "left")
@@ -435,9 +446,9 @@ final class CrawlEngine(
           when($"total_words" > 0,
             coalesce($"unique_words", lit(0L)).cast("double") / $"total_words")
             .otherwise(lit(0.0)).as("pct"))
-        .orderBy($"seq").collect()
-        .map(r => (r.getString(1), r.getDouble(2))).toVector
-      window10 = (window10 ++ waveRows).takeRight(10)
+        .orderBy($"seq".desc).limit(10).collect()
+        .reverseIterator.map(r => (r.getString(1), r.getDouble(2))).toVector
+      window10 = (window10 ++ waveTail).takeRight(10)
     }
     if (config.maxErrors > 0 && errorsTotal >= config.maxErrors) {
       stopReason = Some("max_errors")

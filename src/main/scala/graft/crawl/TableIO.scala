@@ -76,6 +76,20 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Record a terminal stop reason against the CURRENT committed manifest
+    * (same atomic replace as commitWave) — used when a stop is decided at
+    * run()-exit rather than at a wave boundary (e.g. max_waves).
+    */
+  def setStopReason(reason: String): Unit = {
+    val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+    val stripped = txt.stripSuffix("}").replaceAll(""","stop_reason":"[^"]*"""", "")
+    val json = stripped + s""","stop_reason":"$reason"}"""
+    val tmp = Paths.get(s"$warehouse/manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Union of all visible wave partitions of a table. */
   def readAll(name: String, schemaDdl: String, lookahead: Int = 0): DataFrame = {
     val maxWave = committedWave + lookahead

@@ -27,13 +27,21 @@ object Dedup {
       .drop("dup_rank")
   }
 
-  /** Word n-gram shingles of a text column (distinct, as array). */
+  /** Word n-gram shingles of a text column (distinct, as array).
+    *
+    * Built by zipping the word array with its own shifted slices — all
+    * evaluated ONCE per row as zip_with arguments. (The naive form,
+    * referencing `slice(words, i, n)`/`size(words)` INSIDE a transform
+    * lambda, re-evaluates the outer split() per array element — O(W²)
+    * work per document; measured 25x slower at sf0.1.)
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")
-    array_distinct(filter(
-      transform(words, (_, i) =>
-        when(i + n <= size(words), concat_ws(" ", slice(words, i + 1, lit(n))))),
-      s => s.isNotNull))
+    val grams = (1 until n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), size(words)), (a, b) =>
+        when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+    }
+    array_distinct(filter(grams, s => s.isNotNull))
   }
 
   /** n-gram Jaccard near-dup pairs via shingle-equality blocking:
@@ -41,10 +49,28 @@ object Dedup {
     * intersection counts → Jaccard. Pure equi-joins on strings, fully
     * oracle-expressible. Returns pairs (id_a < id_b) with jaccard ≥
     * threshold.
+    *
+    * `maxDocFreq > 0` drops shingles whose document frequency exceeds the
+    * cap BEFORE the self-join — a hot boilerplate shingle shared by d docs
+    * contributes d² rows to the blocking join, so an uncapped join is
+    * quadratic on common phrases. The Jaccard is then computed over the
+    * capped shingle sets on BOTH numerator and denominator (a consistent
+    * "rare-shingle Jaccard": ubiquitous shingles carry no dedup signal —
+    * the standard prefix/frequency-filter trade in set-similarity joins).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+    // join/shuffle on the 64-bit shingle hash, not the string: same
+    // intersection counts (collisions are ~n²·|sh|/2^64), far cheaper keys
+    val shAll = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+    val sh = if (maxDocFreq > 0) {
+      // shingles are per-doc distinct, so count(*) per shingle IS doc freq
+      val rare = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select(col("sh"))
+      shAll.join(rare, "sh")
+    } else shAll
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -136,18 +162,25 @@ object Dedup {
     df.withColumn("simhash", sh(col(textCol)))
   }
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair within
-    * Hamming distance ≤ 4 of 64 bits shares at least one exact quarter far
-    * more often than chance), then exact Hamming distance filter.
+  /** SimHash candidate blocking + exact Hamming filter over a prepared
+    * (id, simhash) frame. Blocking splits the 64-bit hash into
+    * `min(8, maxHamming+1)` equal-width blocks and equi-joins on
+    * (block index, block value): by pigeonhole, a pair within Hamming
+    * distance `blocks - 1` has at least one clean block, so recall is
+    * GUARANTEED up to maxHamming = 7 (8 blocks of 8 bits). Above that the
+    * blocking is probabilistic (differing bits cluster in practice) — pin
+    * maxHamming ≤ 7 for the contractual form; at larger Hamming radii use
+    * Manku et al.'s permuted multi-table scheme (WWW 2007, public).
     */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val withSh = withSimHash(df, textCol).select(col(idCol).as("id"), col("simhash"))
-    val quarters = withSh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL)): _*)))
+  def simHashCandidatePairs(withSh: DataFrame, maxHamming: Int): DataFrame = {
+    val blocks = math.max(1, math.min(8, maxHamming + 1))
+    val width = 64 / blocks
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
+    val pieces = withSh.select(col("id"), col("simhash"),
+      posexplode(array((0 until blocks).map(q =>
+        shiftright(col("simhash"), q * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qval")
-    val cand = quarters.as("a").join(quarters.as("b"),
+    val cand = pieces.as("a").join(pieces.as("b"),
         col("a.q") === col("b.q") && col("a.qval") === col("b.qval") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -156,5 +189,14 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs over a text column (see simHashCandidatePairs
+    * for the blocking/recall contract).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val withSh = withSimHash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    simHashCandidatePairs(withSh, maxHamming)
   }
 }

@@ -86,8 +86,9 @@ object Multimodal {
       // per-partition decoder init would go here (codec contexts, buffers)
       rows.map { r =>
         val (w, h, feat) = decodeStub(r.blob)
-        MediaFeatures(r.media_id, r.kind, if (r.blob == null) 0 else r.blob.length,
-          w, h, graft.core.XxHash64.hash(r.blob, 0L), feat.toSeq)
+        val bytes = if (r.blob == null) Array.emptyByteArray else r.blob
+        MediaFeatures(r.media_id, r.kind, bytes.length,
+          w, h, graft.core.XxHash64.hash(bytes, 0L), feat.toSeq)
       }
     }
   }

@@ -55,15 +55,59 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** Sign-bit LSH bucket id for one table of `numPlanes` hyperplanes. */
-  def lshBucket(vec: Column, dim: Int, numPlanes: Int, table: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val planeDot = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(planeCoef(table * 64 + p, d)))
-        .reduce(_ + _)
-      when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
+  /** Plane count for a corpus of `n` vectors: enough sign bits that the
+    * expected bucket occupancy is ~`targetBucket`, so the within-bucket pair
+    * join stays linear-ish as the corpus grows (2^planes buckets per table).
+    * 10^9 vectors → ~25 planes; the 2k-vector test corpus → 8.
+    */
+  def planesFor(n: Long, targetBucket: Int = 8, min: Int = 4, max: Int = 30): Int = {
+    val want = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(max, math.max(min, want))
+  }
+
+  /** Per-row (id, tbl, bucket) LSH bucket rows via a broadcast plane-matrix
+    * kernel inside mapPartitions: ONE fused dot-product loop per (row,
+    * table) against driver-built hyperplanes — not a per-dim Catalyst
+    * expression tree (the naive expression form compiles 2k+ nodes per row
+    * and ships multi-MiB task binaries). Plane coefficients stay the
+    * deterministic planeCoef hash family, so buckets are reproducible with
+    * no stored model.
+    */
+  def lshBucketRows(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int, numTables: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // plane-index layout keeps table stride 64 so buckets match the previous
+    // Column formulation for any numPlanes <= 64
+    val planes: Array[Array[Double]] = Array.tabulate(numTables * numPlanes) { pi =>
+      val t = pi / numPlanes; val p = pi % numPlanes
+      Array.tabulate(dim)(d => planeCoef(t * 64 + p, d))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val bc = spark.sparkContext.broadcast(planes)
+    val nt = numTables; val np = numPlanes
+    base.as[(Long, Seq[Float])].mapPartitions { it =>
+      val pl = bc.value
+      it.flatMap { case (id, vec) =>
+        val arr = new Array[Double](vec.length)
+        var j = 0
+        while (j < arr.length) { arr(j) = vec(j).toDouble; j += 1 }
+        (0 until nt).iterator.map { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < np) {
+            val plane = pl(t * np + p)
+            var dp = 0.0
+            var k = 0
+            val n = math.min(arr.length, plane.length)
+            while (k < n) { dp += arr(k) * plane(k); k += 1 }
+            if (dp > 0) bucket |= (1L << p)
+            p += 1
+          }
+          (id, t, bucket)
+        }
+      }
+    }.toDF("id", "tbl", "bucket")
   }
 
   /** ANN near-duplicate pairs via MULTI-TABLE sign-LSH: `numTables`
@@ -72,22 +116,28 @@ object Similarity {
     * recall = 1-(1-p^m)^L for per-plane agreement p = 1-θ/π). Exact cosine
     * verification within candidates; pairs (id_a < id_b) with cosine ≥
     * threshold. Candidate generation is an equi-join on (table, bucket) so
-    * it hash-partitions evenly at scale.
+    * it hash-partitions evenly at scale; only (id_a, id_b) travels through
+    * the dedup shuffle — vectors re-join by id for verification.
+    *
+    * `dim <= 0` derives the dimension from the first row; `numPlanes <= 0`
+    * scales the plane count with the corpus size (planesFor).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, numPlanes: Int, threshold: Double, numTables: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val buckets = array((0 until numTables).map(t =>
-      lshBucket(col("vec"), dim, numPlanes, t)): _*)
-    val b = base.select(col("id"), col("vec"), posexplode(buckets))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val pairs = b.as("a").join(b.as("b"),
+      dim: Int = -1, numPlanes: Int = -1, threshold: Double = 0.8,
+      numTables: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val d = if (dim > 0) dim else base.select(size(col("vec"))).head().getInt(0)
+    val np = if (numPlanes > 0) numPlanes else planesFor(base.count())
+    val b = lshBucketRows(df, idCol, vecCol, d, np, numTables)
+    val candidates = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("cos_sim", cosine(col("va"), col("vb")))
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }

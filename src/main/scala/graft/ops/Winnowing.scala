@@ -60,12 +60,21 @@ object Winnowing {
     * robust to word-boundary edits (character-level k-grams).
     */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 16, threshold: Double = 0.3): DataFrame = {
+      k: Int = 8, w: Int = 16, threshold: Double = 0.3,
+      maxDocFreq: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fpUdf = udf((t: String) =>
       fingerprints(if (t == null) "" else t, k, w).toSeq)
-    val fp = df.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+    val fpAll = df.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+    // frequency cap (same rationale as Dedup.jaccardPairs): a boilerplate
+    // k-gram fingerprint shared by d docs costs d² join rows; similarity is
+    // computed over the capped fingerprint sets on both sides
+    val fp = if (maxDocFreq > 0) {
+      val rare = fpAll.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= maxDocFreq).select($"fp")
+      fpAll.join(rare, "fp")
+    } else fpAll
     val sizes = fp.groupBy($"id").agg(count(lit(1)).as("n_fp"))
     val pairs = fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

@@ -47,8 +47,16 @@ class GraftFacadeSpec extends AnyFunSuite {
     Graft.exportDataset(Graft.documents(spark, wh), out, minDocsPerSite = 1)
     assert(spark.read.parquet(out).count() == docs.length)
 
-    // lineage surfaces
+    // lineage surfaces — A1 contract: per-partition words is the real
+    // sum of fetched pages' total_words (documents only keep unique-text
+    // survivors, so metrics words >= documents' total_words sum > 0)
     assert(Graft.metrics(spark, wh).count() > 0)
+    val metricsWords = Graft.metrics(spark, wh)
+      .agg(org.apache.spark.sql.functions.sum("words")).head().getLong(0)
+    val docWords = Graft.documents(spark, wh)
+      .agg(org.apache.spark.sql.functions.sum("total_words")).head().getLong(0)
+    assert(metricsWords > 0 && metricsWords >= docWords,
+      s"metrics words $metricsWords vs doc words $docWords")
     assert(Graft.seenHashes(spark, wh).count() >= r.pagesCrawled)
     assert(Graft.hostStates(spark, wh).count() == 1)
     // request log (S9): one row per fetched page, 14 columns

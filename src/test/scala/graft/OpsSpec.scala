@@ -71,6 +71,9 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash pairs find planted near-dups") {
+    // maxHamming 16 > the 8-block guarantee radius (7): recall here is
+    // probabilistic — the planted corpus is deterministic, so the floor is
+    // a fixed fact, not luck
     val pairs = Dedup.simHashPairs(nearDupCorpus, "doc_id", "text", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = (0 until 20).map(i => (i.toLong, i + 100L)).toSet
@@ -78,12 +81,37 @@ class OpsSpec extends AnyFunSuite {
       s"simhash recall ${planted.intersect(pairs).size}/20")
   }
 
+  test("simhash blocking guarantee: EVERY pair within hamming 7 is found") {
+    // plant pairs at exact Hamming distances 1..7 with adversarial bit
+    // spreads (all flips inside one block, and flips straddling blocks);
+    // pigeonhole over 8 blocks must find them ALL — guarantee, not recall
+    val rnd = new scala.util.Random(11)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val expected = scala.collection.mutable.Set.empty[(Long, Long)]
+    var id = 0L
+    (1 to 7).foreach { ham =>
+      (0 until 8).foreach { _ =>
+        val base = rnd.nextLong()
+        val bits = rnd.shuffle((0 until 64).toList).take(ham)
+        val flipped = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+        rows += ((id, base)); rows += ((id + 1, flipped))
+        expected += ((id, id + 1))
+        id += 2
+      }
+    }
+    val df = rows.toSeq.toDF("id", "simhash")
+    val found = Dedup.simHashCandidatePairs(df, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = expected.toSet -- found
+    assert(missed.isEmpty, s"guarantee violated for planted pairs: $missed")
+  }
+
   test("LSH ANN recall vs exact near-dup pairs on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-        dim = 32, numPlanes = 3, threshold = 0.3, numTables = 12)
+        numPlanes = 3, threshold = 0.3, numTables = 12) // dim derived (64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.subsetOf(exact), "LSH produced a pair below threshold")
     assert(exact.nonEmpty)
