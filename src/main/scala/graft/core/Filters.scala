@@ -53,6 +53,16 @@ final class BloomFilter64(val numBits: Long, val numHashes: Int) extends Seriali
   }
 
   def serializedSizeBytes: Long = words.length.toLong * 8
+
+  /** Bit array as bytes (little-endian longs) — for persisting partition-
+    * local filters as table rows.
+    */
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
 }
 
 object BloomFilter64 {
@@ -62,6 +72,18 @@ object BloomFilter64 {
     val m = math.ceil(-n * math.log(fpr) / (math.log(2) * math.log(2))).toLong
     val k = math.max(1, math.round(m.toDouble / n * math.log(2)).toInt)
     new BloomFilter64(m, k)
+  }
+
+  /** Inverse of toBytes. */
+  def fromBytes(numBits: Long, numHashes: Int, bytes: Array[Byte]): BloomFilter64 = {
+    val bf = new BloomFilter64(numBits, numHashes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < bf.words.length && bb.remaining() >= 8) {
+      bf.words(i) = bb.getLong(); i += 1
+    }
+    bf
   }
 }
 

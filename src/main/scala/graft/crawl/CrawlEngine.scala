@@ -13,11 +13,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * run on executors.
   */
 trait Fetcher extends Serializable {
-  def fetch(url: String): FetchResponse
+  /** `attempt` = retries already spent on this url (0 = first try) — lets
+    * deterministic test fetchers simulate transient failures without shared
+    * state; real fetchers ignore it.
+    */
+  def fetch(url: String, attempt: Int = 0): FetchResponse
   def fetchRobots(host: String): String // robots.txt content, "" when absent
 }
 
-final case class FetchResponse(status: Int, contentType: String, redirectTo: String, body: String)
+final case class FetchResponse(status: Int, contentType: String,
+    redirectTo: String, body: String, retryAfterSec: Int = 0)
 
 /** Deterministic in-memory fetcher over the synthetic web fixture, with an
   * optional fixed simulated per-page cost so benchmarks exercise the engine
@@ -36,10 +41,12 @@ final class SyntheticFetcher(
     }
   }
 
-  override def fetch(url: String): FetchResponse = {
+  override def fetch(url: String, attempt: Int = 0): FetchResponse = {
     simulate()
     pages.get(url) match {
       case None => FetchResponse(404, "text/html", null, "")
+      case Some(p) if p.fail_first > attempt => // transient outage window
+        FetchResponse(503, "text/html", null, "", retryAfterSec = 1)
       case Some(p) => FetchResponse(p.status, p.content_type, p.redirect_to, p.html)
     }
   }
@@ -65,7 +72,7 @@ private final class BroadcastSyntheticFetcher(
     simulatedCostNanos: Long) extends Fetcher {
   @transient private lazy val inner =
     new SyntheticFetcher(bc.value._1, bc.value._2, simulatedCostNanos)
-  override def fetch(url: String): FetchResponse = inner.fetch(url)
+  override def fetch(url: String, attempt: Int = 0): FetchResponse = inner.fetch(url, attempt)
   override def fetchRobots(host: String): String = inner.fetchRobots(host)
 }
 
@@ -118,29 +125,40 @@ final class CrawlEngine(
   private var crawledByHost = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
   var stopReason: Option[String] = None
 
-  /** Bloom negative-cache over seen url_hashes: candidates that definitely
-    * were never seen skip the exact anti-join entirely; "maybe seen" ones
-    * still go through it (false positives are safe, false negatives cannot
-    * happen because every add passes through `bloomAdd`). At 10^10-URL
-    * scale this becomes one filter per hash-bucket partition; locally a
-    * single broadcast filter is the same contract.
+  /** Bloom negative-cache over seen url_hashes, PARTITION-LOCAL: one filter
+    * per url_hash bucket, persisted as the per-wave `blooms` table and
+    * applied by cogrouping candidates with their bucket's filter — no
+    * filter bits and no hashes ever pass through the driver, so the path
+    * is identical at a 10^10-URL frontier. Candidates that definitely were
+    * never seen skip the exact anti-join entirely; "maybe seen" ones still
+    * go through it (false positives are safe; false negatives cannot
+    * happen because every accepted hash is folded into its bucket's filter
+    * in the same wave it enters `seen`).
     */
-  private var seenBloom: graft.core.BloomFilter64 = _
-
   private def bloomEnabled: Boolean = config.bloomCapacity > 0
 
-  private def buildBloom(hashes: org.apache.spark.sql.Dataset[java.lang.Long]): graft.core.BloomFilter64 = {
-    val cap = config.bloomCapacity
+  private def perBucketCapacity: Long =
+    math.max(1024L, config.bloomCapacity / numPartitions)
+
+  /** Previous wave's committed bucket filters; absent (bootstrap, legacy
+    * warehouse, or a kill between stage and commit) → rebuild from the
+    * authoritative seen table, distributedly.
+    */
+  private def readBlooms(wave: Int): org.apache.spark.sql.Dataset[BloomBucket] = {
+    val cap = perBucketCapacity
     val fpr = config.bloomFpr
-    // few coalesced partitions: each partial filter is megabytes (cap-sized
-    // bit arrays), so bound the number shipped to the driver
-    val parts = hashes.coalesce(4).mapPartitions { it =>
-      val bf = graft.core.BloomFilter64.forCapacity(cap, fpr)
-      it.foreach(h => bf.add(h))
-      Iterator(bf)
-    }(org.apache.spark.sql.Encoders.kryo[graft.core.BloomFilter64]).collect()
-    val base = graft.core.BloomFilter64.forCapacity(cap, fpr)
-    parts.foldLeft(base)((acc, b) => acc.merge(b))
+    val nb = numPartitions
+    if (io.waveExists("blooms", wave - 1))
+      io.readWave("blooms", wave - 1, TableIO.BloomsSchema).as[BloomBucket]
+    else
+      io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+        .select($"url_hash").as[Long]
+        .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
+        .mapGroups { (b, hs) =>
+          val bf = graft.core.BloomFilter64.forCapacity(cap, fpr)
+          hs.foreach(bf.add)
+          BloomBucket.of(b, bf)
+        }
   }
 
   private def loadState(): Unit = {
@@ -159,10 +177,6 @@ final class CrawlEngine(
     if (config.maxPagesPerDomain > 0 && cw >= 0) {
       io.readWave("host_counts", cw, TableIO.HostCountsSchema)
         .collect().foreach(r => crawledByHost(r.getString(0)) = r.getLong(1))
-    }
-    if (bloomEnabled) {
-      seenBloom = buildBloom(io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
-        .select($"url_hash").as[java.lang.Long])
     }
   }
 
@@ -378,14 +392,29 @@ final class CrawlEngine(
       .filter($"crn" === 1).drop("crn")
 
     // cross-wave: never-seen candidates only (D1 anti-join on hashed urls),
-    // with the Bloom negative-cache peeling off definitely-new candidates so
-    // only "maybe seen" rows pay the join (SURVEY.md §7 step 7)
+    // with the partition-local Bloom negative-cache peeling off
+    // definitely-new candidates so only "maybe seen" rows pay the join
+    // (SURVEY.md §7 step 7). Candidates cogroup with their url_hash
+    // bucket's filter — the filter bits stay on executors.
     val seenTable = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+    val nb = numPartitions
+    var flagged: DataFrame = null
+    // one read of the previous wave's filters serves both the apply-side
+    // cogroup here and the update cogroup at stage time
+    val prevBlooms = if (bloomEnabled) readBlooms(wave).persist() else null
     val notSeen = (if (bloomEnabled) {
-      val bloomBc = spark.sparkContext.broadcast(seenBloom)
-      val maybeSeen = udf((h: Long) => bloomBc.value.mightContain(h))
-      val definitelyNew = waveDistinct.filter(!maybeSeen($"url_hash"))
-      val needJoin = waveDistinct.filter(maybeSeen($"url_hash"))
+      flagged = waveDistinct.as[CandidateLink]
+        .groupByKey(c => CrawlEngine.bloomBucket(c.url_hash, nb))
+        .cogroup(prevBlooms.groupByKey(_.bucket)) { (_, cands, blooms) =>
+          if (blooms.hasNext) {
+            val bf = blooms.next().filter
+            cands.map(c => (c, bf.mightContain(c.url_hash)))
+          } else cands.map(c => (c, false)) // empty bucket: definitely new
+        }.toDF("cand", "maybe_seen")
+        .select($"cand.*", $"maybe_seen")
+        .persist()
+      val definitelyNew = flagged.filter(!$"maybe_seen").drop("maybe_seen")
+      val needJoin = flagged.filter($"maybe_seen").drop("maybe_seen")
         .join(seenTable, Seq("url_hash"), "left_anti")
       definitelyNew.unionByName(needJoin)
     } else {
@@ -418,6 +447,25 @@ final class CrawlEngine(
         Seq("parent_seq", "link_index"), prevMaxSeq + 1)
       .select($"url", $"url_hash", $"host", $"parent_url", $"depth", $"seq")
       .withColumn("wave", lit(wave + 1))
+      .withColumn("is_retry", lit(false))
+      .withColumn("retry_count", lit(0))
+      .withColumn("retry_after_sec", lit(0))
+
+    // transiently-failed fetches (5xx / network error) re-enter the next
+    // wave with retry_count+1 (WebCrawler.cs:837-875); they keep their seq
+    // (so they sort ahead of newly-discovered links, like the reference's
+    // re-add to the front of the host queue) and bypass the seen gate —
+    // their url_hash is already in `seen`.
+    val retryEntries =
+      if (config.maxRetries > 0) {
+        results.toDF()
+          .filter($"is_error" && ($"status" >= 500 || $"status" < 0) &&
+            $"retry_count" < config.maxRetries)
+          .select($"url", $"url_hash", $"host", $"parent_url", $"depth", $"seq",
+            lit(wave + 1).as("wave"), lit(true).as("is_retry"),
+            ($"retry_count" + 1).as("retry_count"),
+            greatest($"retry_after_sec", lit(0)).as("retry_after_sec"))
+      } else null
 
     // ---- 6. per-partition metrics lineage (A1 analog) --------------------
     val metrics = results.groupBy($"wave", $"partition_id").agg(
@@ -486,7 +534,7 @@ final class CrawlEngine(
       // per-request CSV columns that exist in our model
       val fetchLog = results.toDF().select(
         $"wave", $"seq", $"url", $"host", $"depth", $"status",
-        $"content_type", $"no_follow", $"is_error",
+        $"content_type", $"no_follow", $"is_error", $"retry_count",
         size($"out_links").as("n_links"), size($"spans").as("n_spans"),
         $"total_words", round($"fetch_ms", 3).as("fetch_ms"),
         round($"extract_ms", 3).as("extract_ms"))
@@ -503,13 +551,32 @@ final class CrawlEngine(
     if (config.maxPagesPerDomain > 0) {
       io.stage("host_counts", wave, crawledByHost.toSeq.toDF("host", "pages"))
     }
+    if (bloomEnabled) {
+      // fold this wave's accepted hashes into their buckets' filters and
+      // stage the full bucket set for wave N (buckets with no additions
+      // carry forward through the cogroup) — all executor-side
+      val cap = perBucketCapacity
+      val fpr = config.bloomFpr
+      val newBlooms = notSeen.select($"url_hash").as[Long]
+        .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
+        .cogroup(prevBlooms.groupByKey(_.bucket)) { (b, hs, blooms) =>
+          val bf = if (blooms.hasNext) blooms.next().filter
+                   else graft.core.BloomFilter64.forCapacity(cap, fpr)
+          hs.foreach(bf.add)
+          Iterator(BloomBucket.of(b, bf))
+        }
+      timed(wave, "stage:blooms")(io.stage("blooms", wave, newBlooms))
+    }
     // seqs are assigned BEFORE the retroactive exclude filter (the oracle's
     // seq counter is monotonic over assignments, not survivors)
     val newFrontierP = newFrontier.persist()
     val newAssigned = newFrontierP.count()
     // new exclude applies retroactively to the pending frontier
     // (Scheduler.FilterAllowedUrlsAfterConfig analog, Scheduler.cs:123-139)
-    val nextFrontierAll = carry.unionByName(newFrontierP)
+    val nextFrontierAll0 = carry.unionByName(newFrontierP)
+    val nextFrontierAll =
+      if (retryEntries != null) nextFrontierAll0.unionByName(retryEntries)
+      else nextFrontierAll0
     val nextFrontierOut = newExclude match {
       case Some(lcp) => nextFrontierAll.filter(!$"url".startsWith(lcp))
       case None => nextFrontierAll
@@ -526,14 +593,9 @@ final class CrawlEngine(
       "max_seq" -> (prevMaxSeq + newAssigned),
       "next_frontier" -> nextCount), stopReason)
 
-    // fold this wave's additions into the Bloom cache on the driver (cheap:
-    // notSeen is already persisted; partition-local filters at cluster scale)
-    if (bloomEnabled) {
-      notSeen.select($"url_hash").as[java.lang.Long].collect()
-        .foreach(h => seenBloom.add(h))
-    }
-
     results.unpersist()
+    if (flagged != null) flagged.unpersist()
+    if (prevBlooms != null) prevBlooms.unpersist()
     fetchedP.unpersist()
     newUnique.unpersist()
     notSeen.unpersist()
@@ -550,10 +612,11 @@ object CrawlEngine {
     */
   def fetchOne(fetcher: Fetcher, e: FrontierEntry): FetchedPage = {
     val t0 = System.nanoTime()
-    val resp = fetcher.fetch(e.url)
+    val resp = fetcher.fetch(e.url, e.retry_count)
     val t1 = System.nanoTime()
-    FetchedPage(e.url, e.url_hash, e.host, e.seq, e.depth, e.wave,
-      resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6)
+    FetchedPage(e.url, e.url_hash, e.host, e.parent_url, e.seq, e.depth, e.wave,
+      resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6,
+      e.retry_count, resp.retryAfterSec)
   }
 
   /** Extract one fetched page — the CPU-bound unit of work run in the
@@ -599,8 +662,13 @@ object CrawlEngine {
       !(p.status >= 300 && p.status < 400 && p.redirect_to != null)
     PageResult(p.url, p.url_hash, p.host, p.seq, p.depth, p.wave,
       p.status, p.content_type, title, spans, outLinks, noFollow,
-      p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError)
+      p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError,
+      p.parent_url, p.retry_count, p.retry_after_sec)
   }
+
+  /** Bucket of a url_hash for partition-local seen-cache filters. */
+  def bloomBucket(urlHash: Long, numBuckets: Int): Int =
+    java.lang.Math.floorMod(urlHash, numBuckets.toLong).toInt
 
   /** In-page canonical-URL dedup, first occurrence order (D2). */
   def dedupResolve(baseUrl: String, hrefs: Vector[String]): Vector[String] = {

@@ -46,7 +46,9 @@ final class HttpFetcher(
     lastFetchByHost(host) = System.currentTimeMillis()
   }
 
-  override def fetch(url: String): FetchResponse = {
+  override def fetch(url: String, attempt: Int = 0): FetchResponse = {
+    // `attempt` is retry bookkeeping for deterministic test fetchers; a real
+    // HTTP GET is identical on every attempt
     try {
       val host = Option(new URI(url).getHost).getOrElse("")
       pace(host)
@@ -70,7 +72,12 @@ final class HttpFetcher(
         val charset = HttpFetcher.resolveCharset(contentType, bytes)
         FetchResponse(status, mime, null, new String(bytes, charset))
       } else {
-        FetchResponse(status, mime, null, "")
+        // surface the server's Retry-After (seconds form) so the engine's
+        // retry re-add can record it (PageToCrawl.RetryAfter analog)
+        val retryAfter = resp.headers().firstValue("Retry-After").orElse("").trim
+        val sec = if (retryAfter.nonEmpty && retryAfter.forall(_.isDigit))
+          retryAfter.toInt else 0
+        FetchResponse(status, mime, null, "", retryAfterSec = sec)
       }
     } catch {
       case _: Exception => FetchResponse(-1, "", null, "")

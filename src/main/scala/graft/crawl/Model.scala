@@ -14,16 +14,30 @@ final case class FrontierEntry(
     parent_url: String,
     depth: Int,
     seq: Long,
-    wave: Int)
+    wave: Int,
+    // retry bookkeeping (PageToCrawl.IsRetry/RetryCount/RetryAfter,
+    // Abot/Poco/PageToCrawl.cs:8-91): a transiently-failed fetch (5xx /
+    // network error) re-enters the NEXT wave, bypassing the seen gate,
+    // until retry_count reaches CrawlConfig.maxRetries. retry_after_sec
+    // records the server's Retry-After hint; the wave boundary itself is
+    // the delay in this wave-synchronous model.
+    is_retry: Boolean = false,
+    retry_count: Int = 0,
+    retry_after_sec: Int = 0)
 
-/** Synthetic fetch universe row (FIXTURES.md §2). */
+/** Synthetic fetch universe row (FIXTURES.md §2). `fail_first` simulates a
+  * transient outage: the first N fetch ATTEMPTS of this url return 503
+  * (deterministic in the attempt number, so engine and oracle agree with no
+  * shared state).
+  */
 final case class SyntheticPage(
     url: String,
     host: String,
     status: Int,
     content_type: String,
     redirect_to: String, // nullable
-    html: String)
+    html: String,
+    fail_first: Int = 0)
 
 /** Raw fetch result rows — the output of the host-bucketed, politeness-
   * paced fetch stage, BEFORE extraction. Bodies are shuffled to a salted
@@ -34,6 +48,7 @@ final case class FetchedPage(
     url: String,
     url_hash: Long,
     host: String,
+    parent_url: String,
     seq: Long,
     depth: Int,
     wave: Int,
@@ -41,7 +56,9 @@ final case class FetchedPage(
     content_type: String,
     redirect_to: String,
     body: String,
-    fetch_ms: Double)
+    fetch_ms: Double,
+    retry_count: Int,     // attempts already spent on this url
+    retry_after_sec: Int) // server Retry-After hint from THIS response
 
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(
@@ -62,7 +79,10 @@ final case class PageResult(
     partition_id: Int,
     total_words: Long, // per-doc local aggregate (A4) — no shuffle needed
     lang: String,      // per-doc argmax language (A3) — local fold
-    is_error: Boolean) // F9 classification: non-200 except followable 3xx
+    is_error: Boolean, // F9 classification: non-200 except followable 3xx
+    parent_url: String,
+    retry_count: Int,
+    retry_after_sec: Int)
 
 /** One extracted document row — the north-rule table shape
   * (doc_id, spans) plus analysis metadata.
@@ -87,6 +107,34 @@ final case class MetricsRow(
     fetch_ms: Double,
     extract_ms: Double)
 
+/** One candidate out-link row inside a wave (pre-seen-gate). */
+final case class CandidateLink(
+    parent_seq: Long,
+    parent_url: String,
+    parent_depth: Int,
+    link_index: Int,
+    url: String,
+    url_hash: Long,
+    host: String)
+
+/** One hash-bucket's Bloom filter over seen url_hashes, persisted per wave
+  * (the partition-local negative cache in front of the exact seen anti-join;
+  * the exact set stays authoritative).
+  */
+final case class BloomBucket(
+    bucket: Int,
+    num_bits: Long,
+    num_hashes: Int,
+    bits: Array[Byte]) {
+  def filter: graft.core.BloomFilter64 =
+    graft.core.BloomFilter64.fromBytes(num_bits, num_hashes, bits)
+}
+
+object BloomBucket {
+  def of(bucket: Int, bf: graft.core.BloomFilter64): BloomBucket =
+    BloomBucket(bucket, bf.numBits, bf.numHashes, bf.toBytes)
+}
+
 /** Per-host state (robots rules + politeness), persisted per wave. */
 final case class HostState(
     host: String,
@@ -103,6 +151,10 @@ final case class CrawlConfig(
     maxPagesToCrawl: Long = 0L, // 0 = unlimited (CrawlDecisionMaker.cs:56-63)
     maxPagesPerDomain: Long = 0L, // 0 = unlimited (CrawlDecisionMaker.cs:64-71)
     maxErrors: Long = 0L, // 0 = unlimited (maxErrorsCount default 10 in ref)
+    // transient-failure retries (WebCrawler.cs:837-875 re-add path): a 5xx
+    // or network error re-enters the next wave up to maxRetries attempts;
+    // 0 disables. Every failed ATTEMPT still counts toward maxErrors.
+    maxRetries: Int = 0,
     minUniquePct: Double = 0.0, // 0 = off; reference minUniqueText=5 (%)
     minCrawlDelayMs: Long = 100L,
     maxRobotsDelaySec: Int = 5, // robots crawl-delay clamp (PoliteWebCrawler.cs:103-115)

@@ -117,15 +117,31 @@ object SequentialOracle {
           }
         }
 
+        // transient-failure retry (WebCrawler.cs:837-875): 5xx re-enters the
+        // next wave with retry_count+1 and its ORIGINAL seq, bypassing the
+        // seen gate; every failed attempt still counts toward maxErrors
+        def maybeRetry(retryAfterSec: Int): Unit = {
+          if (config.maxRetries > 0 && entry.retry_count < config.maxRetries) {
+            newFrontier += entry.copy(wave = wave + 1, is_retry = true,
+              retry_count = entry.retry_count + 1, retry_after_sec = retryAfterSec)
+          }
+        }
+
         site.pages.get(entry.url) match {
           case None =>
             errors += s"404 ${entry.url}"
             errorCount += 1
+          case Some(page) if page.fail_first > entry.retry_count =>
+            // transient outage window (SyntheticFetcher: 503, Retry-After 1)
+            errors += s"503 ${entry.url}"
+            errorCount += 1
+            maybeRetry(1)
           case Some(page) if page.status >= 300 && page.status < 400 && page.redirect_to != null =>
             scheduleCandidates(Vector(page.redirect_to), entry.url)
           case Some(page) if page.status != 200 =>
             errors += s"${page.status} ${entry.url}"
             errorCount += 1
+            if (page.status >= 500) maybeRetry(0)
           case Some(page) if page.content_type != "text/html" =>
             () // PDF path is stubbed: counted, no doc, no links
           case Some(page) =>

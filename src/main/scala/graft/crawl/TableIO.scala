@@ -100,6 +100,10 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
       .parquet(dirs: _*)
   }
 
+  /** Whether a wave partition exists on disk AND is visible. */
+  def waveExists(name: String, wave: Int, lookahead: Int = 0): Boolean =
+    wave <= committedWave + lookahead && Files.exists(Paths.get(waveDir(name, wave)))
+
   /** Rows of exactly one visible wave partition. */
   def readWave(name: String, wave: Int, schemaDdl: String, lookahead: Int = 0): DataFrame = {
     val d = waveDir(name, wave)
@@ -111,7 +115,8 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
 
 object TableIO {
   val FrontierSchema =
-    "url string, url_hash bigint, host string, parent_url string, depth int, seq bigint, wave int"
+    "url string, url_hash bigint, host string, parent_url string, depth int, " +
+    "seq bigint, wave int, is_retry boolean, retry_count int, retry_after_sec int"
   val SeenSchema = "url_hash bigint"
   val UniqueBlocksSchema = "text_hash bigint, words int"
   val DocumentsSchema =
@@ -124,10 +129,11 @@ object TableIO {
   val ExcludesSchema = "pattern string, wave int"
   val Window10Schema = "url string, pct double, ord int"
   val HostCountsSchema = "host string, pages bigint"
+  val BloomsSchema = "bucket int, num_bits bigint, num_hashes int, bits binary"
   val FetchLogSchema =
     "wave int, seq bigint, url string, host string, depth int, status int, " +
-    "content_type string, no_follow boolean, is_error boolean, n_links int, " +
-    "n_spans int, total_words bigint, fetch_ms double, extract_ms double"
+    "content_type string, no_follow boolean, is_error boolean, retry_count int, " +
+    "n_links int, n_spans int, total_words bigint, fetch_ms double, extract_ms double"
 
   def emptyDf(spark: SparkSession, schemaDdl: String): DataFrame =
     spark.createDataFrame(

@@ -59,9 +59,10 @@ class GraftFacadeSpec extends AnyFunSuite {
       s"metrics words $metricsWords vs doc words $docWords")
     assert(Graft.seenHashes(spark, wh).count() >= r.pagesCrawled)
     assert(Graft.hostStates(spark, wh).count() == 1)
-    // request log (S9): one row per fetched page, 14 columns
+    // request log (S9): one row per fetched page, 15 columns
     val log = Graft.fetchLog(spark, wh)
     assert(log.count() == r.pagesCrawled)
-    assert(log.columns.length == 14 && log.columns.contains("fetch_ms"))
+    assert(log.columns.length == 15 && log.columns.contains("fetch_ms")
+      && log.columns.contains("retry_count"))
   }
 }

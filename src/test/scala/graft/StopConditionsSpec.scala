@@ -169,4 +169,69 @@ class StopConditionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(7))).toSet
     assert(engineDocs == oracle.documents.map(d => (d.doc_id, d.seq)).toSet)
   }
+
+  private def retrySite: SyntheticWeb.Site = {
+    val host = "retry.example.com"
+    def html(links: Seq[String], text: String) =
+      s"""<html><head><title>t</title></head><body><p>$text</p>
+         |${links.map(l => s"""<a href="$l">x</a>""").mkString}</body></html>""".stripMargin
+    val pages = Map(
+      s"https://$host/p0.html" -> SyntheticPage(s"https://$host/p0.html", host,
+        200, "text/html", null, html(Seq("/flaky.html", "/p1.html"), "root page unique words here")),
+      // transient outage: first 2 attempts 503, third succeeds
+      s"https://$host/flaky.html" -> SyntheticPage(s"https://$host/flaky.html", host,
+        200, "text/html", null, html(Seq("/deep.html"), "flaky page eventually served content"),
+        fail_first = 2),
+      s"https://$host/p1.html" -> SyntheticPage(s"https://$host/p1.html", host,
+        200, "text/html", null, html(Nil, "sibling page with other words")),
+      s"https://$host/deep.html" -> SyntheticPage(s"https://$host/deep.html", host,
+        200, "text/html", null, html(Nil, "page behind the flaky one")))
+    SyntheticWeb.Site(pages, Map(host -> ""), Map.empty, s"https://$host/p0.html")
+  }
+
+  test("transient 5xx retries: page succeeds on attempt 3, in exact parity") {
+    val site = retrySite
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      maxRetries = 3, maxWaves = 20)
+    val oracle = SequentialOracle.crawl(site, config)
+    // oracle sanity: the flaky page's doc exists, and so does the page
+    // discovered BEHIND it (proves the retried fetch extracted links)
+    assert(oracle.documents.exists(_.doc_id.endsWith("/flaky.html")))
+    assert(oracle.documents.exists(_.doc_id.endsWith("/deep.html")))
+    assert(oracle.errors.count(_.startsWith("503")) == 2)
+
+    val io = new TableIO(Files.createTempDirectory("graft-retry").toString, spark)
+    val engine = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
+    engine.run()
+    val engineDocs = io.readAll("documents", TableIO.DocumentsSchema)
+      .collect().map(r => (r.getString(0), r.getLong(7))).toSet
+    assert(engineDocs == oracle.documents.map(d => (d.doc_id, d.seq)).toSet)
+    assert(io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+      .collect().map(_.getLong(0)).toSet == oracle.seen)
+    // every attempt logged: flaky url appears 3 times in the fetch log
+    val flakyFetches = io.readAll("fetch_log", TableIO.FetchLogSchema)
+      .filter(org.apache.spark.sql.functions.col("url").endsWith("/flaky.html"))
+      .collect()
+    assert(flakyFetches.length == 3)
+    assert(io.stat("errors_total").contains(oracle.errors.size.toLong))
+  }
+
+  test("retries exhausted: maxRetries=1 drops the page and what's behind it, in parity") {
+    val site = retrySite // needs 2 retries; 1 is not enough
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      maxRetries = 1, maxWaves = 20)
+    val oracle = SequentialOracle.crawl(site, config)
+    assert(!oracle.documents.exists(_.doc_id.endsWith("/flaky.html")))
+    assert(!oracle.documents.exists(_.doc_id.endsWith("/deep.html")))
+
+    val io = new TableIO(Files.createTempDirectory("graft-retry1").toString, spark)
+    val engine = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
+    engine.run()
+    val engineDocs = io.readAll("documents", TableIO.DocumentsSchema)
+      .collect().map(r => (r.getString(0), r.getLong(7))).toSet
+    assert(engineDocs == oracle.documents.map(d => (d.doc_id, d.seq)).toSet)
+    assert(io.stat("errors_total").contains(oracle.errors.size.toLong))
+  }
 }
