@@ -15,11 +15,29 @@ final case class TextStats(
 
 object TextStats {
 
+  /** Whitespace with C# char.IsWhiteSpace semantics: Java's isWhitespace
+    * EXCLUDES the non-breaking spaces (U+00A0, U+2007, U+202F) and NEL
+    * (U+0085) that C# includes — the reference splits words on all of them
+    * (`NLPTextAnalyzer.cs:217`), and &nbsp; decodes to U+00A0.
+    */
+  @inline def isWhitespaceCs(c: Char): Boolean =
+    Character.isWhitespace(c) ||
+      c == '\u00A0' || c == '\u2007' || c == '\u202F' || c == '\u0085'
+
+  /** C# string.Trim() analog (strips the same whitespace set as above). */
+  def trimCs(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && isWhitespaceCs(s.charAt(a))) a += 1
+    while (b > a && isWhitespaceCs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   /** Word/char counting with the exact semantics of
     * `NLPTextAnalyzer.CountWordsAndChars` (`NLPTextAnalyzer.cs:205-255`):
-    * words are maximal non-whitespace runs; avgWordLength is the integer
-    * division of summed word lengths by word count; char classes via
-    * Character.isLetter / isDigit-equivalent (C# Char.IsNumber) / other.
+    * words are maximal non-whitespace runs (C# IsWhiteSpace set);
+    * avgWordLength is the integer division of summed word lengths by word
+    * count; char classes via Character.isLetter / isDigit-equivalent
+    * (C# Char.IsNumber) / other.
     */
   def of(text: String): TextStats = {
     var letters = 0; var numbers = 0; var others = 0
@@ -28,7 +46,7 @@ object TextStats {
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (isWhitespaceCs(c)) {
         if (inWord) { words += 1; sumWordLen += i - wordStart; inWord = false; wordStart = -1 }
       } else {
         if (!inWord) { inWord = true; wordStart = i }

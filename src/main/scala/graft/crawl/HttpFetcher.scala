@@ -65,12 +65,20 @@ final class HttpFetcher(
         val loc = resp.headers().firstValue("Location").orElse(null)
         FetchResponse(status, mime, loc, "")
       } else if (status == 200 && HttpFetcher.isTextual(mime)) {
-        var bytes = resp.body()
-        if (bytes.length > maxBodyBytes) bytes = bytes.take(maxBodyBytes)
-        if (resp.headers().firstValue("Content-Encoding").orElse("") == "gzip")
-          bytes = HttpFetcher.gunzip(bytes)
-        val charset = HttpFetcher.resolveCharset(contentType, bytes)
-        FetchResponse(status, mime, null, new String(bytes, charset))
+        // decompress FIRST, capping the DECOMPRESSED size: truncating the
+        // compressed stream would make it undecodable, and the cap is meant
+        // to bound what reaches the parser
+        val raw = resp.body()
+        val bytesOpt =
+          if (resp.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+            HttpFetcher.gunzipCapped(raw, maxBodyBytes)
+          else Some(if (raw.length > maxBodyBytes) raw.take(maxBodyBytes) else raw)
+        bytesOpt match {
+          case None => FetchResponse(-1, mime, null, "") // undecodable body = fetch error
+          case Some(bytes) =>
+            val charset = HttpFetcher.resolveCharset(contentType, bytes)
+            FetchResponse(status, mime, null, new String(bytes, charset))
+        }
       } else {
         // surface the server's Retry-After (seconds form) so the engine's
         // retry re-add can record it (PageToCrawl.RetryAfter analog)
@@ -135,5 +143,23 @@ object HttpFetcher {
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       out.toByteArray
     } catch { case _: Exception => bytes }
+  }
+
+  /** Streaming gunzip capped at `maxOut` bytes of OUTPUT; None when the
+    * stream is not valid gzip (the caller treats that as a fetch error —
+    * feeding still-compressed bytes to a charset decoder/parser is garbage).
+    */
+  def gunzipCapped(bytes: Array[Byte], maxOut: Int): Option[Array[Byte]] = {
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0 && out.size < maxOut) {
+        out.write(buf, 0, math.min(n, maxOut - out.size))
+        n = if (out.size < maxOut) in.read(buf) else -1
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
   }
 }

@@ -293,7 +293,9 @@ object HtmlToSpans {
     }
 
     private def visitTextNode(t: HText): Unit = {
-      val text = t.text.trim
+      // C# Trim() strips raw U+00A0 (Java trim does not) — an NBSP-only
+      // text node must be skipped, like the reference (:352)
+      val text = graft.core.TextStats.trimCs(t.text)
       if (text.nonEmpty) appendText(text)
     }
 
@@ -411,7 +413,9 @@ object HtmlToSpans {
 
     // --- text-block collection (HtmlDocumentConverter.cs:624-657) ---
     private def cleanText(text: String): String = {
-      val decoded = HtmlParser.htmlDecode(text.trim)
+      // C# Trim() before decode strips RAW U+00A0 too (Java trim is
+      // ASCII-only); decoded \u00A0 is then trimmed from the ends below
+      val decoded = HtmlParser.htmlDecode(graft.core.TextStats.trimCs(text))
       decoded.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     }
 

@@ -200,4 +200,21 @@ class ExtractSpec extends AnyFunSuite {
     }
     assert(checked > 10)
   }
+  test("nbsp fidelity: decode to U+00A0, end-trim, interior preserved, word split") {
+    // reference: WebUtility.HtmlDecode yields U+00A0 for &nbsp;
+    // (HtmlDocumentConverter.cs:634 Trim('\u00A0') after decode; C# Trim()
+    // strips raw U+00A0 before decode)
+    val html = "<html><body>" +
+      "<p>&nbsp;lead and&nbsp;inner trail&nbsp;</p>" + // entity ends + interior
+      "<p>\u00A0raw\u00A0nbsp\u00A0</p>" +             // raw U+00A0 ends + interior
+      "<p>&nbsp;&nbsp;</p>" +                          // NBSP-only block: dropped
+      "<p>\u00A0</p>" +                                // raw-NBSP-only node: dropped
+      "</body></html>"
+    val texts = HtmlToSpans.extract(html).spans
+      .filter(_.kind == "TextBlock.Text").map(_.text)
+    assert(texts == Vector("lead and\u00A0inner trail", "raw\u00A0nbsp"))
+    // C# IsWhiteSpace counts U+00A0 as a word separator (NLPTextAnalyzer.cs:217)
+    assert(graft.core.TextStats.of("lead and\u00A0inner trail").words == 4)
+    assert(graft.core.TextStats.trimCs("\u00A0x\u00A0") == "x")
+  }
 }

@@ -42,6 +42,15 @@ class HttpFetcherSpec extends AnyFunSuite {
     gz.write(payload); gz.close()
     assert(HttpFetcher.gunzip(bos.toByteArray).sameElements(payload))
     assert(HttpFetcher.gunzip(payload).sameElements(payload)) // not gzip → as-is
+    // capped variant: output-size cap, and invalid gzip is an ERROR (None),
+    // never compressed bytes passed through as if they were text
+    assert(HttpFetcher.gunzipCapped(bos.toByteArray, 1 << 20).get.sameElements(payload))
+    assert(HttpFetcher.gunzipCapped(bos.toByteArray, 5).get.sameElements(payload.take(5)))
+    assert(HttpFetcher.gunzipCapped(payload, 1 << 20).isEmpty)
+    // truncated gzip stream: either an error or a valid prefix, never garbage
+    val truncated = bos.toByteArray.take(bos.toByteArray.length - 4)
+    val r = HttpFetcher.gunzipCapped(truncated, 1 << 20)
+    assert(r.isEmpty || new String(r.get, StandardCharsets.UTF_8).startsWith("hello"))
   }
 
   test("unreachable host yields an error response, never throws") {
