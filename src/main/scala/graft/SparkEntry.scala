@@ -257,6 +257,34 @@ object SparkEntry {
     "q_crawl_documents" -> ((s, dir) => {
       val d = entry(s)
       d.select(col("doc_id"), size(col("spans")).as("n_spans"))
+    }),
+
+    // PDF conversion path (S6/J5/O4): deterministic uncompressed-PDF
+    // fixtures through the real extractor — sections from the title
+    // heuristic, repeated headers/footers removed across pages
+    "q_pdf_documents" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import graft.extract.{PdfFixture, PdfToSpans}
+      val fixtures = (0 until 16).map { i =>
+        val pages = Seq.tabulate(2 + i % 3) { p =>
+          Seq(
+            PdfFixture.Block(Seq(s"Chapter $i-$p"), fontSize = 18.0),
+            PdfFixture.Block(Seq(
+              s"pdf body paragraph $i page $p with distinct content",
+              s"second line of the paragraph for doc $i page $p")),
+            PdfFixture.Block(Seq(s"closing remarks $i $p")))
+        }
+        (s"pdf_$i", PdfFixture.pdf(pages, title = s"Fixture $i",
+          header = "Shared Running Header", pageNumbers = true))
+      }
+      fixtures.toDF("doc_id", "body").as[(String, String)].map { case (id, body) =>
+        val d = PdfToSpans.extract(body)
+        (id, d.title, d.spans.size,
+          d.spans.count(_.kind == "Section.Start"),
+          d.spans.count(_.kind == "TextBlock.Text"),
+          d.spans.exists(sp => sp.text.contains("Running Header") || sp.text.startsWith("Page ")))
+      }.toDF("doc_id", "title", "n_spans", "n_sections", "n_blocks", "has_decoration")
     })
   )
 

@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.core.{ScopeFilter, UrlCanonicalizer}
-import graft.extract.{DocAnalysis, HtmlParser, HtmlToSpans}
+import graft.extract.{DocAnalysis, HtmlParser, HtmlToSpans, PdfToSpans}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -649,6 +649,13 @@ object CrawlEngine {
         }
         outLinks = dedupResolve(baseUrl, rawHrefs)
       }
+    } else if (p.status == 200 && p.content_type == "application/pdf") {
+      // PDF path (S6/J5/O4): body is the raw bytes as ISO-8859-1; PDFs
+      // contribute spans but no out-links
+      val extracted = PdfToSpans.extract(p.body)
+      title = extracted.title
+      spans = extracted.spans
+      noFollow = true
     } else if (p.status >= 300 && p.status < 400 && p.redirect_to != null) {
       outLinks = dedupResolve(p.url, Vector(p.redirect_to))
     }

@@ -64,6 +64,11 @@ final class HttpFetcher(
       if (status >= 300 && status < 400) {
         val loc = resp.headers().firstValue("Location").orElse(null)
         FetchResponse(status, mime, loc, "")
+      } else if (status == 200 && mime == "application/pdf") {
+        val raw = resp.body()
+        val bytes = if (raw.length > maxBodyBytes) raw.take(maxBodyBytes) else raw
+        FetchResponse(status, mime, null,
+          new String(bytes, StandardCharsets.ISO_8859_1))
       } else if (status == 200 && HttpFetcher.isTextual(mime)) {
         // decompress FIRST, capping the DECOMPRESSED size: truncating the
         // compressed stream would make it undecodable, and the cap is meant
@@ -113,6 +118,14 @@ object HttpFetcher {
     */
   def isTextual(mime: String): Boolean =
     mime == "text/html" || mime == "text/plain" || mime == ""
+
+  /** Downloadable content: text plus PDF (the reference downloads and
+    * converts PDFs — `CrawlDecisionMaker.cs:99-144` + the PdfPig path at
+    * `pdf/PdfDocumentConverter.cs`). PDF bytes travel as an ISO-8859-1
+    * string (lossless byte↔char) to the PdfToSpans converter.
+    */
+  def isProcessable(mime: String): Boolean =
+    isTextual(mime) || mime == "application/pdf"
 
   private val HeaderCharset = """(?i)charset\s*=\s*"?([\w_\-:.]+)"?""".r
   private val MetaCharset =

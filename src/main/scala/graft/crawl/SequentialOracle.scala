@@ -142,8 +142,26 @@ object SequentialOracle {
             errors += s"${page.status} ${entry.url}"
             errorCount += 1
             if (page.status >= 500) maybeRetry(0)
+          case Some(page) if page.content_type == "application/pdf" =>
+            // PDF path: same analysis/dedup flow as HTML, no out-links,
+            // and NOT part of the html-only uniqueness window
+            val extracted = graft.extract.PdfToSpans.extract(page.html)
+            val items = DocAnalysis.analyzableItems(extracted.spans)
+            var totalWords = 0L
+            var uniqueWords = 0L
+            items.foreach { it =>
+              totalWords += it.words
+              if (!uniqueBlocks.contains(it.text_hash)) {
+                uniqueBlocks(it.text_hash) = it.words
+                uniqueWords += it.words
+              }
+            }
+            if (uniqueWords > 0) {
+              docs += DocumentRow(entry.url, extracted.spans, extracted.title,
+                DocAnalysis.docLanguage(items), totalWords, uniqueWords, wave, entry.seq)
+            }
           case Some(page) if page.content_type != "text/html" =>
-            () // PDF path is stubbed: counted, no doc, no links
+            () // other content types: counted, no doc, no links
           case Some(page) =>
             val dom = HtmlParser.parse(page.html)
             val extracted = HtmlToSpans.extractDom(dom)
