@@ -84,4 +84,41 @@ object Graft {
     graft.extract.SpanRenderers.toMarkdown(doc.title, doc.spans)
   def toCsvDataframe(doc: DocumentRow): String =
     graft.extract.SpanRenderers.toCsv(doc.doc_id, doc.title, doc.spans)
+  def toPreviewHtml(doc: DocumentRow): String =
+    graft.extract.SpanRenderers.toPreviewHtml(doc.doc_id, doc.title, doc.spans)
+
+  /** All three per-document renderings as a DataFrame
+    * (doc_id, markdown, preview_html, csv), with the markdown/preview
+    * rendering the UNIQUE view — D4 bottom-up pruning against crawl-wide
+    * first-wins ownership of each text hash (a block renders only in the
+    * document that first claimed it, `NLPTextAnalyzer.cs:139-152` +
+    * `NLPTextDocument.UniqueElements`). Ownership is a window over
+    * (text_hash → min (seq, offset)); rendering is partition-parallel.
+    */
+  def renderAll(spark: SparkSession, warehouse: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = documentsTyped(spark, warehouse)
+    val items = docs.flatMap { d =>
+      graft.extract.DocAnalysis.analyzableItems(d.spans)
+        .map(it => (d.seq, it.offset, it.text_hash))
+    }.toDF("seq", "offset", "text_hash")
+    val w = Window.partitionBy($"text_hash").orderBy($"seq", $"offset")
+    val owned = items.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"seq").agg(collect_set($"text_hash").as("owned_hashes"))
+      .withColumnRenamed("seq", "owner_seq")
+    docs.toDF().join(owned, $"seq" === $"owner_seq", "left")
+      .select(struct($"doc_id", $"spans", $"title", $"lang", $"total_words",
+        $"unique_words", $"wave", $"seq").as("_1"), $"owned_hashes".as("_2"))
+      .as[(DocumentRow, Option[Seq[Long]])]
+      .map { case (d, ownedHashes) =>
+        val owns = ownedHashes.getOrElse(Seq.empty).toSet
+        val isUnique = (h: Long) => owns.contains(h)
+        (d.doc_id,
+          graft.extract.SpanRenderers.toMarkdown(d.title, d.spans, isUnique),
+          graft.extract.SpanRenderers.toPreviewHtml(d.doc_id, d.title, d.spans, isUnique),
+          graft.extract.SpanRenderers.toCsv(d.doc_id, d.title, d.spans, isUnique))
+      }.toDF("doc_id", "markdown", "preview_html", "csv")
+  }
 }

@@ -80,4 +80,47 @@ object SpanTree {
   def referenceRows(spans: Seq[Span]): Seq[Span] =
     spans.filterNot(_.kind == SpanKinds.MediaImage)
       .zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+
+  /** D4 bottom-up non-unique pruning — the reference's `UniqueElements`
+    * view (`NLPTextDocument.cs:93-117` + `NLPTextAnalyzer.cs:139-152`
+    * ContainsUniqueText rollup): a text block survives iff `isUnique`
+    * holds for its content hash; a group survives iff it transitively
+    * contains a surviving text block. The markdown/preview renderers
+    * render THIS view (the CSV renders everything with an IsUnique
+    * column). Media spans don't confer uniqueness but ride along inside
+    * surviving groups. Offsets are re-numbered dense.
+    */
+  def pruneNonUnique(spans: Seq[Span], isUnique: Long => Boolean): Seq[Span] = {
+    // one pass to find, for each Start index, its matching End index and
+    // whether the group contains a unique text block
+    val arr = spans.toVector
+    val endOf = new Array[Int](arr.length)
+    val containsUnique = new Array[Boolean](arr.length)
+    var stack = List.empty[Int]
+    arr.zipWithIndex.foreach { case (s, i) =>
+      if (SpanKinds.isStart(s.kind)) stack = i :: stack
+      else if (SpanKinds.isEnd(s.kind)) {
+        val open = stack.head; stack = stack.tail
+        endOf(open) = i
+      } else if (s.kind == SpanKinds.TextBlockText &&
+          isUnique(graft.core.TextStats.textHash(s.text))) {
+        stack.foreach(open => containsUnique(open) = true)
+      }
+    }
+    val out = Vector.newBuilder[Span]
+    var i = 0
+    while (i < arr.length) {
+      val s = arr(i)
+      if (SpanKinds.isStart(s.kind) && !containsUnique(i)) {
+        i = endOf(i) // skip the whole non-unique group
+      } else if (s.kind == SpanKinds.TextBlockText &&
+          !isUnique(graft.core.TextStats.textHash(s.text))) {
+        () // drop non-unique text block
+      } else {
+        out += s
+      }
+      i += 1
+    }
+    out.result().zipWithIndex.map { case (s, j) => s.copy(offset = j) }
+  }
 }

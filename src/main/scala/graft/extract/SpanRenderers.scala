@@ -50,7 +50,15 @@ object SpanRenderers {
     * paragraphs (behavioral analog of the MarkdownText writer,
     * `NLPTextDocumentWriter.cs:300-470`). Media spans render as
     * `![alt](src)` — the interleaved generalization.
+    *
+    * Like the reference, markdown renders the UNIQUE view (D4 pruning,
+    * `doc.UniqueElements`): pass `isUnique` to drop duplicated text blocks
+    * and groups with no unique text. The default keeps everything.
     */
+  def toMarkdown(title: String, spans: Seq[Span],
+      isUnique: Long => Boolean): String =
+    toMarkdown(title, graft.core.SpanTree.pruneNonUnique(spans, isUnique))
+
   def toMarkdown(title: String, spans: Seq[Span]): String = {
     val sb = new StringBuilder
     if (title.nonEmpty) sb.append("# ").append(title).append("\n\n")
@@ -84,6 +92,83 @@ object SpanRenderers {
         case _ => ()
       }
     }
+    sb.toString
+  }
+
+  private def htmlEncode(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** preview.html rendering — the reference's HtmlPreview writer
+    * (`NLPTextDocumentWriter.cs:39-120,239-303,482-485`): bootstrap-styled
+    * standalone page with the source URI as a link button; Sections as
+    * `<h{level}>`, lists as `<ul>/<li>`, tables as `<table>/<tr>/<th>/<td>`
+    * with rowspan/colspan from the cell-coordinate Start text, text blocks
+    * as `<div class="p-2">`. Renders the UNIQUE view (D4), like the
+    * reference's `doc.UniqueElements`.
+    */
+  def toPreviewHtml(docUri: String, title: String, spans: Seq[Span],
+      isUnique: Long => Boolean = _ => true): String = {
+    val pruned = graft.core.SpanTree.pruneNonUnique(spans, isUnique)
+    val sb = new StringBuilder
+    sb.append("<!doctype html>\n<html>\n<head>\n")
+    sb.append(s"<title>${htmlEncode(title)}</title>\n")
+    sb.append(s"""<meta name="Uri" content="${htmlEncode(docUri)}">""").append('\n')
+    sb.append("<meta name=\"viewport\" content=\"width=device-width, initial-scale=1\">\n")
+    sb.append("<link href=\"https://cdn.jsdelivr.net/npm/bootstrap@5.3.2/dist/css/bootstrap.min.css\" rel=\"stylesheet\">\n")
+    sb.append("</head>\n<body>\n")
+    sb.append(s"""<div class="p-2 "><a href="${htmlEncode(docUri)}" class="btn btn-primary" target="_blank">${htmlEncode(docUri)}</a></div>""").append('\n')
+    var level = 1
+    // cell coords text: "row,col" or "row:rowspan,col:colspan"
+    def cellAttrs(coords: String): (Boolean, String) = {
+      val parts = coords.split(',')
+      if (parts.length != 2) return (false, "")
+      def split(p: String): (Int, Int) = {
+        val rc = p.split(':')
+        (rc(0).toIntOption.getOrElse(1),
+          if (rc.length > 1) rc(1).toIntOption.getOrElse(1) else 1)
+      }
+      val (_, rowSpan) = split(parts(0))
+      val (colNum, colSpan) = split(parts(1))
+      val attrs = (if (rowSpan > 1) s""" rowspan="$rowSpan"""" else "") +
+        (if (colSpan > 1) s""" colspan="$colSpan"""" else "")
+      (colNum == 1, attrs)
+    }
+    pruned.foreach { s =>
+      s.kind match {
+        case "Section.Start" =>
+          val h = math.min(6, level)
+          sb.append(s"<h$h>${htmlEncode(s.text)}</h$h>\n"); level += 1
+        case "Section.End" => level -= 1
+        case "List.Start" | "NavigationList.Start" =>
+          val t = if (s.text.nonEmpty) s""" title="${htmlEncode(s.text)}"""" else ""
+          sb.append(s"<ul$t>\n"); level += 1
+        case "List.End" | "NavigationList.End" => sb.append("</ul>\n"); level -= 1
+        case "ListItem.Start" => sb.append("<li>\n"); level += 1
+        case "ListItem.End" => sb.append("</li>\n"); level -= 1
+        case "Table.Start" =>
+          val t = if (s.text.nonEmpty) s""" title="${htmlEncode(s.text)}"""" else ""
+          sb.append(s"<table$t>\n"); level += 1
+        case "Table.End" => sb.append("</table>\n"); level -= 1
+        case "TableHeader.Start" =>
+          val (isFirstCol, attrs) = cellAttrs(s.text)
+          if (isFirstCol) sb.append("<tr>\n")
+          sb.append(s"<th$attrs>\n"); level += 1
+        case "TableHeader.End" => sb.append("</th>\n"); level -= 1
+        case "TableCell.Start" =>
+          val (isFirstCol, attrs) = cellAttrs(s.text)
+          if (isFirstCol) sb.append("<tr>\n")
+          sb.append(s"<td$attrs>\n"); level += 1
+        case "TableCell.End" => sb.append("</td>\n"); level -= 1
+        case SpanKinds.TextBlockText =>
+          sb.append(s"""<div class="p-2">${htmlEncode(s.text)}</div>""").append('\n')
+        case SpanKinds.MediaImage =>
+          if (s.media_ref.nonEmpty)
+            sb.append(s"""<img class="p-2" src="${htmlEncode(s.media_ref)}" alt="${htmlEncode(s.text)}">""").append('\n')
+        case _ => ()
+      }
+    }
+    sb.append("</body>\n</html>\n")
     sb.toString
   }
 }

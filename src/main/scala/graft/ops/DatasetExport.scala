@@ -37,11 +37,110 @@ object DatasetExport {
       .withColumn("split", TextOps.splitAssign(col(idCol)))
   }
 
-  /** Write the dataset, hive-partitioned by website and split. */
+  /** Write the dataset, hive-partitioned by website and split, plus the
+    * dataset-card README.md generated from the export aggregates
+    * (`parquet/HuggingFaceDatasetBuilder.cs:81-287`). The card lives at the
+    * dataset root (HF layout); Spark readers of the root should use
+    * `.option("pathGlobFilter", "*.parquet")`.
+    */
   def write(docs: DataFrame, idCol: String, outDir: String,
-      langFilter: Option[String] = None, minDocs: Long = 50L): Unit =
-    prepare(docs, idCol, langFilter, minDocs)
-      .write.mode("overwrite")
+      langFilter: Option[String] = None, minDocs: Long = 50L,
+      prettyName: String = "graft dataset"): Unit = {
+    val prepared = prepare(docs, idCol, langFilter, minDocs)
+    prepared.write.mode("overwrite")
       .partitionBy("website", "split")
       .parquet(outDir)
+    val size = dirSize(new java.io.File(outDir))
+    val card = datasetCard(prepared, prettyName, langFilter.getOrElse("multi"), size)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/README.md"),
+      card.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def dirSize(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+
+  /** HF size_categories bucket (`HuggingFaceDatasetBuilder.cs:84-112`). */
+  def sizeCategory(totalExamples: Long): String =
+    if (totalExamples > 1_000_000_000L) "1B<n<10B"
+    else if (totalExamples > 100_000_000L) "100M<n<1B"
+    else if (totalExamples > 10_000_000L) "10M<n<100M"
+    else if (totalExamples > 1_000_000L) "1M<n<10M"
+    else if (totalExamples > 100_000L) "100K<n<1M"
+    else if (totalExamples > 10_000L) "10K<n<100K"
+    else if (totalExamples > 1_000L) "1K<n<10K"
+    else "n<1K"
+
+  /** Dataset-card markdown from a prepared frame: YAML front matter (size
+    * category, splits with example counts, feature schema, download size)
+    * + a per-website stats table — the structure of the reference's
+    * GenerateDatasetCard with OUR schema's features. Aggregates are one
+    * tiny groupBy each (rows = splits / websites), safe to collect.
+    */
+  def datasetCard(prepared: DataFrame, prettyName: String,
+      language: String, downloadSize: Long): String = {
+    val splitCounts = prepared.groupBy(col("split"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hasWords = prepared.columns.contains("total_words")
+    val wordsCol = if (hasWords) sum(col("total_words")) else sum(lit(0L))
+    val sites = prepared.groupBy(col("website"))
+      .agg(count(lit(1)).as("docs"), wordsCol.as("words"))
+      .orderBy(col("website")).collect()
+    val total = splitCounts.values.sum
+    val features = prepared.schema.fields
+      .map(f => s"    - name: ${f.name}\n      dtype: ${f.dataType.simpleString}")
+      .mkString("\n")
+    val siteRows = sites.map(r =>
+      s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} |").mkString("\n")
+    s"""---
+       |pretty_name: "$prettyName"
+       |tags:
+       |- graft-webscraper
+       |task_categories:
+       |- text-generation
+       |task_ids:
+       |- language-modeling
+       |size_categories: ${sizeCategory(total)}
+       |language: $language
+       |license: apache-2.0
+       |source_datasets: original
+       |language_creators: found
+       |annotations_creators: no-annotation
+       |configs:
+       |- config_name: default
+       |  data_files:
+       |  - split: train
+       |    path: "website=*/split=train/*.parquet"
+       |  - split: valid
+       |    path: "website=*/split=valid/*.parquet"
+       |  - split: test
+       |    path: "website=*/split=test/*.parquet"
+       |dataset_info:
+       |  features:
+       |$features
+       |  config_name: default
+       |  splits:
+       |    - name: train
+       |      num_examples: ${splitCounts.getOrElse("train", 0L)}
+       |    - name: valid
+       |      num_examples: ${splitCounts.getOrElse("valid", 0L)}
+       |    - name: test
+       |      num_examples: ${splitCounts.getOrElse("test", 0L)}
+       |  download_size: $downloadSize
+       |---
+       |
+       |# Dataset Card for "$prettyName"
+       |
+       |Dataset extracted from public websites by graft (a Spark-native
+       |re-implementation of wordslab-webscraper's pipeline).
+       |
+       |## Websites
+       |
+       || Website | Documents | Words |
+       ||---------|-----------|-------|
+       |""".stripMargin + siteRows + "\n"
+    // (site rows appended AFTER stripMargin: their leading '|' would
+    // otherwise be eaten as a margin marker)
+  }
 }

@@ -45,7 +45,21 @@ class GraftFacadeSpec extends AnyFunSuite {
     // export (gate below corpus size so something passes)
     val out = Files.createTempDirectory("graft-facade-out").toString
     Graft.exportDataset(Graft.documents(spark, wh), out, minDocsPerSite = 1)
-    assert(spark.read.parquet(out).count() == docs.length)
+    // README.md sits at the dataset root (HF layout) — filter to parquet
+    // when reading the whole root back with Spark
+    assert(spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(out).count() == docs.length)
+    // dataset card written alongside the parquet
+    val card = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/README.md")), "UTF-8")
+    assert(card.startsWith("---") && card.contains("num_examples:")
+      && card.contains("| Website |"))
+
+    // per-doc renderings (S5): markdown + preview.html + csv, D4-pruned
+    val rendered = Graft.renderAll(spark, wh).collect()
+    assert(rendered.length == docs.length)
+    assert(rendered.forall(_.getString(2).startsWith("<!doctype html>")))
+    assert(rendered.forall(_.getString(3).startsWith("DocEltType;")))
 
     // lineage surfaces — A1 contract: per-partition words is the real
     // sum of fetched pages' total_words (documents only keep unique-text

@@ -54,4 +54,79 @@ class RendererSpec extends AnyFunSuite {
     val allDup = SpanRenderers.toCsv("https://x/", d.title, d.spans, _ => false)
     assert(allDup.contains(";false\n") && !allDup.contains(";true\n"))
   }
+
+  test("preview.html renderer: head/body shape, sections, lists, tables, encode") {
+    val d = HtmlToSpans.extract(html)
+    val prev = SpanRenderers.toPreviewHtml("https://x/?a=1&b=2", d.title, d.spans)
+    assert(prev.startsWith("<!doctype html>"))
+    assert(prev.contains("<title>Doc Title</title>"))
+    assert(prev.contains("bootstrap")) // stylesheet link like the reference
+    assert(prev.contains("https://x/?a=1&amp;b=2")) // uri button, html-encoded
+    assert(prev.contains("<h1>Intro</h1>")) // section title at level
+    assert(prev.contains("<ul>") && prev.contains("<li>"))
+    assert(prev.contains("<table>") && prev.contains("<tr>") &&
+      prev.contains("<th>") && prev.contains("<td>"))
+    assert(prev.contains("""<div class="p-2">First paragraph.</div>"""))
+    assert(prev.contains("""<img class="p-2" src="/i.png" alt="pic">"""))
+    assert(prev.trim.endsWith("</html>"))
+  }
+
+  test("preview rowspan/colspan attributes from cell coordinates") {
+    val spanHtml =
+      """<html><body><table>
+        |<tr><td rowspan="2">a</td><td>b</td></tr>
+        |<tr><td>c</td></tr>
+        |</table></body></html>""".stripMargin
+    val d = HtmlToSpans.extract(spanHtml)
+    val prev = SpanRenderers.toPreviewHtml("https://x/", d.title, d.spans)
+    assert(prev.contains("""<td rowspan="2">"""))
+  }
+
+  test("D4 pruning: non-unique blocks and fully-duplicate groups disappear") {
+    import graft.core.TextStats
+    val d = HtmlToSpans.extract(
+      """<html><body>
+        |<h2>Kept Section</h2><p>unique paragraph text</p>
+        |<h2>Dup Section</h2><p>duplicated boilerplate text</p>
+        |<ul><li>duplicated boilerplate text</li></ul>
+        |</body></html>""".stripMargin)
+    val dupHash = TextStats.textHash("duplicated boilerplate text")
+    val isUnique = (h: Long) => h != dupHash
+    val md = SpanRenderers.toMarkdown("T", d.spans, isUnique)
+    assert(md.contains("unique paragraph text"))
+    assert(!md.contains("duplicated boilerplate"))
+    val prev = SpanRenderers.toPreviewHtml("https://x/", "T", d.spans, isUnique)
+    assert(prev.contains("unique paragraph text"))
+    assert(!prev.contains("duplicated boilerplate"))
+    // the list that contained ONLY the duplicate block is pruned entirely
+    assert(!prev.contains("<ul>"))
+    // pruned view stays structurally valid
+    assert(graft.core.SpanTree.validate(
+      graft.core.SpanTree.pruneNonUnique(d.spans, isUnique)).isEmpty)
+  }
+
+  test("dataset card: front matter, size category, splits, website table") {
+    import graft.ops.DatasetExport
+    assert(DatasetExport.sizeCategory(500) == "n<1K")
+    assert(DatasetExport.sizeCategory(5_000) == "1K<n<10K")
+    assert(DatasetExport.sizeCategory(2_000_000) == "1M<n<10M")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-card-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val prepared = Seq(
+      ("https://a.com/1", "a.com", "train", 10L),
+      ("https://a.com/2", "a.com", "test", 20L),
+      ("https://b.com/3", "b.com", "train", 30L))
+      .toDF("doc_id", "website", "split", "total_words")
+    val card = DatasetExport.datasetCard(prepared, "my set", "en", 12345L)
+    assert(card.startsWith("---\n"))
+    assert(card.contains("size_categories: n<1K"))
+    assert(card.contains("num_examples: 2")) // train
+    assert(card.contains("download_size: 12345"))
+    assert(card.contains("| a.com | 2 | 30 |"))
+    assert(card.contains("| b.com | 1 | 30 |"))
+    assert(card.contains("name: doc_id"))
+  }
 }
