@@ -41,6 +41,27 @@ object Graft {
       engine.stopReason, warehouse)
   }
 
+  /** The persisted config of a warehouse (written at bootstrap), if any. */
+  def persistedConfig(spark: SparkSession, warehouse: String): Option[CrawlConfig] =
+    new TableIO(warehouse, spark).readConfig().map(CrawlConfigCodec.fromJson)
+
+  /** `continue` with overrides (WebsiteExtractorParams.cs:139-199 +
+    * WebsiteTextExtractor.cs:58-74): resume from the warehouse's PERSISTED
+    * config — the caller supplies only the deltas, not a re-typed config —
+    * and persist the effective config back for the next resume.
+    */
+  def continueCrawl(spark: SparkSession, fetcher: Fetcher, warehouse: String,
+      overrides: CrawlConfig => CrawlConfig = identity,
+      numPartitions: Int = 0): CrawlResult = {
+    val io = new TableIO(warehouse, spark)
+    val persisted = io.readConfig().map(CrawlConfigCodec.fromJson).getOrElse(
+      throw new IllegalArgumentException(
+        s"no persisted config in $warehouse — use Graft.crawl for a fresh crawl"))
+    val effective = overrides(persisted)
+    if (effective != persisted) io.writeConfig(CrawlConfigCodec.toJson(effective))
+    crawl(spark, effective, fetcher, warehouse, numPartitions)
+  }
+
   /** `restart` semantics: wipe the warehouse, then crawl fresh. */
   def restart(spark: SparkSession, config: CrawlConfig, fetcher: Fetcher,
       warehouse: String, numPartitions: Int = 0): CrawlResult = {

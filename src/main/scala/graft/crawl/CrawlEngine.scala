@@ -101,7 +101,8 @@ final class CrawlEngine(
     io: TableIO,
     config: CrawlConfig,
     fetcher: Fetcher,
-    numPartitions: Int) {
+    numPartitions: Int,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
 
   import spark.implicits._
 
@@ -120,6 +121,8 @@ final class CrawlEngine(
   private var stateLoaded = false
   private var pagesTotal = 0L
   private var errorsTotal = 0L
+  private var contentCharsTotal = 0L
+  private var startEpochMs = 0L
   private var excludedPrefixes = Vector.empty[String]
   private var window10 = Vector.empty[(String, Double)] // (url, pct), seq order
   private var crawledByHost = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
@@ -166,6 +169,8 @@ final class CrawlEngine(
     stateLoaded = true
     pagesTotal = io.stat("pages_total").getOrElse(0L)
     errorsTotal = io.stat("errors_total").getOrElse(0L)
+    contentCharsTotal = io.stat("content_chars_total").getOrElse(0L)
+    startEpochMs = io.stat("start_epoch_ms").getOrElse(nowMs())
     stopReason = io.statStr("stop_reason")
     val cw = io.committedWave
     if (config.minUniquePct > 0 && cw >= 0) {
@@ -210,13 +215,18 @@ final class CrawlEngine(
     processed
   }
 
-  /** Commit "-1": root frontier entry + root hash in the seen set. */
+  /** Commit "-1": root frontier entry + root hash in the seen set, plus
+    * the persisted config (WebsiteExtractorParams round-trip) and the
+    * crawl start time (max-duration stop).
+    */
   private def bootstrap(): Unit = {
     val rootEntry = FrontierEntry(rootCanon, UrlCanonicalizer.urlHash(rootCanon),
       UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
     io.stage("frontier", 0, Seq(rootEntry).toDS())
     io.stage("seen", 0, Seq(rootEntry.url_hash).toDF("url_hash"))
-    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L))
+    io.writeConfig(CrawlConfigCodec.toJson(config))
+    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L,
+      "start_epoch_ms" -> nowMs()))
   }
 
   private val trace = sys.env.contains("GRAFT_TRACE")
@@ -339,12 +349,14 @@ final class CrawlEngine(
         pages.map(p => CrawlEngine.extractOne(p, pid, extractCost))
       }
       .persist()
-    val errorsWave = timed(wave, "extract")(
-      if (pagesFetched == 0) 0L
+    val (errorsWave, contentCharsWave) = timed(wave, "extract")(
+      if (pagesFetched == 0) (0L, 0L)
       else {
         val r = results.toDF().agg(
-          sum(when($"is_error", 1L).otherwise(0L))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+          sum(when($"is_error", 1L).otherwise(0L)),
+          sum($"content_chars".cast("long"))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
       })
 
     // ---- 4. text-block analysis + first-wins dedup (D3/W2) ---------------
@@ -380,11 +392,15 @@ final class CrawlEngine(
 
     // ---- 5. candidate links → seen updates + next frontier (D1/J1/W3) ----
     val rawCand = results.flatMap { r =>
+      // a redirect target continues its parent's 3xx chain; ordinary links
+      // reset the chain (PageRequester.cs:86-141 redirect bookkeeping)
+      val rp = if (r.status >= 300 && r.status < 400) r.redirect_position + 1 else 0
       r.out_links.zipWithIndex.map { case (link, idx) =>
         (r.seq, r.url, r.depth, idx, link,
-          UrlCanonicalizer.urlHash(link), UrlCanonicalizer.host(link))
+          UrlCanonicalizer.urlHash(link), UrlCanonicalizer.host(link), rp)
       }
-    }.toDF("parent_seq", "parent_url", "parent_depth", "link_index", "url", "url_hash", "host")
+    }.toDF("parent_seq", "parent_url", "parent_depth", "link_index", "url",
+      "url_hash", "host", "redirect_position")
 
     // within-wave first occurrence wins, deterministically (W2 analog)
     val candWin = Window.partitionBy($"url_hash").orderBy($"parent_seq", $"link_index")
@@ -438,14 +454,17 @@ final class CrawlEngine(
     })
     val perPage = Window.partitionBy($"parent_seq").orderBy($"link_index")
     val passing = notSeen.filter(passesFilters($"url", $"host", $"parent_depth"))
+      .filter($"redirect_position" <= config.maxRedirects) // chain bound
       .withColumn("page_rank", row_number().over(perPage))
       .filter($"page_rank" <= config.maxLinksPerPage).drop("page_rank")
 
     val newFrontier = CrawlEngine.assignSeq(spark,
         passing.select($"url", $"url_hash", $"host", $"parent_url",
-          ($"parent_depth" + 1).as("depth"), $"parent_seq", $"link_index"),
+          ($"parent_depth" + 1).as("depth"), $"parent_seq", $"link_index",
+          $"redirect_position"),
         Seq("parent_seq", "link_index"), prevMaxSeq + 1)
-      .select($"url", $"url_hash", $"host", $"parent_url", $"depth", $"seq")
+      .select($"url", $"url_hash", $"host", $"parent_url", $"depth", $"seq",
+        $"redirect_position")
       .withColumn("wave", lit(wave + 1))
       .withColumn("is_retry", lit(false))
       .withColumn("retry_count", lit(0))
@@ -464,7 +483,8 @@ final class CrawlEngine(
           .select($"url", $"url_hash", $"host", $"parent_url", $"depth", $"seq",
             lit(wave + 1).as("wave"), lit(true).as("is_retry"),
             ($"retry_count" + 1).as("retry_count"),
-            greatest($"retry_after_sec", lit(0)).as("retry_after_sec"))
+            greatest($"retry_after_sec", lit(0)).as("retry_after_sec"),
+            $"redirect_position")
       } else null
 
     // ---- 6. per-partition metrics lineage (A1 analog) --------------------
@@ -478,6 +498,7 @@ final class CrawlEngine(
     // ---- 7. wave-boundary stop cascade (WebsiteTextExtractor.cs:638-767) -
     pagesTotal += pagesFetched
     errorsTotal += errorsWave
+    contentCharsTotal += contentCharsWave
     if (config.maxPagesPerDomain > 0) {
       results.groupBy($"host").agg(count(lit(1)).as("n")).collect()
         .foreach(r => crawledByHost(r.getString(0)) += r.getLong(1))
@@ -498,10 +519,15 @@ final class CrawlEngine(
         .reverseIterator.map(r => (r.getString(1), r.getDouble(2))).toVector
       window10 = (window10 ++ waveTail).takeRight(10)
     }
-    if (config.maxErrors > 0 && errorsTotal >= config.maxErrors) {
-      stopReason = Some("max_errors")
+    // cascade order mirrors the reference (WebsiteTextExtractor.cs:642-766):
+    // duration → pages → errors → minUnique → size-on-disk
+    if (config.maxDurationMin > 0 &&
+        nowMs() - startEpochMs >= config.maxDurationMin * 60000L) {
+      stopReason = Some("max_duration")
     } else if (config.maxPagesToCrawl > 0 && pagesTotal >= config.maxPagesToCrawl) {
       stopReason = Some("max_pages")
+    } else if (config.maxErrors > 0 && errorsTotal >= config.maxErrors) {
+      stopReason = Some("max_errors")
     } else if (config.minUniquePct > 0 && window10.size >= 10) {
       val avgPct = window10.map(_._2).sum / 10.0 * 100.0
       if (avgPct < config.minUniquePct) {
@@ -519,6 +545,10 @@ final class CrawlEngine(
           stopReason = Some("min_unique_text")
         }
       }
+    }
+    if (stopReason.isEmpty && config.maxContentChars > 0 &&
+        contentCharsTotal >= config.maxContentChars) {
+      stopReason = Some("max_size_on_disk")
     }
 
     // ---- 8. stage everything, then atomically commit the wave ------------
@@ -590,6 +620,8 @@ final class CrawlEngine(
       "pages" -> pagesFetched,
       "pages_total" -> pagesTotal,
       "errors_total" -> errorsTotal,
+      "content_chars_total" -> contentCharsTotal,
+      "start_epoch_ms" -> startEpochMs,
       "max_seq" -> (prevMaxSeq + newAssigned),
       "next_frontier" -> nextCount), stopReason)
 
@@ -616,7 +648,7 @@ object CrawlEngine {
     val t1 = System.nanoTime()
     FetchedPage(e.url, e.url_hash, e.host, e.parent_url, e.seq, e.depth, e.wave,
       resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6,
-      e.retry_count, resp.retryAfterSec)
+      e.retry_count, resp.retryAfterSec, e.redirect_position)
   }
 
   /** Extract one fetched page — the CPU-bound unit of work run in the
@@ -670,7 +702,8 @@ object CrawlEngine {
     PageResult(p.url, p.url_hash, p.host, p.seq, p.depth, p.wave,
       p.status, p.content_type, title, spans, outLinks, noFollow,
       p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError,
-      p.parent_url, p.retry_count, p.retry_after_sec)
+      p.parent_url, p.retry_count, p.retry_after_sec, p.redirect_position,
+      if (p.body == null) 0 else p.body.length)
   }
 
   /** Bucket of a url_hash for partition-local seen-cache filters. */

@@ -23,7 +23,12 @@ final case class FrontierEntry(
     // the delay in this wave-synchronous model.
     is_retry: Boolean = false,
     retry_count: Int = 0,
-    retry_after_sec: Int = 0)
+    retry_after_sec: Int = 0,
+    // redirect-chain bookkeeping (PageToCrawl.RedirectPosition,
+    // Abot/Core/PageRequester.cs:86-141): a candidate reached via a 3xx
+    // carries its position along the chain; chains longer than
+    // CrawlConfig.maxRedirects are rejected (CrawlDecisionMaker.cs:38-77)
+    redirect_position: Int = 0)
 
 /** Synthetic fetch universe row (FIXTURES.md §2). `fail_first` simulates a
   * transient outage: the first N fetch ATTEMPTS of this url return 503
@@ -57,8 +62,9 @@ final case class FetchedPage(
     redirect_to: String,
     body: String,
     fetch_ms: Double,
-    retry_count: Int,     // attempts already spent on this url
-    retry_after_sec: Int) // server Retry-After hint from THIS response
+    retry_count: Int,      // attempts already spent on this url
+    retry_after_sec: Int,  // server Retry-After hint from THIS response
+    redirect_position: Int) // position along a 3xx chain (0 = not via redirect)
 
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(
@@ -82,7 +88,9 @@ final case class PageResult(
     is_error: Boolean, // F9 classification: non-200 except followable 3xx
     parent_url: String,
     retry_count: Int,
-    retry_after_sec: Int)
+    retry_after_sec: Int,
+    redirect_position: Int,
+    content_chars: Int) // body size (chars) — the size-on-disk stop proxy
 
 /** One extracted document row — the north-rule table shape
   * (doc_id, spans) plus analysis metadata.
@@ -115,7 +123,8 @@ final case class CandidateLink(
     link_index: Int,
     url: String,
     url_hash: Long,
-    host: String)
+    host: String,
+    redirect_position: Int)
 
 /** One hash-bucket's Bloom filter over seen url_hashes, persisted per wave
   * (the partition-local negative cache in front of the exact seen anti-join;
@@ -155,6 +164,17 @@ final case class CrawlConfig(
     // or network error re-enters the next wave up to maxRetries attempts;
     // 0 disables. Every failed ATTEMPT still counts toward maxErrors.
     maxRetries: Int = 0,
+    // remaining reference stop conditions (WebsiteTextExtractor.cs:647-766):
+    // wall-clock duration in minutes (engine-side only — the oracle has no
+    // clock), and total extracted content size. The reference measures
+    // bytes written to disk; this engine writes no per-doc files, so the
+    // proxy is cumulative fetched-body size in chars (parity-exact between
+    // engine and oracle).
+    maxDurationMin: Int = 0,
+    maxContentChars: Long = 0L,
+    // reject candidates whose 3xx chain exceeds this many hops
+    // (Abot CrawlConfiguration.HttpRequestMaxAutoRedirects default 7)
+    maxRedirects: Int = 7,
     minUniquePct: Double = 0.0, // 0 = off; reference minUniqueText=5 (%)
     minCrawlDelayMs: Long = 100L,
     maxRobotsDelaySec: Int = 5, // robots crawl-delay clamp (PoliteWebCrawler.cs:103-115)
@@ -200,4 +220,69 @@ object CompiledRobots {
   val Empty: CompiledRobots = CompiledRobots(RobotsTxt.Empty)
   def of(content: String): CompiledRobots =
     if (content == null || content.isEmpty) Empty else CompiledRobots(RobotsTxt.parse(content))
+}
+
+/** CrawlConfig ↔ JSON for warehouse persistence — the reference's
+  * `_wordslab/config.txt` round-trip (`WebsiteExtractorParams.cs:139-199`):
+  * a resumed crawl re-reads its persisted parameters and re-applies any
+  * caller overrides, instead of requiring the caller to re-supply an
+  * identical config. Hand-rolled (flat fields, no JSON lib in scope).
+  */
+object CrawlConfigCodec {
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def toJson(c: CrawlConfig): String = {
+    val scope = c.scope match {
+      case ScopeFilter.Domain => "domain"
+      case ScopeFilter.SubDomain => "subdomain"
+      case ScopeFilter.Path => "path"
+    }
+    s"""{"rootUrl":"${esc(c.rootUrl)}","scope":"$scope","userAgent":"${esc(c.userAgent)}",""" +
+      s""""maxDepth":${c.maxDepth},"maxLinksPerPage":${c.maxLinksPerPage},""" +
+      s""""maxPagesToCrawl":${c.maxPagesToCrawl},"maxPagesPerDomain":${c.maxPagesPerDomain},""" +
+      s""""maxErrors":${c.maxErrors},"maxRetries":${c.maxRetries},""" +
+      s""""maxDurationMin":${c.maxDurationMin},"maxContentChars":${c.maxContentChars},""" +
+      s""""maxRedirects":${c.maxRedirects},"minUniquePct":${c.minUniquePct},""" +
+      s""""minCrawlDelayMs":${c.minCrawlDelayMs},"maxRobotsDelaySec":${c.maxRobotsDelaySec},""" +
+      s""""waveBudgetMs":${c.waveBudgetMs},"maxWaves":${c.maxWaves},""" +
+      s""""bloomCapacity":${c.bloomCapacity},"bloomFpr":${c.bloomFpr},""" +
+      s""""logFetches":${c.logFetches}}"""
+  }
+
+  def fromJson(json: String): CrawlConfig = {
+    def str(k: String): String =
+      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(json).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(throw new IllegalArgumentException(s"missing $k"))
+    def num(k: String): String =
+      ("\"" + k + "\"\\s*:\\s*([-0-9.eE]+|true|false)").r
+        .findFirstMatchIn(json).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(s"missing $k"))
+    val scope = str("scope") match {
+      case "domain" => ScopeFilter.Domain
+      case "subdomain" => ScopeFilter.SubDomain
+      case "path" => ScopeFilter.Path
+    }
+    CrawlConfig(
+      rootUrl = str("rootUrl"), scope = scope, userAgent = str("userAgent"),
+      maxDepth = num("maxDepth").toInt,
+      maxLinksPerPage = num("maxLinksPerPage").toInt,
+      maxPagesToCrawl = num("maxPagesToCrawl").toLong,
+      maxPagesPerDomain = num("maxPagesPerDomain").toLong,
+      maxErrors = num("maxErrors").toLong,
+      maxRetries = num("maxRetries").toInt,
+      maxDurationMin = num("maxDurationMin").toInt,
+      maxContentChars = num("maxContentChars").toLong,
+      maxRedirects = num("maxRedirects").toInt,
+      minUniquePct = num("minUniquePct").toDouble,
+      minCrawlDelayMs = num("minCrawlDelayMs").toLong,
+      maxRobotsDelaySec = num("maxRobotsDelaySec").toInt,
+      waveBudgetMs = num("waveBudgetMs").toLong,
+      maxWaves = num("maxWaves").toInt,
+      bloomCapacity = num("bloomCapacity").toLong,
+      bloomFpr = num("bloomFpr").toDouble,
+      logFetches = num("logFetches").toBoolean)
+  }
 }

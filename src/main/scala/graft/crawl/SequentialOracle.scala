@@ -54,6 +54,7 @@ object SequentialOracle {
     // stop-condition state (wave-synchronous contract shared with the engine)
     var pagesCrawled = 0L
     var errorCount = 0L
+    var contentChars = 0L
     var crawledByHost = mutable.Map.empty[String, Long].withDefaultValue(0L)
     var excludedPrefixes = Vector.empty[String]
     var stopReason = "frontier_empty"
@@ -90,7 +91,8 @@ object SequentialOracle {
         pagesCrawled += 1
         crawledByHost(entry.host) += 1
 
-        def scheduleCandidates(hrefs: Vector[String], baseUrl: String): Unit = {
+        def scheduleCandidates(hrefs: Vector[String], baseUrl: String,
+            redirectPos: Int = 0): Unit = {
           val inPage = mutable.Set.empty[String]
           var scheduled = 0
           hrefs.foreach { href =>
@@ -103,11 +105,13 @@ object SequentialOracle {
                     ScopeFilter.shouldCrawl(config.scope, canon, rootCanon) &&
                     robotsOf(cHost).allowed(UrlCanonicalizer.pathAndQuery(canon), config.userAgent) &&
                     !excludedPrefixes.exists(canon.startsWith) &&
+                    redirectPos <= config.maxRedirects && // 3xx chain bound
                     scheduled < config.maxLinksPerPage
                   seen += h
                   if (pass) {
                     newFrontier += FrontierEntry(canon, h, cHost, entry.url,
-                      entry.depth + 1, nextSeq, wave + 1)
+                      entry.depth + 1, nextSeq, wave + 1,
+                      redirect_position = redirectPos)
                     nextSeq += 1
                     scheduled += 1
                   }
@@ -115,6 +119,13 @@ object SequentialOracle {
               }
             }
           }
+        }
+
+        // content-size accumulation (size-on-disk proxy): every served body
+        // counts, chars — exactly what the engine sums over PageResult
+        site.pages.get(entry.url).foreach { page =>
+          if (!(page.fail_first > entry.retry_count) && page.html != null)
+            contentChars += page.html.length
         }
 
         // transient-failure retry (WebCrawler.cs:837-875): 5xx re-enters the
@@ -137,7 +148,8 @@ object SequentialOracle {
             errorCount += 1
             maybeRetry(1)
           case Some(page) if page.status >= 300 && page.status < 400 && page.redirect_to != null =>
-            scheduleCandidates(Vector(page.redirect_to), entry.url)
+            scheduleCandidates(Vector(page.redirect_to), entry.url,
+              redirectPos = entry.redirect_position + 1)
           case Some(page) if page.status != 200 =>
             errors += s"${page.status} ${entry.url}"
             errorCount += 1
@@ -198,11 +210,13 @@ object SequentialOracle {
       frontier = (carry ++ newFrontier).sortBy(_.seq).toVector
       wave += 1
 
-      // ---- wave-boundary stop cascade (WebsiteTextExtractor.cs:638-767) --
-      if (config.maxErrors > 0 && errorCount >= config.maxErrors) {
-        stopped = true; stopReason = "max_errors"
-      } else if (config.maxPagesToCrawl > 0 && pagesCrawled >= config.maxPagesToCrawl) {
+      // ---- wave-boundary stop cascade (WebsiteTextExtractor.cs:642-766) --
+      // reference order: duration (engine-only) → pages → errors →
+      // minUnique → size-on-disk
+      if (config.maxPagesToCrawl > 0 && pagesCrawled >= config.maxPagesToCrawl) {
         stopped = true; stopReason = "max_pages"
+      } else if (config.maxErrors > 0 && errorCount >= config.maxErrors) {
+        stopped = true; stopReason = "max_errors"
       } else if (config.minUniquePct > 0 && lastDocsPct.size >= 10) {
         val last10 = lastDocsPct.takeRight(10)
         val avgPct = last10.map(_._2).sum / 10.0 * 100.0
@@ -222,6 +236,9 @@ object SequentialOracle {
             stopped = true; stopReason = "min_unique_text"
           }
         }
+      }
+      if (!stopped && config.maxContentChars > 0 && contentChars >= config.maxContentChars) {
+        stopped = true; stopReason = "max_size_on_disk"
       }
     }
     if (!stopped && wave >= config.maxWaves && frontier.nonEmpty) stopReason = "max_waves"

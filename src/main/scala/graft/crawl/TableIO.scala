@@ -100,6 +100,25 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
       .parquet(dirs: _*)
   }
 
+  /** Persisted crawl config (the reference's `_wordslab/config.txt`
+    * round-trip, `WebsiteExtractorParams.cs:139-199`): written at
+    * bootstrap, re-read on resume so callers can continue with overrides
+    * instead of re-supplying an identical config.
+    */
+  private val configPath = Paths.get(s"$warehouse/config.json")
+
+  def writeConfig(json: String): Unit = {
+    val tmp = Paths.get(s"$warehouse/config.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, configPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readConfig(): Option[String] =
+    if (Files.exists(configPath))
+      Some(new String(Files.readAllBytes(configPath), StandardCharsets.UTF_8))
+    else None
+
   /** Whether a wave partition exists on disk AND is visible. */
   def waveExists(name: String, wave: Int, lookahead: Int = 0): Boolean =
     wave <= committedWave + lookahead && Files.exists(Paths.get(waveDir(name, wave)))
@@ -116,7 +135,8 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
 object TableIO {
   val FrontierSchema =
     "url string, url_hash bigint, host string, parent_url string, depth int, " +
-    "seq bigint, wave int, is_retry boolean, retry_count int, retry_after_sec int"
+    "seq bigint, wave int, is_retry boolean, retry_count int, " +
+    "retry_after_sec int, redirect_position int"
   val SeenSchema = "url_hash bigint"
   val UniqueBlocksSchema = "text_hash bigint, words int"
   val DocumentsSchema =

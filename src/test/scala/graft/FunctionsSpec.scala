@@ -64,7 +64,8 @@ class FunctionsSpec extends AnyFunSuite {
       .toDF("doc_id", "lang", "text")
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString
     DatasetExport.write(docs, "doc_id", out, langFilter = Some("en"), minDocs = 10)
-    val back = spark.read.parquet(out)
+    // README.md dataset card sits at the root (HF layout) — glob to parquet
+    val back = spark.read.option("pathGlobFilter", "*.parquet").parquet(out)
     assert(back.select("lang").distinct().collect().map(_.getString(0)).toSet == Set("en"))
     val sites = back.select("website").distinct().collect().map(_.getString(0)).toSet
     assert(sites == Set("a.com", "b.com"), s"got $sites") // tiny.com gated out

@@ -42,6 +42,14 @@ class GraftFacadeSpec extends AnyFunSuite {
     val r3 = Graft.restart(spark, config, fetcher, wh, numPartitions = 4)
     assert(r3.pagesCrawled == r.pagesCrawled)
 
+    // config round-trips through the warehouse; continueCrawl resumes from
+    // the PERSISTED config (caller supplies only overrides)
+    assert(Graft.persistedConfig(spark, wh).contains(config))
+    val r4 = Graft.continueCrawl(spark, fetcher, wh,
+      overrides = c => c.copy(maxPagesToCrawl = 1000L), numPartitions = 4)
+    assert(r4.wavesProcessed == 0 && r4.pagesCrawled == r.pagesCrawled)
+    assert(Graft.persistedConfig(spark, wh).exists(_.maxPagesToCrawl == 1000L))
+
     // export (gate below corpus size so something passes)
     val out = Files.createTempDirectory("graft-facade-out").toString
     Graft.exportDataset(Graft.documents(spark, wh), out, minDocsPerSite = 1)

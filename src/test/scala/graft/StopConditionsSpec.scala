@@ -170,6 +170,79 @@ class StopConditionsSpec extends AnyFunSuite {
     assert(engineDocs == oracle.documents.map(d => (d.doc_id, d.seq)).toSet)
   }
 
+  test("maxContentChars: size-on-disk stop fires at the same point as the oracle") {
+    // every page serves ~same-sized bodies; a low cap stops the crawl early
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      maxContentChars = 4000L, maxWaves = 40)
+    val (oracle, io, engine) = runBoth(config)
+    assert(oracle.stopReason == "max_size_on_disk")
+    assert(engine.stopReason.contains("max_size_on_disk"))
+    assert(io.stat("pages_total").contains(oracle.crawlOrder.size.toLong))
+    assert(io.stat("content_chars_total").exists(_ >= 4000L))
+  }
+
+  test("maxDurationMin: wall-clock stop with an injected clock (engine-side)") {
+    // clock jumps 10 minutes per call: the first wave-boundary check is
+    // already past a 5-minute budget
+    var t = 0L
+    val clock = () => { t += 600000L; t }
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      maxDurationMin = 5, maxWaves = 40)
+    val io = new TableIO(Files.createTempDirectory("graft-dur").toString, spark)
+    val engine = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4, nowMs = clock)
+    engine.run()
+    assert(engine.stopReason.contains("max_duration"))
+    // a stopped crawl stays stopped on resume
+    val engine2 = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4, nowMs = clock)
+    assert(engine2.run() == 0)
+  }
+
+  test("redirect chains beyond maxRedirects are rejected, in parity") {
+    val host = "chain.example.com"
+    def u(p: String) = s"https://$host/$p"
+    val chainLen = 9
+    val redirects = (0 until chainLen).map { i =>
+      u(s"r$i.html") -> SyntheticPage(u(s"r$i.html"), host, 301, "text/html",
+        u(s"r${i + 1}.html"), "")
+    }.toMap
+    val terminal = u(s"r$chainLen.html") -> SyntheticPage(u(s"r$chainLen.html"),
+      host, 200, "text/html", null,
+      "<html><body><p>the page at the end of the chain</p></body></html>")
+    val root = u("index.html") -> SyntheticPage(u("index.html"), host, 200,
+      "text/html", null,
+      """<html><body><p>root page text</p><a href="/r0.html">c</a></body></html>""")
+    val chainSite = SyntheticWeb.Site(redirects + terminal + root,
+      Map(host -> ""), Map.empty, u("index.html"))
+
+    // cap 3: the chain is cut at r4 (redirect_position 4 > 3); terminal
+    // page never reached
+    val capped = CrawlConfig(rootUrl = chainSite.rootUrl,
+      scope = ScopeFilter.Domain, maxRedirects = 3, maxWaves = 40)
+    val oc = SequentialOracle.crawl(chainSite, capped)
+    assert(!oc.documents.exists(_.doc_id.endsWith(s"r$chainLen.html")))
+    assert(oc.crawlOrder.size < chainLen + 2, s"chain not cut: ${oc.crawlOrder.size}")
+    val ioc = new TableIO(Files.createTempDirectory("graft-chain").toString, spark)
+    new CrawlEngine(spark, ioc, capped,
+      new SyntheticFetcher(chainSite.pages, chainSite.robots), numPartitions = 4).run()
+    assert(ioc.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+      .collect().map(_.getLong(0)).toSet == oc.seen)
+    assert(ioc.stat("pages_total").contains(oc.crawlOrder.size.toLong))
+
+    // default cap 7 < chain 9: still cut; a generous cap 20 reaches the end
+    val open = CrawlConfig(rootUrl = chainSite.rootUrl,
+      scope = ScopeFilter.Domain, maxRedirects = 20, maxWaves = 40)
+    val oo = SequentialOracle.crawl(chainSite, open)
+    assert(oo.documents.exists(_.doc_id.endsWith(s"r$chainLen.html")))
+    val ioo = new TableIO(Files.createTempDirectory("graft-chain2").toString, spark)
+    new CrawlEngine(spark, ioo, open,
+      new SyntheticFetcher(chainSite.pages, chainSite.robots), numPartitions = 4).run()
+    val docs = ioo.readAll("documents", TableIO.DocumentsSchema)
+      .collect().map(r => (r.getString(0), r.getLong(7))).toSet
+    assert(docs == oo.documents.map(d => (d.doc_id, d.seq)).toSet)
+  }
+
   private def retrySite: SyntheticWeb.Site = {
     val host = "retry.example.com"
     def html(links: Seq[String], text: String) =
