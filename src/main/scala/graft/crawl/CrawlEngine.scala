@@ -349,14 +349,16 @@ final class CrawlEngine(
         pages.map(p => CrawlEngine.extractOne(p, pid, extractCost))
       }
       .persist()
-    val (errorsWave, contentCharsWave) = timed(wave, "extract")(
-      if (pagesFetched == 0) (0L, 0L)
+    val (errorsWave, contentCharsWave, botBlockedWave) = timed(wave, "extract")(
+      if (pagesFetched == 0) (0L, 0L, 0L)
       else {
         val r = results.toDF().agg(
           sum(when($"is_error", 1L).otherwise(0L)),
-          sum($"content_chars".cast("long"))).head()
+          sum($"content_chars".cast("long")),
+          sum(when($"status" === HttpFetcher.BotProtectionStatus, 1L).otherwise(0L))).head()
         (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
       })
 
     // ---- 4. text-block analysis + first-wins dedup (D3/W2) ---------------
@@ -520,8 +522,11 @@ final class CrawlEngine(
       window10 = (window10 ++ waveTail).takeRight(10)
     }
     // cascade order mirrors the reference (WebsiteTextExtractor.cs:642-766):
-    // duration → pages → errors → minUnique → size-on-disk
-    if (config.maxDurationMin > 0 &&
+    // bot-wall → duration → pages → errors → minUnique → size-on-disk
+    if (botBlockedWave > 0) {
+      // the site rejects bots (DataDome): abort the whole crawl to comply
+      stopReason = Some("bot_protection")
+    } else if (config.maxDurationMin > 0 &&
         nowMs() - startEpochMs >= config.maxDurationMin * 60000L) {
       stopReason = Some("max_duration")
     } else if (config.maxPagesToCrawl > 0 && pagesTotal >= config.maxPagesToCrawl) {

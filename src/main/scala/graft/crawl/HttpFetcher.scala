@@ -61,6 +61,11 @@ final class HttpFetcher(
       val status = resp.statusCode()
       val contentType = resp.headers().firstValue("Content-Type").orElse("")
       val mime = HttpFetcher.mimeOf(contentType)
+      // bot-wall detection (Abot/Core/PageRequester.cs:151-155): an
+      // X-DataDome response header means the site rejects bots — surface
+      // the sentinel status so the engine aborts the crawl politely
+      if (resp.headers().firstValue("X-DataDome").isPresent)
+        return FetchResponse(HttpFetcher.BotProtectionStatus, mime, null, "")
       if (status >= 300 && status < 400) {
         val loc = resp.headers().firstValue("Location").orElse(null)
         FetchResponse(status, mime, loc, "")
@@ -108,6 +113,12 @@ final class HttpFetcher(
 }
 
 object HttpFetcher {
+
+  /** Sentinel status for a bot-protection wall (DataDome): the engine
+    * stops the whole crawl when it sees one (the reference aborts "to
+    * comply with this policy").
+    */
+  val BotProtectionStatus: Int = -2
 
   /** mime type without parameters, lowercased. */
   def mimeOf(contentType: String): String =

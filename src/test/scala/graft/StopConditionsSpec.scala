@@ -243,6 +243,20 @@ class StopConditionsSpec extends AnyFunSuite {
     assert(docs == oo.documents.map(d => (d.doc_id, d.seq)).toSet)
   }
 
+  test("bot-protection wall (X-DataDome analog) aborts the crawl") {
+    // a fetcher that answers every non-root page with the bot-wall sentinel
+    val walled = new WalledFetcher(site.pages, site.robots, site.rootUrl)
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      maxWaves = 40)
+    val io = new TableIO(Files.createTempDirectory("graft-wall").toString, spark)
+    val engine = new CrawlEngine(spark, io, config, walled, numPartitions = 4)
+    engine.run()
+    assert(engine.stopReason.contains("bot_protection"))
+    // stays stopped on resume
+    val engine2 = new CrawlEngine(spark, io, config, walled, numPartitions = 4)
+    assert(engine2.run() == 0)
+  }
+
   private def retrySite: SyntheticWeb.Site = {
     val host = "retry.example.com"
     def html(links: Seq[String], text: String) =
@@ -307,4 +321,16 @@ class StopConditionsSpec extends AnyFunSuite {
     assert(engineDocs == oracle.documents.map(d => (d.doc_id, d.seq)).toSet)
     assert(io.stat("errors_total").contains(oracle.errors.size.toLong))
   }
+}
+
+/** Test fetcher: bot-wall sentinel for every page except the root
+  * (top-level class so the Spark closure carries no test-suite state).
+  */
+final class WalledFetcher(pages: Map[String, SyntheticPage],
+    robots: Map[String, String], rootUrl: String) extends Fetcher {
+  private val inner = new SyntheticFetcher(pages, robots)
+  override def fetch(url: String, attempt: Int = 0): FetchResponse =
+    if (url != rootUrl) FetchResponse(HttpFetcher.BotProtectionStatus, "", null, "")
+    else inner.fetch(url, attempt)
+  override def fetchRobots(host: String): String = inner.fetchRobots(host)
 }
