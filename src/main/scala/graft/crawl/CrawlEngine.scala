@@ -123,6 +123,7 @@ final class CrawlEngine(
   private var errorsTotal = 0L
   private var contentCharsTotal = 0L
   private var startEpochMs = 0L
+  private var seenRowsTotal = 1L // root hash seeds the set at bootstrap
   private var excludedPrefixes = Vector.empty[String]
   private var window10 = Vector.empty[(String, Double)] // (url, pct), seq order
   private var crawledByHost = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
@@ -138,7 +139,14 @@ final class CrawlEngine(
     * happen because every accepted hash is folded into its bucket's filter
     * in the same wave it enters `seen`).
     */
-  private def bloomEnabled: Boolean = config.bloomCapacity > 0
+  /** Hybrid engage rule: the exact anti-join is cheap while `seen` is
+    * small — the filters only pay once the set passes bloomMinSeenRows
+    * (the broadcast-vs-shuffle-join selection analog). Engaging later is
+    * safe: readBlooms rebuilds the buckets from the authoritative seen
+    * table on its first engaged wave.
+    */
+  private def bloomEnabled: Boolean =
+    config.bloomCapacity > 0 && seenRowsTotal >= config.bloomMinSeenRows
 
   private def perBucketCapacity: Long =
     math.max(1024L, config.bloomCapacity / numPartitions)
@@ -171,6 +179,7 @@ final class CrawlEngine(
     errorsTotal = io.stat("errors_total").getOrElse(0L)
     contentCharsTotal = io.stat("content_chars_total").getOrElse(0L)
     startEpochMs = io.stat("start_epoch_ms").getOrElse(nowMs())
+    seenRowsTotal = io.stat("seen_total").getOrElse(1L)
     stopReason = io.statStr("stop_reason")
     val cw = io.committedWave
     if (config.minUniquePct > 0 && cw >= 0) {
@@ -417,10 +426,13 @@ final class CrawlEngine(
     val seenTable = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
     val nb = numPartitions
     var flagged: DataFrame = null
+    // snapshot the engage decision for the whole wave (seenRowsTotal moves
+    // at the end of the wave; flipping mid-wave would desync prevBlooms)
+    val useBloom = bloomEnabled
     // one read of the previous wave's filters serves both the apply-side
     // cogroup here and the update cogroup at stage time
-    val prevBlooms = if (bloomEnabled) readBlooms(wave).persist() else null
-    val notSeen = (if (bloomEnabled) {
+    val prevBlooms = if (useBloom) readBlooms(wave).persist() else null
+    val notSeen = (if (useBloom) {
       flagged = waveDistinct.as[CandidateLink]
         .groupByKey(c => CrawlEngine.bloomBucket(c.url_hash, nb))
         .cogroup(prevBlooms.groupByKey(_.bucket)) { (_, cands, blooms) =>
@@ -439,8 +451,11 @@ final class CrawlEngine(
       waveDistinct.join(seenTable, Seq("url_hash"), "left_anti")
     }).persist()
 
-    // every evaluated candidate becomes known — pass or fail (AddKnownUri)
+    // every evaluated candidate becomes known — pass or fail (AddKnownUri);
+    // the count materializes the persisted notSeen (downstream reuse) and
+    // feeds the seen_total stat driving the bloom engage threshold
     val seenAdds = notSeen.select($"url_hash")
+    val seenAddedWave = timed(wave, "seen-count")(notSeen.count())
 
     val scope = config.scope
     val root = rootCanon
@@ -586,7 +601,7 @@ final class CrawlEngine(
     if (config.maxPagesPerDomain > 0) {
       io.stage("host_counts", wave, crawledByHost.toSeq.toDF("host", "pages"))
     }
-    if (bloomEnabled) {
+    if (useBloom) {
       // fold this wave's accepted hashes into their buckets' filters and
       // stage the full bucket set for wave N (buckets with no additions
       // carry forward through the cogroup) — all executor-side
@@ -621,12 +636,14 @@ final class CrawlEngine(
       io.stage("frontier", wave + 1, nextFrontierP)
       nextFrontierP.count()
     }
+    seenRowsTotal += seenAddedWave
     io.commitWave(wave, Map(
       "pages" -> pagesFetched,
       "pages_total" -> pagesTotal,
       "errors_total" -> errorsTotal,
       "content_chars_total" -> contentCharsTotal,
       "start_epoch_ms" -> startEpochMs,
+      "seen_total" -> seenRowsTotal,
       "max_seq" -> (prevMaxSeq + newAssigned),
       "next_frontier" -> nextCount), stopReason)
 

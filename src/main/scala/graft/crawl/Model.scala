@@ -185,6 +185,12 @@ final case class CrawlConfig(
     // Abot/Core/BloomFilterCrawledUrlRepository.cs:19). 0 disables.
     bloomCapacity: Long = 2000001L,
     bloomFpr: Double = 0.001,
+    // hybrid engage threshold: below this many SEEN rows the exact
+    // anti-join is already cheap and the per-wave bloom cogroup/update is
+    // pure fixed overhead (measured ~6 s/wave at local[24]); at/above it
+    // the partition-local filters pay for themselves. The broadcast-vs-
+    // shuffle-join selection analog. 0 = always engage (parity tests).
+    bloomMinSeenRows: Long = 200000L,
     // request-log table (S9 analog of the reference's 13-column request log,
     // WebsiteTextExtractor.cs:415-474); off in benchmarks
     logFetches: Boolean = true,
@@ -248,6 +254,7 @@ object CrawlConfigCodec {
       s""""minCrawlDelayMs":${c.minCrawlDelayMs},"maxRobotsDelaySec":${c.maxRobotsDelaySec},""" +
       s""""waveBudgetMs":${c.waveBudgetMs},"maxWaves":${c.maxWaves},""" +
       s""""bloomCapacity":${c.bloomCapacity},"bloomFpr":${c.bloomFpr},""" +
+      s""""bloomMinSeenRows":${c.bloomMinSeenRows},""" +
       s""""logFetches":${c.logFetches}}"""
   }
 
@@ -283,6 +290,7 @@ object CrawlConfigCodec {
       maxWaves = num("maxWaves").toInt,
       bloomCapacity = num("bloomCapacity").toLong,
       bloomFpr = num("bloomFpr").toDouble,
+      bloomMinSeenRows = num("bloomMinSeenRows").toLong,
       logFetches = num("logFetches").toBoolean)
   }
 }

@@ -23,8 +23,11 @@ class CrawlParitySpec extends AnyFunSuite {
   private val site = SyntheticWeb.generate(
     SyntheticWeb.Spec(hosts = 2, pagesPerHost = 6, hotHostFactor = 2, fanout = 3))
   // small politeness budget so per-host caps bind and carryover is exercised
+  // bloomMinSeenRows = 0: always exercise the partition-local bloom
+  // cogroup path (the production threshold would skip it at fixture scale)
   private val config = CrawlConfig(rootUrl = site.rootUrl,
-    scope = ScopeFilter.Domain, waveBudgetMs = 3000L, maxWaves = 40)
+    scope = ScopeFilter.Domain, waveBudgetMs = 3000L, maxWaves = 40,
+    bloomMinSeenRows = 0L)
   private lazy val oracle = SequentialOracle.crawl(site, config)
 
   private def runEngine(warehouse: String, wavesPerRun: Int = Int.MaxValue): TableIO = {
