@@ -217,6 +217,27 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.25, numTables = 8)
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup clustering over the exact cosine pairs:
+      // iterative min-label propagation; cluster = min member id, so the
+      // result is deterministic and oracle-comparable (recursive CTE)
+      Dedup.connectedComponents(
+        Similarity.exactNearDupPairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", threshold = 0.3))
+        .orderBy(col("id"))
+    }),
+
+    "q_ivf_topk" -> ((s, dir) => {
+      // IVF ANN with nprobe = nlist: probes every cell, so the result must
+      // EQUAL the brute-force top-k — the oracle proves the IVF plumbing
+      // (train/assign/probe/rerank) end-to-end; recall at nprobe < nlist
+      // is asserted in OpsSpec
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, dir) => {
       Multimodal.mediaMeta(
@@ -467,6 +488,42 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM prepared p JOIN gated g ON p.website = g.website
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200 AND b.vec_id < 200
+        |    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT src, dst FROM edges
+        |    UNION
+        |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        |  SELECT a, b FROM r)
+        |SELECT a AS id, least(a, min(b)) AS cluster FROM reach
+        |GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_ivf_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cs,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

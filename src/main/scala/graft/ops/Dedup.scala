@@ -199,4 +199,69 @@ object Dedup {
     val withSh = withSimHash(df, textCol).select(col(idCol).as("id"), col("simhash"))
     simHashCandidatePairs(withSh, maxHamming)
   }
+
+  /** Connected components over near-dup pairs — the step a dedup pipeline
+    * runs AFTER pair mining: transitively-linked documents form one
+    * cluster, keep one representative per cluster. Iterative min-label
+    * propagation (large-star/small-star simplification, cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — public):
+    * each round joins every node's label with its neighbors' labels and
+    * keeps the minimum; converges in O(diameter) rounds — near-dup
+    * clusters are small and dense, so a handful of rounds suffices at any
+    * corpus size. All shuffles are equi-joins on node id.
+    *
+    * Input: pairs (id_a, id_b). Output: (id, cluster) with cluster = the
+    * minimum member id — deterministic, so it is oracle-comparable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    // localCheckpoint (not persist): each round must TRUNCATE the logical
+    // plan, or the nested lineage grows exponentially with iterations (the
+    // standard iterative-DataFrame pitfall — plan compilation OOMs long
+    // before the data does)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("cluster", $"id").localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // candidate label for each node: min over its own and neighbors'
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"cluster")
+      val updated = labels.select($"id", $"cluster").unionByName(viaNeighbors)
+        .groupBy($"id").agg(min($"cluster").as("cluster"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.as("l"), $"u.id" === $"l.id")
+        .filter($"u.cluster" =!= $"l.cluster")
+        .limit(1).count() // existence check, not a full count
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"id", $"cluster")
+  }
+
+  /** Corpus-wide near-dup dedup: mine candidate pairs (MinHash-LSH),
+    * cluster them transitively, and flag one canonical doc per cluster
+    * (minimum id — first-wins order). Docs in no pair are their own
+    * cluster. Output: input rows + (cluster, is_canonical).
+    */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, n, k, rowsPerBand, threshold)
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(clusters, col(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .drop("__cc_id")
+      .withColumn("is_canonical", col("cluster") === col(idCol))
+  }
 }

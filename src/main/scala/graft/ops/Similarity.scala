@@ -142,6 +142,125 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  // --- IVF (inverted-file) ANN: the k-means-cell scale path ---------------
+
+  /** Nearest-centroid index for one vector (plain dot-product argmin over
+    * a small broadcast centroid matrix).
+    */
+  private def nearestCell(vec: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      val n = math.min(vec.length, cent.length)
+      while (j < n) { val t = vec(j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train an IVF coarse quantizer with a few Lloyd iterations:
+    * deterministic init (the `nlist` corpus vectors with the smallest
+    * xxhash64(id) — reproducible, no RNG), then assign + per-cell mean.
+    * Centroids are tiny (nlist × dim doubles) — they live on the driver
+    * and broadcast; assignments are a mapPartitions kernel, means a typed
+    * per-cell aggregation. Scales: corpus passes are O(N·nlist·dim) map
+    * work + one groupBy per iteration, no pairwise joins anywhere.
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iterations: Int = 3): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+    var centroids: Array[Array[Double]] = base.toDF()
+      .withColumn("h", xxhash64(col("id"))).orderBy(col("h"))
+      .limit(nlist).select(col("vec")).as[Seq[Float]]
+      .collect().map(_.toArray.map(_.toDouble))
+    var it = 0
+    while (it < iterations) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = base.mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { case (_, vec) =>
+          val arr = vec.toArray.map(_.toDouble)
+          (nearestCell(arr, cents), (arr, 1L))
+        }
+      }.groupByKey(_._1).mapGroups { (cell, rows) =>
+        var count = 0L
+        var acc: Array[Double] = null
+        rows.foreach { case (_, (arr, n)) =>
+          if (acc == null) acc = arr.clone() else {
+            var j = 0; while (j < acc.length && j < arr.length) { acc(j) += arr(j); j += 1 }
+          }
+          count += n
+        }
+        var j = 0; while (j < acc.length) { acc(j) /= count; j += 1 }
+        (cell, acc)
+      }.collect()
+      // empty cells keep their previous centroid
+      val next = centroids.map(_.clone())
+      sums.foreach { case (cell, mean) => next(cell) = mean }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid cell;
+    * each query probes its `nprobe` nearest cells and exact-reranks only
+    * those cells' vectors. Candidate generation is an equi-join on the
+    * cell id — never a cross join with the corpus — so it hash-partitions
+    * evenly; recall is the standard nprobe/nlist trade.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, iterations)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val corpusCells = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nvec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { case (id, vec) =>
+          (nearestCell(vec.toArray.map(_.toDouble), cents), id, vec)
+        }
+      }.toDF("cell", "neighbor_id", "nvec")
+    val np = math.min(nprobe, nlist)
+    val queryCells = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.flatMap { case (id, vec) =>
+          val arr = vec.toArray.map(_.toDouble)
+          val byDist = cents.indices.sortBy { c =>
+            var d = 0.0; var j = 0
+            val n = math.min(arr.length, cents(c).length)
+            while (j < n) { val t = arr(j) - cents(c)(j); d += t * t; j += 1 }
+            d
+          }
+          byDist.take(np).map(cell => (cell, id, vec))
+        }
+      }.toDF("cell", "query_id", "qvec")
+    val scored = corpusCells.join(queryCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
+
   /** Exact cosine near-duplicate pairs over a bounded corpus (the oracle
     * baseline for the LSH variant): full pair join, id_a < id_b.
     */

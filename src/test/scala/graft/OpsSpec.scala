@@ -106,6 +106,67 @@ class OpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"guarantee violated for planted pairs: $missed")
   }
 
+  test("connected components: clusters equal a driver-side union-find oracle") {
+    // chain 1-2-3, pair 10-11, triangle 20-21-22 + bridge 22-23, singleton via no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (22L, 23L)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(3L) == 1L && got(23L) == 20L && got(11L) == 10L)
+  }
+
+  test("nearDupDedup: one canonical per transitive near-dup cluster") {
+    // planted dups (i, i+100) -> clusters {i, i+100} with canonical i;
+    // noise docs are their own singleton clusters
+    val deduped = Dedup.nearDupDedup(nearDupCorpus, "doc_id", "text",
+      n = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+      .select("doc_id", "cluster", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = deduped.map(t => t._1 -> t).toMap
+    (0 until 20).foreach { i =>
+      assert(byId(i.toLong)._3, s"base doc $i should be canonical")
+      if (byId(i + 100L)._2 == i.toLong) assert(!byId(i + 100L)._3)
+    }
+    (200 until 220).foreach { i =>
+      assert(byId(i.toLong)._2 == i.toLong && byId(i.toLong)._3,
+        s"noise doc $i should be its own canonical cluster")
+    }
+    // every cluster has exactly one canonical member
+    deduped.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"cluster $c canonical count")
+    }
+  }
+
+  test("IVF ANN: recall@5 vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 $recall too low at nprobe/nlist = 4/8")
+    // probing ALL cells must reproduce brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nprobe = nlist must equal exact top-k")
+  }
+
   test("LSH ANN recall vs exact near-dup pairs on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.3)
