@@ -60,4 +60,35 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("blocking joins are equi-joins, never nested-loop: jaccard + simhash + ann") {
+    // the quadratic trap for pair-mining ops is a BroadcastNestedLoopJoin /
+    // CartesianProduct; all three must plan hash-partitioned equi-joins
+    Seq("q_jaccard_pairs", "q_simhash_pairs", "q_ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // the self-join on the blocking key must be an equi-join
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q has no equi-join:\n$p")
+    }
+  }
+
+  test("q_ann_lsh task binaries stay small: no giant per-dim expression trees") {
+    // the round-1 formulation compiled ~2k expression nodes per row and the
+    // plan string itself was megabytes; the kernel form stays compact
+    val p = plan("q_ann_lsh")
+    assert(p.length < 100000, s"ann plan string is ${p.length} chars — expression blow-up?")
+    assert(!p.contains("element_at"), "per-dim element_at tree leaked back in")
+  }
+
+  test("dataset export gate is a broadcast semi-join, split needs no shuffle") {
+    val p = graft.ops.DatasetExport.prepare(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("doc_url", concat(lit("https://"), col("source"),
+          lit(".example.com/d"), col("doc_id"))),
+      "doc_url", langFilter = Some("en"), minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"gate not a broadcast semi-join:\n$p")
+  }
 }
