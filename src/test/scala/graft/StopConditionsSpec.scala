@@ -321,6 +321,75 @@ class StopConditionsSpec extends AnyFunSuite {
     assert(engineDocs == oracle.documents.map(d => (d.doc_id, d.seq)).toSet)
     assert(io.stat("errors_total").contains(oracle.errors.size.toLong))
   }
+
+  test("kitchen sink: PDF + retries + redirect chain + robots + dedup compose, in exact parity") {
+    val host = "sink.example.com"
+    def u(p: String) = s"https://$host/$p"
+    def html(text: String, links: String*) =
+      s"""<html><head><title>t</title></head><body><p>$text</p>
+         |${links.map(l => s"""<a href="$l">x</a>""").mkString}</body></html>""".stripMargin
+    val pdfBody = graft.extract.PdfFixture.pdf(Seq(
+      Seq(graft.extract.PdfFixture.Block(Seq("Sink Report"), fontSize = 18),
+        graft.extract.PdfFixture.Block(Seq("pdf paragraph alpha content"))),
+      Seq(graft.extract.PdfFixture.Block(Seq("pdf paragraph beta content")))),
+      title = "Sink", header = "Repeating Header", pageNumbers = true)
+    val pages = Map(
+      // root links everything: a flaky page, a redirect hop, a pdf, a
+      // robots-blocked path, boilerplate duplicates, and a dead link
+      u("index.html") -> SyntheticPage(u("index.html"), host, 200, "text/html", null,
+        html("root words here", "/flaky.html", "/hop0.html", "/doc.pdf",
+          "/private/secret.html", "/dup1.html", "/dup2.html", "/gone.html")),
+      u("flaky.html") -> SyntheticPage(u("flaky.html"), host, 200, "text/html", null,
+        html("flaky page eventually served"), fail_first = 1),
+      u("hop0.html") -> SyntheticPage(u("hop0.html"), host, 301, "text/html",
+        u("hop1.html"), ""),
+      u("hop1.html") -> SyntheticPage(u("hop1.html"), host, 301, "text/html",
+        u("target.html"), ""),
+      u("target.html") -> SyntheticPage(u("target.html"), host, 200, "text/html", null,
+        html("the page behind two redirects")),
+      u("doc.pdf") -> SyntheticPage(u("doc.pdf"), host, 200, "application/pdf",
+        null, pdfBody),
+      u("private/secret.html") -> SyntheticPage(u("private/secret.html"), host, 200,
+        "text/html", null, html("robots should block this")),
+      u("dup1.html") -> SyntheticPage(u("dup1.html"), host, 200, "text/html", null,
+        html("identical duplicated body")),
+      u("dup2.html") -> SyntheticPage(u("dup2.html"), host, 200, "text/html", null,
+        html("identical duplicated body")))
+    val site = SyntheticWeb.Site(pages,
+      Map(host -> "User-agent: *\nDisallow: /private/"), Map.empty, u("index.html"))
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      maxRetries = 2, maxRedirects = 7, maxWaves = 20, bloomMinSeenRows = 0L)
+    val oracle = SequentialOracle.crawl(site, config)
+    // oracle-side expectations
+    val odocs = oracle.documents.map(_.doc_id)
+    assert(odocs.exists(_.endsWith("flaky.html")), "retry path")
+    assert(odocs.exists(_.endsWith("target.html")), "redirect chain")
+    assert(odocs.exists(_.endsWith("doc.pdf")), "pdf path")
+    assert(!odocs.exists(_.contains("secret")), "robots gate")
+    // dup2 has no unique text (first-wins went to dup1) -> no document
+    assert(odocs.exists(_.endsWith("dup1.html")) && !odocs.exists(_.endsWith("dup2.html")))
+    val pdfDoc = oracle.documents.find(_.doc_id.endsWith("doc.pdf")).get
+    assert(pdfDoc.title == "Sink")
+    assert(!pdfDoc.spans.exists(_.text.contains("Repeating Header")), "pdf decoration")
+
+    val io = new TableIO(Files.createTempDirectory("graft-sink").toString, spark)
+    val engine = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
+    engine.run()
+    import spark.implicits._
+    val engineDocs = io.readAll("documents", TableIO.DocumentsSchema)
+      .as[DocumentRow].collect().sortBy(_.seq)
+    val oracleDocs = oracle.documents.sortBy(_.seq)
+    assert(engineDocs.length == oracleDocs.length)
+    engineDocs.zip(oracleDocs).foreach { case (e, o) =>
+      assert(e.doc_id == o.doc_id && e.seq == o.seq && e.spans == o.spans,
+        s"mismatch at ${o.doc_id}")
+    }
+    assert(io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+      .collect().map(_.getLong(0)).toSet == oracle.seen)
+    assert(io.stat("pages_total").contains(oracle.crawlOrder.size.toLong))
+    assert(io.stat("errors_total").contains(oracle.errors.size.toLong))
+  }
 }
 
 /** Test fetcher: bot-wall sentinel for every page except the root
