@@ -260,11 +260,6 @@ final class CrawlEngine(
       if (timed(wave, "isEmpty")(frontier.isEmpty)) return false
     }
     val prevMaxSeq = io.stat("max_seq").getOrElse(0L)
-    // this wave's frontier size, from the previous commit's lineage when
-    // available (resume edge falls back to a count job)
-    val frontierCount =
-      if (io.committedWave == wave - 1) io.stat("next_frontier").getOrElse(frontier.count())
-      else frontier.count()
 
     // ---- 1. robots for hosts newly appearing in the frontier -------------
     if (hostCache == null) {
