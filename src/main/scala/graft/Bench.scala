@@ -40,6 +40,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed session warmup: JVM/JIT, codegen compilation, and parquet
+    // footer reads land here instead of inflating the first timed query
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(1000).agg(count(lit(1))).collect()
+    spark.range(1000000).agg(sum(col("id"))).collect()
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
