@@ -229,11 +229,14 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label for each node: min over its own and neighbors'
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select($"dst".as("id"), $"cluster")
-      val updated = labels.select($"id", $"cluster").unionByName(viaNeighbors)
+      // candidate label for each node: min over its own and neighbors'.
+      // (Pointer jumping would cut rounds to O(log diameter), but its
+      // extra self-join per round costs more than it saves here: near-dup
+      // clusters have tiny diameters, so plain propagation wins.)
+      val updated = labels.select($"id", $"cluster")
+        .unionByName(edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select($"dst".as("id"), $"cluster"))
         .groupBy($"id").agg(min($"cluster").as("cluster"))
         .localCheckpoint(true)
       val changed = updated.as("u")
