@@ -152,14 +152,17 @@ final class CrawlEngine(
     math.max(1024L, config.bloomCapacity / numPartitions)
 
   /** Previous wave's committed bucket filters; absent (bootstrap, legacy
-    * warehouse, or a kill between stage and commit) → rebuild from the
+    * warehouse, or a kill between stage and commit) OR keyed with a
+    * DIFFERENT bucket count (the `bloom_buckets` manifest stat — resuming
+    * at a different parallelism would cogroup candidates against the wrong
+    * bucket's filter, i.e. Bloom FALSE NEGATIVES) → rebuild from the
     * authoritative seen table, distributedly.
     */
   private def readBlooms(wave: Int): org.apache.spark.sql.Dataset[BloomBucket] = {
     val cap = perBucketCapacity
     val fpr = config.bloomFpr
     val nb = numPartitions
-    if (io.waveExists("blooms", wave - 1))
+    if (io.waveExists("blooms", wave - 1) && io.stat("bloom_buckets").contains(nb.toLong))
       io.readWave("blooms", wave - 1, TableIO.BloomsSchema).as[BloomBucket]
     else
       io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
@@ -255,7 +258,13 @@ final class CrawlEngine(
     // fast empty check from the previous commit's lineage stats (the Spark
     // isEmpty job only runs on the resume edge where no stat exists)
     if (io.stat("next_frontier").contains(0L) && io.committedWave == wave - 1) return false
+    // na.fill: a warehouse written before the retry/redirect columns existed
+    // reads nulls for them under the current schema — fill their defaults so
+    // legacy-warehouse resume keeps working (as[FrontierEntry] would throw on
+    // a null in a non-nullable field otherwise)
     val frontier = io.readWave("frontier", wave, TableIO.FrontierSchema, lookahead = 1)
+      .na.fill(false, Seq("is_retry"))
+      .na.fill(0, Seq("retry_count", "retry_after_sec", "redirect_position"))
     if (io.stat("next_frontier").isEmpty || io.committedWave != wave - 1) {
       if (timed(wave, "isEmpty")(frontier.isEmpty)) return false
     }
@@ -632,7 +641,7 @@ final class CrawlEngine(
       nextFrontierP.count()
     }
     seenRowsTotal += seenAddedWave
-    io.commitWave(wave, Map(
+    val baseStats = Map(
       "pages" -> pagesFetched,
       "pages_total" -> pagesTotal,
       "errors_total" -> errorsTotal,
@@ -640,7 +649,12 @@ final class CrawlEngine(
       "start_epoch_ms" -> startEpochMs,
       "seen_total" -> seenRowsTotal,
       "max_seq" -> (prevMaxSeq + newAssigned),
-      "next_frontier" -> nextCount), stopReason)
+      "next_frontier" -> nextCount)
+    // bloom_buckets records the bucket count the staged blooms are keyed on;
+    // readBlooms rejects persisted filters whose count differs from the
+    // current numPartitions (resume-at-different-parallelism safety)
+    val stats = if (useBloom) baseStats + ("bloom_buckets" -> nb.toLong) else baseStats
+    io.commitWave(wave, stats, stopReason)
 
     results.unpersist()
     if (flagged != null) flagged.unpersist()

@@ -128,4 +128,40 @@ class CrawlParitySpec extends AnyFunSuite {
       org.apache.spark.sql.functions.sum("pages")).head().getLong(0)
     assert(m1 == oracle.crawlOrder.size)
   }
+
+  test("resume at a DIFFERENT parallelism ignores persisted blooms (no false negatives)") {
+    // blooms staged at numPartitions=4 are keyed floorMod(hash, 4); resuming
+    // at 3 partitions must rebuild them from `seen` (bloom_buckets stat
+    // mismatch), or candidates cogroup against the wrong bucket's filter and
+    // already-seen URLs get re-crawled
+    val wh = Files.createTempDirectory("graft-resume-parts").toString
+    runEngine(wh, wavesPerRun = 2) // blooms committed with bloom_buckets=4
+    val io = new TableIO(wh, spark)
+    assert(io.stat("bloom_buckets").contains(4L), "bucket count persisted")
+    new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 3).run()
+    assert(docsOf(io) == docsOf(fullIo))
+    assert(seenOf(io) == seenOf(fullIo))
+  }
+
+  test("legacy warehouse resume: frontier staged without retry/redirect columns") {
+    val wh = Files.createTempDirectory("graft-resume-legacy").toString
+    runEngine(wh, wavesPerRun = 2)
+    val io = new TableIO(wh, spark)
+    // rewrite the staged next-wave frontier with the PRE-retry 7-column
+    // schema (what a round-1 warehouse holds on disk)
+    val nextWave = io.committedWave + 1
+    val dir = s"$wh/frontier/w$nextWave"
+    val legacyRows = spark.read.parquet(dir)
+      .select("url", "url_hash", "host", "parent_url", "depth", "seq", "wave")
+      .collect().toSeq
+    val legacySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "url string, url_hash bigint, host string, parent_url string, " +
+      "depth int, seq bigint, wave int")
+    spark.createDataFrame(spark.sparkContext.parallelize(legacyRows), legacySchema)
+      .write.mode("overwrite").parquet(dir)
+    val io2 = runEngine(wh) // must fill defaults, not throw on null fields
+    assert(docsOf(io2) == docsOf(fullIo))
+    assert(seenOf(io2) == seenOf(fullIo))
+  }
 }
