@@ -296,8 +296,11 @@ object SparkEntry {
               s"second line of the paragraph for doc $i page $p")),
             PdfFixture.Block(Seq(s"closing remarks $i $p")))
         }
+        // odd fixtures are /FlateDecode-compressed (the real-world form);
+        // extraction must be identical either way
         (s"pdf_$i", PdfFixture.pdf(pages, title = s"Fixture $i",
-          header = "Shared Running Header", pageNumbers = true))
+          header = "Shared Running Header", pageNumbers = true,
+          compress = i % 2 == 1))
       }
       fixtures.toDF("doc_id", "body").as[(String, String)].map { case (id, body) =>
         val d = PdfToSpans.extract(body)

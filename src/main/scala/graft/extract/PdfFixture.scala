@@ -19,11 +19,26 @@ object PdfFixture {
     * removes in the reference).
     */
   def pdf(pages: Seq[Seq[Block]], title: String = "",
-      header: String = "", pageNumbers: Boolean = false): String = {
+      header: String = "", pageNumbers: Boolean = false,
+      compress: Boolean = false): String = {
     val contents = pages.zipWithIndex.map { case (blocks, p) =>
       pageContent(blocks, p + 1, header, pageNumbers)
     }
-    assemble(contents, title)
+    assemble(contents, title, compress)
+  }
+
+  /** zlib-deflate a content stream, returned as its lossless ISO-8859-1
+    * string image (how real PDFs store page content: /Filter /FlateDecode).
+    */
+  private def deflate(content: String): String = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   private def esc(s: String): String =
@@ -52,7 +67,8 @@ object PdfFixture {
     sb.toString
   }
 
-  private def assemble(contents: Seq[String], title: String): String = {
+  private def assemble(contents: Seq[String], title: String,
+      compress: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
     val n = contents.length
@@ -66,9 +82,11 @@ object PdfFixture {
       val contentId = pageId + 1
       sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /Contents $contentId 0 R " +
         "/MediaBox [0 0 612 792] >> endobj\n")
-      sb.append(s"$contentId 0 obj << /Length ${c.length} >> stream\n")
-      sb.append(c)
-      sb.append("endstream endobj\n")
+      val (data, filter) =
+        if (compress) (deflate(c), " /Filter /FlateDecode") else (c, "")
+      sb.append(s"$contentId 0 obj << /Length ${data.length}$filter >> stream\n")
+      sb.append(data)
+      sb.append("\nendstream endobj\n")
     }
     sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
     sb.toString

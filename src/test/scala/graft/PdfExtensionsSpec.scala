@@ -90,6 +90,42 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(texts == Vector("top paragraph first", "bottom paragraph second"))
   }
 
+  test("PDF: FlateDecode streams extract identically to uncompressed") {
+    val pages = Seq(
+      Seq(
+        Block(Seq("Chapter One"), fontSize = 18),
+        Block(Seq("first page body paragraph with several words",
+          "and a second line in the same paragraph")),
+        Block(Seq("closing remarks of page one"))),
+      Seq(
+        Block(Seq("Chapter Two"), fontSize = 18),
+        Block(Seq("second page body paragraph, distinct words")),
+        Block(Seq("closing remarks of page two"))))
+    val plain = PdfFixture.pdf(pages, title = "Flate Fixture",
+      header = "Shared Running Header", pageNumbers = true)
+    val flate = PdfFixture.pdf(pages, title = "Flate Fixture",
+      header = "Shared Running Header", pageNumbers = true, compress = true)
+    assert(flate.contains("/FlateDecode") && !plain.contains("/FlateDecode"))
+    val dPlain = PdfToSpans.extract(plain)
+    val dFlate = PdfToSpans.extract(flate)
+    assert(dFlate.title == "Flate Fixture")
+    assert(dFlate.spans == dPlain.spans, "compressed != uncompressed spans")
+    assert(dFlate.spans.exists(_.kind == "TextBlock.Text"))
+    // byte-path entry too (executor-side shape): bytes → identical spans
+    val viaBytes = PdfToSpans.extract(
+      flate.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(viaBytes.spans == dPlain.spans)
+    // decorations were removed from the COMPRESSED variant as well
+    assert(!dFlate.spans.exists(s => s.text.contains("Running Header") ||
+      s.text.startsWith("Page ")))
+    // an unsupported filter degrades to no text, never a crash
+    val lzw = flate.replace("/FlateDecode", "/LZWDecode")
+    assert(PdfToSpans.extract(lzw).spans.isEmpty)
+    // a truncated/corrupt Flate stream degrades to no text, never a crash
+    val corrupt = flate.replaceFirst("stream\r?\n.", "stream\nX")
+    assert(PdfToSpans.extract(corrupt).spans.size <= dPlain.spans.size)
+  }
+
   test("PDF end-to-end through the crawl engine and oracle, in parity") {
     import graft.crawl._
     import graft.core.ScopeFilter
