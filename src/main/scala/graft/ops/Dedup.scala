@@ -202,52 +202,93 @@ object Dedup {
 
   /** Connected components over near-dup pairs — the step a dedup pipeline
     * runs AFTER pair mining: transitively-linked documents form one
-    * cluster, keep one representative per cluster. Iterative min-label
-    * propagation (large-star/small-star simplification, cf. Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC 2014 — public):
-    * each round joins every node's label with its neighbors' labels and
-    * keeps the minimum; converges in O(diameter) rounds — near-dup
-    * clusters are small and dense, so a handful of rounds suffices at any
-    * corpus size. All shuffles are equi-joins on node id.
+    * cluster, keep one representative per cluster. Two phases (the
+    * standard contract-then-iterate CC shape, cf. Kiveris et al., SoCC
+    * 2014; Rastogi et al., ICDE 2013 — public material):
     *
-    * Input: pairs (id_a, id_b). Output: (id, cluster) with cluster = the
-    * minimum member id — deterministic, so it is oracle-comparable.
+    *  1. PARTITION-LOCAL CONTRACTION: a union-find pass inside
+    *     mapPartitions collapses each partition's edges to a star forest
+    *     (node → local min root). One linear pass eliminates every chain
+    *     that fits in a partition — the case that costs min-label
+    *     propagation O(diameter) rounds. Partition count is sized from the
+    *     edge count (~500k edges/task), so each task's map is executor-
+    *     memory bounded at any corpus size.
+    *  2. CROSS-PARTITION STITCHING: min-label propagation with a pointer
+    *     jump over the star edges. Star forests have tiny diameters (they
+    *     only chain across partitions), so a handful of rounds suffices;
+    *     each round is ONE materializing job (eager localCheckpoint — the
+    *     plan must truncate per round or plan compilation blows up long
+    *     before the data does) carrying a fused `changed` flag, and the
+    *     convergence test is a cheap scan of the materialized result.
+    *     Hitting maxIterations without a fixpoint THROWS rather than
+    *     silently returning unconverged labels.
+    *
+    * Input: pairs (id_a, id_b), integral ids. Output: (id, cluster) with
+    * cluster = the minimum member id — deterministic, oracle-comparable.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges0 = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .distinct().persist()
-    // localCheckpoint (not persist): each round must TRUNCATE the logical
-    // plan, or the nested lineage grows exponentially with iterations (the
-    // standard iterative-DataFrame pitfall — plan compilation OOMs long
-    // before the data does)
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("cluster", $"id").localCheckpoint(true)
+    val m = edges0.count()
+    // ---- phase 1: per-partition union-find → star edges (node, localRoot)
+    val parts = math.max(1L, math.min(1L << 16, (m + 499999L) / 500000L)).toInt
+    val stars = edges0.as[(Long, Long)].repartition(parts).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      val nodes = scala.collection.mutable.LongMap.empty[Boolean]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        nodes(a) = true; nodes(b) = true
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      nodes.keysIterator.map(x => (x, find(x)))
+    }.toDF("src", "dst").localCheckpoint(true) // materialize ONCE: label init
+    // and the stitch edges both read it, and edges0 can drop right after
+    edges0.unpersist()
+    // label init folds one propagation step: min local root across partitions
+    var labels = stars.groupBy($"src".as("id")).agg(min($"dst").as("cluster"))
+      .localCheckpoint(true)
+    // undirected star edges for the stitch loop
+    val edges = stars.unionByName(stars.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst").distinct().localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label for each node: min over its own and neighbors'.
-      // (Pointer jumping would cut rounds to O(log diameter), but its
-      // extra self-join per round costs more than it saves here: near-dup
-      // clusters have tiny diameters, so plain propagation wins.)
-      val updated = labels.select($"id", $"cluster")
-        .unionByName(edges
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .select($"dst".as("id"), $"cluster"))
-        .groupBy($"id").agg(min($"cluster").as("cluster"))
+      // neighbor-min: each node adopts min(own, neighbors') label
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id")).agg(min($"cluster").as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id", $"cluster".as("old"),
+          least($"cluster", coalesce($"nbr_min", $"cluster")).as("mid"))
+      // pointer jump: follow the adopted label one hop through the same
+      // round's label table (labels are node ids, so they resolve in place)
+      val updated = stepped.join(
+          labels.select($"id".as("jid"), $"cluster".as("jc")),
+          $"mid" === $"jid", "left")
+        .select($"id", least($"mid", coalesce($"jc", $"mid")).as("cluster"), $"old")
+        .withColumn("changed", $"cluster" =!= $"old")
+        .select($"id", $"cluster", $"changed")
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.as("l"), $"u.id" === $"l.id")
-        .filter($"u.cluster" =!= $"l.cluster")
-        .limit(1).count() // existence check, not a full count
-      labels = updated
-      converged = changed == 0
+      val anyChanged = updated.agg(max($"changed")).head()
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      labels = updated.drop("changed")
       iter += 1
+      if (sys.env.contains("GRAFT_TRACE"))
+        System.err.println(s"[trace] cc round $iter converged=$converged")
     }
-    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations stitch rounds " +
+        "(star-forest diameter beyond the doubling budget — raise maxIterations)")
     labels.select($"id", $"cluster")
   }
 
