@@ -189,9 +189,9 @@ object SparkEntry {
     }),
 
     "q_simhash_pairs" -> ((s, dir) => {
-      // maxHamming = 7 is the contractual radius: 8-block blocking
-      // GUARANTEES recall up to Hamming 7 (pigeonhole); larger radii are
-      // probabilistic (Dedup.simHashCandidatePairs doc)
+      // maxHamming = 7 is the contractual radius: 4 blocks of 16 bits with
+      // single-bit-flip probe keys GUARANTEE recall up to Hamming 7 while
+      // keeping a 2^16 join-key space (Dedup.simHashCandidatePairs doc)
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 7)
     }),

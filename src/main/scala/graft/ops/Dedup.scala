@@ -162,32 +162,66 @@ object Dedup {
     df.withColumn("simhash", sh(col(textCol)))
   }
 
+  /** Blocking geometry for simHashCandidatePairs: `blocks` equal-width
+    * pieces of the 64-bit hash, each emitting its value plus all
+    * single-bit flips as probe keys. By pigeonhole, `maxHamming` dirty
+    * bits over `blocks` pieces leave some piece with ≤ floor(maxHamming /
+    * blocks) dirty bits; a piece with ≤ 1 dirty bit is caught by a flip
+    * key, so recall is GUARANTEED whenever floor(maxHamming / blocks) ≤ 1
+    * — up to Hamming 15 at the 8-block cap (with 16-bit keys up to
+    * Hamming 7); beyond 15 the blocking is probabilistic (documented).
+    * Exposed so tests can assert the key-width contract (≥16-bit keys at
+    * maxHamming = 7).
+    */
+  def simHashBlockingParams(maxHamming: Int): (Int, Int) = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val blocks = math.max(1, math.min(8, maxHamming / 2 + 1))
+    (blocks, 64 / blocks)
+  }
+
   /** SimHash candidate blocking + exact Hamming filter over a prepared
-    * (id, simhash) frame. Blocking splits the 64-bit hash into
-    * `min(8, maxHamming+1)` equal-width blocks and equi-joins on
-    * (block index, block value): by pigeonhole, a pair within Hamming
-    * distance `blocks - 1` has at least one clean block, so recall is
-    * GUARANTEED up to maxHamming = 7 (8 blocks of 8 bits). Above that the
-    * blocking is probabilistic (differing bits cluster in practice) — pin
-    * maxHamming ≤ 7 for the contractual form; at larger Hamming radii use
-    * Manku et al.'s permuted multi-table scheme (WWW 2007, public).
+    * (id, simhash) frame. The hash splits into wide blocks (4 blocks of
+    * 16 bits at the contractual maxHamming = 7) and each block emits its
+    * value AND all single-bit flips as probe keys (Manku et al., WWW 2007
+    * table/probe trade; Lv et al., VLDB 2007 multi-probe — both public):
+    * ≤ 7 differing bits over 4 blocks leave some block differing in ≤ 1
+    * bit, and a 1-bit difference is bridged by a flip key, so recall is
+    * GUARANTEED — while the join key space per block is 2^16, not the 2^8
+    * of a plain 8-block split, which is what keeps bucket occupancy (and
+    * the quadratic within-bucket pair join) bounded as the corpus grows.
+    *
+    * The candidate join is ASYMMETRIC: probe rows (value + flips, blocks ×
+    * (width+1) = 68/doc at the default) against base rows (value only,
+    * blocks/doc). Coverage is unchanged — for a pair differing in ≤ 1 bit
+    * of block q, the dirty-bit flip of either side meets the other side's
+    * base — but an exact-duplicate pair collides on `blocks` keys instead
+    * of blocks×(width+1), so dup-heavy corpora don't inflate the join.
     */
   def simHashCandidatePairs(withSh: DataFrame, maxHamming: Int): DataFrame = {
-    val blocks = math.max(1, math.min(8, maxHamming + 1))
-    val width = 64 / blocks
+    val (blocks, width) = simHashBlockingParams(maxHamming)
     val mask = if (width >= 64) -1L else (1L << width) - 1L
-    val pieces = withSh.select(col("id"), col("simhash"),
-      posexplode(array((0 until blocks).map(q =>
-        shiftright(col("simhash"), q * width).bitwiseAND(mask)): _*)))
+    def blockVal(q: Int): Column =
+      shiftright(col("simhash"), q * width).bitwiseAND(mask)
+    val probes = withSh.select(col("id"), col("simhash"),
+      explode(flatten(array((0 until blocks).map { q =>
+        val base = blockVal(q)
+        val keys = base +: (0 until width).map(j => base.bitwiseXOR(lit(1L << j)))
+        array(keys.map(k => struct(lit(q).as("q"), k.as("kv"))): _*)
+      }: _*))).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.q").as("q"), col("bk.kv").as("qval"))
+    val bases = withSh.select(col("id"), col("simhash"),
+      posexplode(array((0 until blocks).map(blockVal): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qval")
-    val cand = pieces.as("a").join(pieces.as("b"),
+    val cand = probes.as("a").join(bases.as("b"),
         col("a.q") === col("b.q") && col("a.qval") === col("b.qval") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        // xor is symmetric, so hamming is pair-normalization-safe
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
+    cand.filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 

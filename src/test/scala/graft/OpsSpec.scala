@@ -84,7 +84,8 @@ class OpsSpec extends AnyFunSuite {
   test("simhash blocking guarantee: EVERY pair within hamming 7 is found") {
     // plant pairs at exact Hamming distances 1..7 with adversarial bit
     // spreads (all flips inside one block, and flips straddling blocks);
-    // pigeonhole over 8 blocks must find them ALL — guarantee, not recall
+    // pigeonhole over 4 wide blocks + single-bit-flip probe keys must find
+    // them ALL — guarantee, not recall
     val rnd = new scala.util.Random(11)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val expected = scala.collection.mutable.Set.empty[(Long, Long)]
@@ -104,6 +105,13 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missed = expected.toSet -- found
     assert(missed.isEmpty, s"guarantee violated for planted pairs: $missed")
+    // key-width contract: the blocking join keys span >= 2^16 values per
+    // block at the contractual radius — an 8-bit key space caps bucket
+    // counts at 256 and turns the self-join quadratic at corpus scale
+    val (blocks, width) = Dedup.simHashBlockingParams(7)
+    assert(blocks == 4 && width == 16, s"blocking geometry ($blocks, $width)")
+    // guarantee extends to Hamming 15 via 8x8-bit blocks + flip keys
+    assert(Dedup.simHashBlockingParams(15) == ((8, 8)))
   }
 
   test("connected components: clusters equal a driver-side union-find oracle") {
