@@ -145,8 +145,12 @@ object Similarity {
   // --- IVF (inverted-file) ANN: the k-means-cell scale path ---------------
 
   /** Nearest-centroid index for one vector (plain dot-product argmin over
-    * a small broadcast centroid matrix).
+    * a small broadcast centroid matrix). Exposed as `nearestCellPublic`
+    * for test oracles.
     */
+  def nearestCellPublic(vec: Array[Double], centroids: Array[Array[Double]]): Int =
+    nearestCell(vec, centroids)
+
   private def nearestCell(vec: Array[Double], centroids: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -163,13 +167,45 @@ object Similarity {
     best
   }
 
+  /** Per-partition k-means partials: each task folds ALL its vectors into
+    * at most `centroids.length` (cell, sum-vector, count) rows — the
+    * classic k-means combiner. Only these partials ever shuffle, so the
+    * per-iteration shuffle volume is O(partitions · nlist · dim) rows, not
+    * O(N · dim) vectors over the wire (asserted by `OpsSpec`).
+    */
+  def ivfPartials(base: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Dataset[(Int, Array[Double], Long)] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    base.mapPartitions { rows =>
+      val cents = bc.value
+      val sums = new Array[Array[Double]](cents.length)
+      val counts = new Array[Long](cents.length)
+      rows.foreach { case (_, vec) =>
+        val arr = new Array[Double](vec.length)
+        var j = 0
+        while (j < arr.length) { arr(j) = vec(j).toDouble; j += 1 }
+        val c = nearestCell(arr, cents)
+        if (sums(c) == null) sums(c) = new Array[Double](arr.length)
+        val s = sums(c)
+        var k = 0
+        val n = math.min(s.length, arr.length)
+        while (k < n) { s(k) += arr(k); k += 1 }
+        counts(c) += 1
+      }
+      cents.indices.iterator.filter(counts(_) > 0)
+        .map(c => (c, sums(c), counts(c)))
+    }
+  }
+
   /** Train an IVF coarse quantizer with a few Lloyd iterations:
     * deterministic init (the `nlist` corpus vectors with the smallest
     * xxhash64(id) — reproducible, no RNG), then assign + per-cell mean.
     * Centroids are tiny (nlist × dim doubles) — they live on the driver
-    * and broadcast; assignments are a mapPartitions kernel, means a typed
-    * per-cell aggregation. Scales: corpus passes are O(N·nlist·dim) map
-    * work + one groupBy per iteration, no pairwise joins anywhere.
+    * and broadcast; assignment + summation happen INSIDE mapPartitions
+    * (ivfPartials), so each iteration shuffles only the
+    * partitions × nlist pre-aggregated partials, never the corpus.
     */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iterations: Int = 3): Array[Array[Double]] = {
@@ -183,25 +219,21 @@ object Similarity {
       .collect().map(_.toArray.map(_.toDouble))
     var it = 0
     while (it < iterations) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val sums = base.mapPartitions { rows =>
-        val cents = bc.value
-        rows.map { case (_, vec) =>
-          val arr = vec.toArray.map(_.toDouble)
-          (nearestCell(arr, cents), (arr, 1L))
+      val sums = ivfPartials(base, centroids)
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2.clone()
+          var j = 0
+          val n = math.min(s.length, b._2.length)
+          while (j < n) { s(j) += b._2(j); j += 1 }
+          (a._1, s, a._3 + b._3)
         }
-      }.groupByKey(_._1).mapGroups { (cell, rows) =>
-        var count = 0L
-        var acc: Array[Double] = null
-        rows.foreach { case (_, (arr, n)) =>
-          if (acc == null) acc = arr.clone() else {
-            var j = 0; while (j < acc.length && j < arr.length) { acc(j) += arr(j); j += 1 }
-          }
-          count += n
-        }
-        var j = 0; while (j < acc.length) { acc(j) /= count; j += 1 }
-        (cell, acc)
-      }.collect()
+        .map { case (cell, (_, sum, count)) =>
+          val m = sum.clone()
+          var j = 0
+          while (j < m.length) { m(j) /= count; j += 1 }
+          (cell, m)
+        }.collect()
       // empty cells keep their previous centroid
       val next = centroids.map(_.clone())
       sums.foreach { case (cell, mean) => next(cell) = mean }

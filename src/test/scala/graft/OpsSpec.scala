@@ -175,6 +175,44 @@ class OpsSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal exact top-k")
   }
 
+  test("IVF training shuffles bounded partials, never the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .as[(Long, Seq[Float])].repartition(4)
+    val n = base.count()
+    val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8)
+    // the train stage's shuffle input is the partial rows, bounded by
+    // partitions x nlist regardless of corpus size (map-side combine)
+    val partials = Similarity.ivfPartials(base, centroids)
+    val partialCount = partials.count()
+    assert(partialCount <= 4L * 8L, s"partials $partialCount exceed partitions*nlist")
+    assert(partialCount < n, s"partials $partialCount not smaller than corpus $n")
+    // partials reduce to the same means a single-pass computation gives
+    val viaPartials = partials.collect()
+      .groupBy(_._1).map { case (c, rows) =>
+        val dim = rows.head._2.length
+        val sum = new Array[Double](dim)
+        rows.foreach(r => (0 until dim).foreach(j => sum(j) += r._2(j)))
+        val cnt = rows.map(_._3).sum
+        c -> sum.map(_ / cnt).toVector
+      }
+    val direct = base.collect()
+      .map { case (_, v) =>
+        val arr = v.map(_.toDouble).toArray
+        (Similarity.nearestCellPublic(arr, centroids), arr)
+      }
+      .groupBy(_._1).map { case (c, rows) =>
+        val dim = rows.head._2.length
+        val sum = new Array[Double](dim)
+        rows.foreach(r => (0 until dim).foreach(j => sum(j) += r._2(j)))
+        c -> sum.map(_ / rows.length).toVector
+      }
+    assert(viaPartials.keySet == direct.keySet)
+    viaPartials.foreach { case (c, m) =>
+      m.zip(direct(c)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("LSH ANN recall vs exact near-dup pairs on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.3)
