@@ -92,9 +92,10 @@ private final class BroadcastSyntheticFetcher(
   *    broadcast at frontier scale; AQE picks sort-merge vs shuffled-hash);
   *  - dense seq assignment is sort + zipWithIndex — two linear passes, no
   *    single-partition window bottleneck (W3);
-  *  - per-host state (robots, crawl delay) is collected + broadcast: the
-  *    host set is bounded by distinct registrable domains (~10^7-10^8 at
-  *    full web scale), millions of times smaller than the URL frontier.
+  *  - per-host state: only the crawl-delay map (a long per host) lives on
+  *    the driver; the robots corpus stays in the `hosts` table and each
+  *    wave broadcasts compiled rules for JUST that wave's candidate hosts,
+  *    so driver memory and broadcast size track wave width, not crawl age.
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -109,12 +110,45 @@ final class CrawlEngine(
   private val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
     .getOrElse(throw new IllegalArgumentException(s"bad root url: ${config.rootUrl}"))
 
-  /** Driver-side cache of per-host state (robots, delay). Authoritative
-    * copy lives in the `hosts` table (rebuilt here on resume); the cache
-    * only saves the per-wave re-read. Size is bounded by distinct hosts,
-    * not URLs — safe to hold on the driver (SURVEY.md §4).
+  /** Driver-side cache of per-host crawl delays ONLY (a long per host —
+    * politeness caps need nothing else). The robots corpus itself stays in
+    * the `hosts` table and is read back PER WAVE for just the hosts the
+    * wave touches, so neither driver memory nor the per-wave broadcast
+    * grows with crawl age (the round-2 design broadcast every host's
+    * compiled rules every wave). The delay map is bounded by distinct
+    * hosts × ~a few bytes — safe on the driver at a 10^7-host frontier
+    * where the robots corpus would not be (SURVEY.md §4).
     */
-  private var hostCache: scala.collection.mutable.Map[String, HostState] = _
+  private var delayByHost: scala.collection.mutable.Map[String, Long] = _
+
+  /** Size of the last wave's compiled-robots broadcast (test hook: asserts
+    * the broadcast is scoped to the wave's candidate hosts).
+    */
+  private[graft] var lastRobotsBroadcastSize: Int = -1
+
+  /** Compiled robots rules for exactly `hosts`: freshly-fetched states
+    * first (not yet staged to the hosts table), the rest read back from
+    * the authoritative table — filtered, so the driver only ever holds
+    * this wave's rules.
+    */
+  private def compiledRobotsFor(hosts: Seq[String],
+      fresh: Seq[HostState]): Map[String, CompiledRobots] = {
+    val freshTxt = fresh.map(h => h.host -> h.robots_txt).toMap
+    val need = hosts.filterNot(freshTxt.contains)
+    val fromTable: Map[String, String] =
+      if (need.isEmpty) Map.empty
+      else {
+        val tbl = io.readAll("hosts", TableIO.HostsSchema)
+        // isin pushes down for modest host sets; a join scales past that
+        val filtered =
+          if (need.length <= 1024) tbl.filter(col("host").isin(need: _*))
+          else tbl.join(spark.createDataset(need.toSeq).toDF("host"), "host")
+        filtered.select(col("host"), col("robots_txt")).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      }
+    (freshTxt.view.filterKeys(hosts.contains).toMap ++ fromTable)
+      .map { case (h, txt) => h -> CompiledRobots.of(txt) }
+  }
 
   // --- stop-condition / budget state (wave-synchronous contract shared
   // with SequentialOracle; all fields recoverable from tables/stats) ------
@@ -271,16 +305,17 @@ final class CrawlEngine(
     val prevMaxSeq = io.stat("max_seq").getOrElse(0L)
 
     // ---- 1. robots for hosts newly appearing in the frontier -------------
-    if (hostCache == null) {
-      hostCache = scala.collection.mutable.Map.empty
-      io.readAll("hosts", TableIO.HostsSchema).as[HostState].collect()
-        .foreach(h => hostCache(h.host) = h)
+    if (delayByHost == null) {
+      delayByHost = scala.collection.mutable.Map.empty
+      io.readAll("hosts", TableIO.HostsSchema)
+        .select($"host", $"crawl_delay_ms").collect()
+        .foreach(r => delayByHost(r.getString(0)) = r.getLong(1))
     }
     val fetcherL = fetcher
     val cfg = config
     val frontierHosts = timed(wave, "hosts")(
       frontier.select($"host").distinct().as[String].collect())
-    val newHostNames = frontierHosts.filterNot(hostCache.contains)
+    val newHostNames = frontierHosts.filterNot(delayByHost.contains)
     // few new hosts → fetch robots on the driver; many → distribute
     val newHostStates: Seq[HostState] = timed(wave, "robots")(
       if (newHostNames.length <= 64) {
@@ -299,13 +334,11 @@ final class CrawlEngine(
             }
           }.collect().toSeq
       })
-    newHostStates.foreach(h => hostCache(h.host) = h)
-    val hostStates = hostCache.values.toArray
-    val compiled: Map[String, CompiledRobots] =
-      hostStates.map(h => h.host -> CompiledRobots.of(h.robots_txt)).toMap
-    val robotsBc = spark.sparkContext.broadcast(compiled)
-    val capByHost: Map[String, Int] = hostStates.map { h =>
-      h.host -> math.max(1L, config.waveBudgetMs / math.max(1L, h.crawl_delay_ms)).toInt
+    newHostStates.foreach(h => delayByHost(h.host) = h.crawl_delay_ms)
+    // politeness caps for THIS WAVE's frontier hosts only
+    val capByHost: Map[String, Int] = frontierHosts.map { h =>
+      val delay = delayByHost.getOrElse(h, config.effectiveDelayMs(0))
+      h -> math.max(1L, config.waveBudgetMs / math.max(1L, delay)).toInt
     }.toMap
     val capBc = spark.sparkContext.broadcast(capByHost)
 
@@ -460,6 +493,21 @@ final class CrawlEngine(
     // feeds the seen_total stat driving the bloom engage threshold
     val seenAdds = notSeen.select($"url_hash")
     val seenAddedWave = timed(wave, "seen-count")(notSeen.count())
+
+    // robots rules are needed only by the candidate-link filter below, so
+    // the broadcast is scoped to THIS WAVE'S candidate hosts (collected
+    // from the persisted notSeen — bounded by the wave's link targets, the
+    // same order as frontierHosts). Hosts never seen before have no rules
+    // yet and pass as Empty (their robots are fetched when they become
+    // frontier — reference semantics); known hosts' robots come from the
+    // hosts TABLE, so neither the driver nor the broadcast ever holds the
+    // full robots corpus.
+    val candKnownHosts = timed(wave, "cand-hosts")(
+      notSeen.select($"host").distinct().as[String].collect()
+        .filter(delayByHost.contains).toSeq)
+    val robotsRules = compiledRobotsFor(candKnownHosts, newHostStates)
+    lastRobotsBroadcastSize = robotsRules.size
+    val robotsBc = spark.sparkContext.broadcast(robotsRules)
 
     val scope = config.scope
     val root = rootCanon

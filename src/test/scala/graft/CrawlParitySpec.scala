@@ -144,6 +144,39 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(seenOf(io) == seenOf(fullIo))
   }
 
+  test("robots broadcast is scoped to the wave's candidate hosts, not crawl age") {
+    // many hosts, narrow tree links: late waves only touch a few hosts, so
+    // a wave-scoped broadcast must be SMALLER than the known-host set there
+    // (the unscoped design re-broadcast every host ever seen, every wave)
+    val sSite = SyntheticWeb.generate(SyntheticWeb.Spec(
+      hosts = 6, pagesPerHost = 5, hotHostFactor = 1, fanout = 2,
+      treeLinks = true, sharedDomain = true))
+    val sConfig = CrawlConfig(rootUrl = sSite.rootUrl,
+      scope = ScopeFilter.Domain, waveBudgetMs = 600000L, maxWaves = 40)
+    val sOracle = SequentialOracle.crawl(sSite, sConfig)
+    val wh = Files.createTempDirectory("graft-robots-scope").toString
+    val io = new TableIO(wh, spark)
+    val engine = new CrawlEngine(spark, io, sConfig,
+      new SyntheticFetcher(sSite.pages, sSite.robots), numPartitions = 4)
+    val sizes = scala.collection.mutable.Buffer.empty[Int]
+    var hadWork = true
+    var wave = 0
+    while (hadWork && wave < 40) {
+      hadWork = engine.run(maxWavesThisRun = 1) > 0
+      if (hadWork) sizes += engine.lastRobotsBroadcastSize
+      wave += 1
+    }
+    val totalHosts = sSite.pages.values.map(_.host).toSet.size
+    assert(totalHosts >= 6)
+    assert(sizes.forall(_ <= totalHosts))
+    assert(sizes.last < totalHosts,
+      s"final-wave broadcast ${sizes.last} not scoped below $totalHosts hosts")
+    // parity is unaffected by the scoping
+    assert(seenOf(io) == sOracle.seen)
+    assert(io.readAll("documents", TableIO.DocumentsSchema).count() ==
+      sOracle.documents.size)
+  }
+
   test("legacy warehouse resume: frontier staged without retry/redirect columns") {
     val wh = Files.createTempDirectory("graft-resume-legacy").toString
     runEngine(wh, wavesPerRun = 2)
