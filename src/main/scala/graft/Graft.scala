@@ -100,6 +100,26 @@ object Graft {
       lang: Option[String] = None, minDocsPerSite: Long = 50L): Unit =
     graft.ops.DatasetExport.write(docs, "doc_id", outDir, lang, minDocsPerSite)
 
+  /** Per-document file-tree export (C8): writes every document's three
+    * renderings through the reference's URL→path mapping
+    * (`html/HtmlFileUtils.cs:102-166`) into
+    * `<outDir>/<websitePath>/.../<name>.<lang>.{text.md,dataframe.csv,
+    * preview.html}` — the browsable output tree a user of the reference
+    * gets next to the parquet warehouse. Files are written
+    * partition-parallel on executors (no driver fan-in); returns the
+    * website content directory.
+    */
+  def exportFiles(spark: SparkSession, warehouse: String, outDir: String): String = {
+    val config = persistedConfig(spark, warehouse).getOrElse(
+      throw new IllegalArgumentException(s"no persisted config in $warehouse"))
+    val website = graft.extract.FileExport.websitePath(config.scope, config.rootUrl)
+    val contentDir = s"$outDir/$website"
+    val langs = documents(spark, warehouse).select("doc_id", "lang")
+    val rendered = renderAll(spark, warehouse).join(langs, "doc_id")
+    graft.extract.FileExport.writeFiles(rendered, contentDir)
+    contentDir
+  }
+
   /** Render one document's spans (reference output formats, S5). */
   def toMarkdown(doc: DocumentRow): String =
     graft.extract.SpanRenderers.toMarkdown(doc.title, doc.spans)

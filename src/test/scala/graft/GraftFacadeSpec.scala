@@ -86,5 +86,51 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(log.count() == r.pagesCrawled)
     assert(log.columns.length == 15 && log.columns.contains("fetch_ms")
       && log.columns.contains("retry_count"))
+
+    // per-document file-tree export (C8): three files per doc under the
+    // reference's URL-derived layout, written partition-parallel
+    val treeOut = Files.createTempDirectory("graft-facade-tree").toString
+    val contentDir = Graft.exportFiles(spark, wh, treeOut)
+    assert(contentDir.startsWith(treeOut))
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(contentDir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(written)
+      .asScala.map(_.toString).toVector
+    assert(names.count(_.endsWith(".text.md")) == docs.length)
+    assert(names.count(_.endsWith(".dataframe.csv")) == docs.length)
+    assert(names.count(_.endsWith(".preview.html")) == docs.length)
+    // language extension sits between the url-derived base and the format
+    assert(names.forall(n => n.contains(".xx.") ||
+      n.matches(".*\\.[a-z]{2}\\.(text\\.md|dataframe\\.csv|preview\\.html)")))
+  }
+
+  test("URL→path mapping matches the reference's documented layout") {
+    import graft.extract.FileExport
+    // GetBaseDomain doc example (HtmlFileUtils.cs:36-38)
+    assert(FileExport.websitePath(ScopeFilter.Domain,
+      "http://www.west-wind.com/") == "west-wind.com")
+    assert(FileExport.websitePath(ScopeFilter.SubDomain,
+      "http://www.west-wind.com/") == "www.west-wind.com")
+    // segments + filename
+    assert(FileExport.filePathFromUrl(
+      "https://en.wikipedia.org/wiki/Text_mining") == "wiki/Text_mining")
+    assert(FileExport.filePathFromUrl(
+      "https://site.com/docs/guide/intro.html") == "docs/guide/intro.html")
+    // trailing slash → _default_
+    assert(FileExport.filePathFromUrl("https://site.com/") == "_default_")
+    assert(FileExport.filePathFromUrl("https://site.com/blog/") == "blog/_default_")
+    // invalid filename chars → '_', url-decoding applied
+    assert(FileExport.filePathFromUrl(
+      "https://site.com/a%20b/c:d.html") == "a b/c_d.html")
+    // query → '_' + uppercase MD5 of the query INCLUDING its leading '?'
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("?q=hello".getBytes("UTF-8")).map("%02X".format(_)).mkString
+    assert(FileExport.filePathFromUrl(
+      "https://site.com/search?q=hello") == s"search_$md5")
+    // dots-before-slash collapse defangs traversal segments
+    assert(!FileExport.pathValidChars("a/../b").contains(".."))
+    // language extension
+    assert(FileExport.languageCode("?") == "xx" && FileExport.languageCode("en") == "en")
   }
 }
