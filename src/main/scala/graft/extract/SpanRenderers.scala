@@ -59,12 +59,66 @@ object SpanRenderers {
       isUnique: Long => Boolean): String =
     toMarkdown(title, graft.core.SpanTree.pruneNonUnique(spans, isUnique))
 
+  /** Column number of a cell-coordinate Start text ("row,col" or
+    * "row:rowspan,col:colspan"); 1 when unparseable.
+    */
+  private def cellColNum(coords: String): Int = {
+    val parts = coords.split(',')
+    if (parts.length != 2) 1
+    else parts(1).split(':')(0).toIntOption.getOrElse(1)
+  }
+
+  /** Buffered markdown table state: rows break on first-column cells (the
+    * cell-coordinate Start text carries row,col) and a GFM header
+    * separator row follows a leading TableHeader row, so the output
+    * round-trips through a GFM parser (unlike the reference's one-line
+    * rendering — documented improvement).
+    */
+  private final class MdTable {
+    private val rows = Vector.newBuilder[(Boolean, Vector[String])]
+    private var row: Vector[String] = Vector.empty
+    private var rowIsHeader = false
+    var cell: StringBuilder = _
+    def startCell(coords: String, isHeader: Boolean): Unit = {
+      if (cellColNum(coords) == 1 && row.nonEmpty) {
+        rows += ((rowIsHeader, row)); row = Vector.empty
+      }
+      if (row.isEmpty) rowIsHeader = isHeader
+      cell = new StringBuilder
+    }
+    def endCell(): Unit = {
+      if (cell != null) { row :+= cell.toString.trim; cell = null }
+    }
+    def render(): String = {
+      if (row.nonEmpty) { rows += ((rowIsHeader, row)); row = Vector.empty }
+      val all = rows.result()
+      if (all.isEmpty) return ""
+      val ncols = all.map(_._2.size).max
+      def line(cells: Vector[String]): String =
+        (cells ++ Vector.fill(ncols - cells.size)(""))
+          .mkString("| ", " | ", " |\n")
+      val out = new StringBuilder
+      out.append(line(all.head._2))
+      if (all.head._1)
+        out.append(Vector.fill(ncols)("---").mkString("| ", " | ", " |\n"))
+      all.tail.foreach(r => out.append(line(r._2)))
+      out.append('\n')
+      out.toString
+    }
+  }
+
   def toMarkdown(title: String, spans: Seq[Span]): String = {
     val sb = new StringBuilder
     if (title.nonEmpty) sb.append("# ").append(title).append("\n\n")
     var sectionDepth = 0
-    var inCell = false
     var listDepth = 0
+    var tables = List.empty[MdTable] // stack: nested tables render into the outer cell
+    def activeCell: Option[StringBuilder] =
+      tables.headOption.flatMap(t => Option(t.cell))
+    def out(text: String): Unit = activeCell match {
+      case Some(c) => (if (c.nonEmpty) c.append(' ') else c).append(text)
+      case None => sb.append(text)
+    }
     spans.foreach { s =>
       s.kind match {
         case "Section.Start" =>
@@ -75,20 +129,36 @@ object SpanRenderers {
         case "Section.End" => sectionDepth -= 1
         case "List.Start" | "NavigationList.Start" => listDepth += 1
         case "List.End" | "NavigationList.End" =>
-          listDepth -= 1; if (listDepth == 0) sb.append("\n")
-        case "ListItem.Start" => sb.append("- ")
+          listDepth -= 1; if (listDepth == 0 && tables.isEmpty) sb.append("\n")
+        case "ListItem.Start" => if (tables.isEmpty) sb.append("- ")
         case "ListItem.End" => ()
-        case "Table.Start" => ()
-        case "Table.End" => sb.append("|\n\n")
-        case "TableHeader.Start" | "TableCell.Start" =>
-          inCell = true; sb.append("| ")
-        case "TableHeader.End" | "TableCell.End" => inCell = false
+        case "Table.Start" => tables ::= new MdTable
+        case "Table.End" =>
+          tables match {
+            case t :: rest =>
+              tables = rest
+              val text = t.render()
+              activeCell match {
+                case Some(c) => c.append(' ').append(text.replace('\n', ' ').trim)
+                case None => sb.append(text)
+              }
+            case Nil => ()
+          }
+        case "TableHeader.Start" =>
+          tables.headOption.foreach(_.startCell(s.text, isHeader = true))
+        case "TableCell.Start" =>
+          tables.headOption.foreach(_.startCell(s.text, isHeader = false))
+        case "TableHeader.End" | "TableCell.End" =>
+          tables.headOption.foreach(_.endCell())
         case SpanKinds.TextBlockText =>
-          if (inCell) sb.append(s.text).append(' ')
+          if (activeCell.nonEmpty) out(s.text)
           else if (listDepth > 0) sb.append(s.text).append('\n')
           else sb.append(s.text).append("\n\n")
         case SpanKinds.MediaImage =>
-          if (s.media_ref.nonEmpty) sb.append(s"![${s.text}](${s.media_ref})\n")
+          if (s.media_ref.nonEmpty) {
+            out(s"![${s.text}](${s.media_ref})")
+            if (activeCell.isEmpty) sb.append('\n')
+          }
         case _ => ()
       }
     }

@@ -49,6 +49,36 @@ class RendererSpec extends AnyFunSuite {
     assert(md.contains("![pic](/i.png)"))
   }
 
+  test("markdown tables are GFM: rows break at row boundaries, header separator") {
+    val tableHtml =
+      """<html><body><table>
+        |<tr><th>Name</th><th>Age</th></tr>
+        |<tr><td>Ada</td><td>36</td></tr>
+        |<tr><td>Alan</td><td>41</td></tr>
+        |</table></body></html>""".stripMargin
+    val d = HtmlToSpans.extract(tableHtml)
+    val md = SpanRenderers.toMarkdown("", d.spans)
+    // round-trip through a minimal GFM table parser: pipe-rows, a valid
+    // separator after the header, and the original cells in order
+    val lines = md.split("\n").filter(_.nonEmpty).toVector
+    assert(lines.length == 4, md)
+    assert(lines.forall(l => l.startsWith("|") && l.endsWith("|")), md)
+    def cells(l: String): Vector[String] =
+      l.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim).toVector
+    assert(cells(lines(0)) == Vector("Name", "Age"))
+    assert(cells(lines(1)).forall(_.matches(":?-{3,}:?")), s"separator ${lines(1)}")
+    assert(cells(lines(1)).size == 2)
+    assert(cells(lines(2)) == Vector("Ada", "36"))
+    assert(cells(lines(3)) == Vector("Alan", "41"))
+    // header-less table: no separator emitted, rows still break
+    val noHeader = HtmlToSpans.extract(
+      "<html><body><table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table></body></html>")
+    val md2 = SpanRenderers.toMarkdown("", noHeader.spans)
+    val lines2 = md2.split("\n").filter(_.nonEmpty).toVector
+    assert(lines2.length == 2 && !md2.contains("---"), md2)
+    assert(cells(lines2(0)) == Vector("a", "b") && cells(lines2(1)) == Vector("c", "d"))
+  }
+
   test("CSV round-trips uniqueness flags through the isUnique hook") {
     val d = HtmlToSpans.extract(html)
     val allDup = SpanRenderers.toCsv("https://x/", d.title, d.spans, _ => false)
