@@ -240,10 +240,11 @@ object SparkEntry {
 
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, dir) => {
+      // n_bytes is excluded from the oracle projection: image rows now
+      // carry real PNG bytes, whose encoded size SQL cannot predict
       Multimodal.mediaMeta(
           Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text"))
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"))
+        .select(col("media_id"), col("kind"), col("width"), col("height"))
     }),
 
     "q_media_features" -> ((s, dir) => { // rows-only: stubbed decode kernel
@@ -532,7 +533,6 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |       8 + octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       CAST(16 + doc_id % 64 AS INT) AS width,
         |       CAST(16 + doc_id % 48 AS INT) AS height
         |FROM documents""".stripMargin

@@ -265,9 +265,31 @@ class OpsSpec extends AnyFunSuite {
       assert(f.feature.length == 4)
       assert(f.n_bytes >= 8)
     }
-    // decode stub never throws on garbage
+    // image rows: REAL ImageIO decode — dimensions and per-pixel stats
+    // must equal the deterministic synthesized raster exactly
+    val imgFeats = feats.filter(_.kind == "image")
+    assert(imgFeats.nonEmpty)
+    imgFeats.foreach { f =>
+      val w = 16 + (f.media_id % 64).toInt
+      val h = 16 + (f.media_id % 48).toInt
+      val pixels = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelValue(f.media_id, x, y).toDouble
+      assert(f.feature(0) == w * h, "n_pixels")
+      assert(math.abs(f.feature(1) - pixels.sum / pixels.size) < 1e-9, "mean pixel")
+      assert(f.feature(2) == pixels.min && f.feature(3) == pixels.max)
+    }
+    // decoded == synthesized, pixel for pixel (full-raster round-trip)
+    val sampleId = imgFeats.head.media_id
+    val w0 = 16 + (sampleId % 64).toInt
+    val h0 = 16 + (sampleId % 48).toInt
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(sampleId, w0, h0)))
+    for (y <- 0 until h0; x <- 0 until w0)
+      assert(img.getRaster.getSample(x, y, 0) == Multimodal.pixelValue(sampleId, x, y))
+    // decode kernels never throw on garbage
     assert(Multimodal.decodeStub(null)._3.sameElements(Array.fill(4)(0.0)))
     assert(Multimodal.decodeStub(Array[Byte](1, 2))._1 == 0)
+    assert(Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
   }
 
   test("split assignment is deterministic and ~80/10/10") {
