@@ -15,7 +15,9 @@ object Bench {
   /** Headline subset: the heavier relational/window/dedup/similarity ops.
     * q_jaccard_pairs is back in the list (round 2): its blocking join is
     * frequency-capped (maxDocFreq), which bounds the hot-shingle quadratic
-    * blow-up that forced its round-1 exclusion.
+    * blow-up that forced its round-1 exclusion; q_winnow_pairs joined in
+    * round 3 for the same reason, plus the composed q_neardup_export
+    * pipeline DAG.
     */
   private val headline = Seq(
     "q_agg_pricing", "q_orders_by_priority", "q_rolling_window",
@@ -23,7 +25,8 @@ object Bench {
     "q_topk_per_group", "q_global_topk", "q_hourly_events",
     "q_lang_histogram", "q_split_assign", "q_doc_stats", "q_quality",
     "q_lang_guess", "q_dedup_exact", "q_jaccard_pairs", "q_minhash_lsh",
-    "q_simhash_pairs", "q_dedup_clusters", "q_cosine_topk",
+    "q_simhash_pairs", "q_dedup_clusters", "q_winnow_pairs",
+    "q_neardup_export", "q_cosine_topk",
     "q_embedding_neardup", "q_ann_lsh", "q_ivf_topk",
     "q_media_meta", "q_media_features")
 

@@ -275,6 +275,28 @@ object SparkEntry {
         .orderBy(col("website"), col("split"))
     }),
 
+    // ---- pipeline composition: dedup → export as ONE DAG ----------------
+    "q_neardup_export" -> ((s, dir) => {
+      // the full pipeline story (mine pairs → cluster → keep canonicals →
+      // gate + split for export) as a single oracle-checked query
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val pairs = Similarity.exactNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3)
+      val clusters = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "__cc_id")
+      val canon = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .join(clusters, col("doc_id") === col("__cc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .filter(col("cluster") === col("doc_id"))
+      graft.ops.DatasetExport.prepare(
+          canon.withColumn("doc_url", concat(lit("https://"), col("source"),
+            lit(".example.com/d"), col("doc_id"))),
+          "doc_url", langFilter = Some("en"), minDocs = 2)
+        .groupBy(col("website"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("website"), col("split"))
+    }),
+
     // ---- crawl-native (north rule; engine-specific → rows-only) ---------
     "q_crawl_documents" -> ((s, dir) => {
       val d = entry(s)
@@ -514,6 +536,43 @@ object SparkEntry {
         |  SELECT a, b FROM r)
         |SELECT a AS id, least(a, min(b)) AS cluster FROM reach
         |GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_neardup_export" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200 AND b.vec_id < 200
+        |    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT src, dst FROM edges
+        |    UNION
+        |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        |  SELECT a, b FROM r),
+        |cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+        |canon AS (
+        |  SELECT d.* FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+        |  WHERE d.doc_id < 200 AND COALESCE(cl.cluster, d.doc_id) = d.doc_id),
+        |prepared AS (
+        |  SELECT 'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR) AS doc_url,
+        |         source || '.example.com' AS website, lang
+        |  FROM canon WHERE lang = 'en'),
+        |gated AS (
+        |  SELECT website FROM prepared GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT p.website, CASE
+        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 <= 7 THEN 'train'
+        |    WHEN ('0x' || substring(md5(p.doc_url), 1, 4))::INT % 10 = 8 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM prepared p JOIN gated g ON p.website = g.website
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ivf_topk" ->
       """WITH scored AS (
