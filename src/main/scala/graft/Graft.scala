@@ -120,6 +120,15 @@ object Graft {
     contentDir
   }
 
+  /** Legacy-corpus ingest (S6): read a directory tree of the reference's
+    * `##`-marker NLPTextDocument text files back into span rows
+    * (`wordslab.nlptextdoc/NLPTextDocumentReader.cs:12-226`). Listing and
+    * parsing are partition-parallel (binaryFile source, one file per row).
+    */
+  def readLegacy(spark: SparkSession, dir: String,
+      glob: String = "*.txt"): DataFrame =
+    graft.extract.LegacyDocSource.read(spark, dir, glob)
+
   /** Render one document's spans (reference output formats, S5). */
   def toMarkdown(doc: DocumentRow): String =
     graft.extract.SpanRenderers.toMarkdown(doc.title, doc.spans)

@@ -488,23 +488,28 @@ final class CrawlEngine(
       waveDistinct.join(seenTable, Seq("url_hash"), "left_anti")
     }).persist()
 
-    // every evaluated candidate becomes known — pass or fail (AddKnownUri);
-    // the count materializes the persisted notSeen (downstream reuse) and
-    // feeds the seen_total stat driving the bloom engage threshold
+    // every evaluated candidate becomes known — pass or fail (AddKnownUri)
     val seenAdds = notSeen.select($"url_hash")
-    val seenAddedWave = timed(wave, "seen-count")(notSeen.count())
+
+    // ONE job serves three needs: per-host candidate counts give (a) the
+    // wave's seen-added total (sum → the bloom engage threshold stat),
+    // (b) the wave's distinct candidate hosts scoping the robots
+    // broadcast, and (c) materialization of the persisted notSeen for
+    // downstream reuse. The collect is bounded by distinct hosts in the
+    // wave's link targets — the same order as frontierHosts, never URLs.
+    val candHostCounts = timed(wave, "cand-hosts")(
+      notSeen.groupBy($"host").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect())
+    val seenAddedWave = candHostCounts.map(_._2).sum
 
     // robots rules are needed only by the candidate-link filter below, so
-    // the broadcast is scoped to THIS WAVE'S candidate hosts (collected
-    // from the persisted notSeen — bounded by the wave's link targets, the
-    // same order as frontierHosts). Hosts never seen before have no rules
-    // yet and pass as Empty (their robots are fetched when they become
-    // frontier — reference semantics); known hosts' robots come from the
-    // hosts TABLE, so neither the driver nor the broadcast ever holds the
-    // full robots corpus.
-    val candKnownHosts = timed(wave, "cand-hosts")(
-      notSeen.select($"host").distinct().as[String].collect()
-        .filter(delayByHost.contains).toSeq)
+    // the broadcast is scoped to THIS WAVE'S candidate hosts. Hosts never
+    // seen before have no rules yet and pass as Empty (their robots are
+    // fetched when they become frontier — reference semantics); known
+    // hosts' robots come from the hosts TABLE, so neither the driver nor
+    // the broadcast ever holds the full robots corpus.
+    val candKnownHosts: Seq[String] =
+      candHostCounts.map(_._1).filter(delayByHost.contains).toSeq
     val robotsRules = compiledRobotsFor(candKnownHosts, newHostStates)
     lastRobotsBroadcastSize = robotsRules.size
     val robotsBc = spark.sparkContext.broadcast(robotsRules)

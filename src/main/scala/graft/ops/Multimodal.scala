@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `javax.imageio.ImageIO` (in the JDK — PNG, JPEG,
   * GIF, BMP) turns the blob into width/height plus first-band luminance
   * statistics, and the synthetic corpus carries genuine PNG bytes with
-  * deterministic pixels. Audio/video decode remains a DETERMINISTIC STUB
-  * (no such codecs ship in the JDK): it parses the fake GFT header we
-  * synthesize; everything around it — schema, batching, partition shape,
-  * column contracts — is the real Spark plumbing a production codec drops
-  * into.
+  * deterministic pixels. AUDIO decode is REAL too: `javax.sound.sampled.
+  * AudioSystem` (also in the JDK) parses WAV/PCM blobs into sample-rate /
+  * channels / amplitude statistics, and the corpus carries genuine 16-bit
+  * PCM WAV bytes with deterministic samples. VIDEO decode remains a
+  * DETERMINISTIC STUB (no video codec ships in the JDK): it parses the
+  * fake GFT header we synthesize; everything around it — schema, batching,
+  * partition shape, column contracts — is the real Spark plumbing a
+  * production codec drops into.
   */
 object Multimodal {
 
@@ -58,9 +61,13 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic media table from any (id, text) table:
-    * image rows carry REAL PNG bytes (deterministic pixels), audio/video
-    * rows a fake GFT header + UTF-8 payload (the declared decode-stub
-    * seam). Stands in for crawled media in tests and benchmarks.
+    * image rows carry REAL PNG bytes (deterministic pixels), audio rows
+    * REAL 16-bit PCM WAV bytes (deterministic samples), video rows a fake
+    * GFT header + UTF-8 payload (the declared decode-stub seam). The
+    * width/height columns are the crawler-declared metadata (same formula
+    * for every kind — the `q_media_meta` oracle's contract); decode
+    * recovers the true shape from the bytes. Stands in for crawled media
+    * in tests and benchmarks.
     */
   def synthesizeMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -73,6 +80,7 @@ object Multimodal {
         val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
         val blob =
           if (kind == "image") encodePng(id, w, h)
+          else if (kind == "audio") encodeWav(id, wavFrames(id))
           else {
             val payload = (if (t == null) "" else t).getBytes("UTF-8")
             Array[Byte]('G', 'F', 'T', '1',
@@ -82,7 +90,83 @@ object Multimodal {
       }
   }
 
+  /** Deterministic 16-bit PCM sample for synthetic audio — shared by the
+    * encoder and the decoded-equals-synthesized test oracle.
+    */
+  def sampleValue(id: Long, i: Int): Short =
+    ((((id * 2654435761L + i * 40503L) % 65536L) + 65536L) % 65536L - 32768L).toShort
+
+  /** Nominal sample rate for synthetic WAV blobs (Hz). */
+  val WavSampleRate = 8000
+
+  /** Frame count for a synthetic audio blob. */
+  def wavFrames(id: Long): Int = 64 + (id % 128).toInt
+
+  /** A real RIFF/WAVE blob: 16-bit PCM mono at [[WavSampleRate]] with
+    * deterministic samples ([[sampleValue]]), written through the JDK's
+    * `AudioSystem` encoder.
+    */
+  def encodeWav(id: Long, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavSampleRate.toFloat, 16, 1, true /* signed */, false /* little-endian */)
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = sampleValue(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: AudioSystem (JDK — WAV/PCM) → (sample_rate,
+    * channels, [n_frames, mean, min, max] over raw sample values). None on
+    * undecodable bytes — never throws.
+    */
+  def decodeAudio(blob: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0.0
+          var mn = Double.MaxValue
+          var mx = Double.MinValue
+          var i = 0
+          val bigEndian = fmt.isBigEndian
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1) & 0xff
+            val v = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toDouble
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val frames = math.max(1, n)
+          Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            Array(n.toDouble, sum / frames, if (n == 0) 0.0 else mn,
+              if (n == 0) 0.0 else mx)))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  private def isRiffWave(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
   /** REAL image decode: ImageIO (JDK codecs — PNG/JPEG/GIF/BMP) → width,
     * height, and first-band stats [n_pixels, mean, min, max]. None on
@@ -150,8 +234,13 @@ object Multimodal {
       rows.map { r =>
         val bytes = if (r.blob == null) Array.emptyByteArray else r.blob
         val isPng = bytes.length >= 4 && PngMagic.indices.forall(i => bytes(i) == PngMagic(i))
+        // decoded (width, height) carries the modality's natural shape:
+        // images (pixel w, pixel h); audio (sample_rate, channels);
+        // video stub (declared w, h from the GFT header)
         val (w, h, feat) =
           if (isPng) decodeImage(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
+          else if (isRiffWave(bytes))
+            decodeAudio(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
           else decodeStub(bytes)
         MediaFeatures(r.media_id, r.kind, bytes.length,
           w, h, graft.core.XxHash64.hash(bytes, 0L), feat.toSeq)

@@ -260,8 +260,10 @@ class OpsSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 50)
     feats.foreach { f =>
-      assert(f.width == 16 + (f.media_id % 64).toInt, "width roundtrip")
-      assert(f.height == 16 + (f.media_id % 48).toInt, "height roundtrip")
+      if (f.kind != "audio") { // audio decode reports (sample_rate, channels)
+        assert(f.width == 16 + (f.media_id % 64).toInt, "width roundtrip")
+        assert(f.height == 16 + (f.media_id % 48).toInt, "height roundtrip")
+      }
       assert(f.feature.length == 4)
       assert(f.n_bytes >= 8)
     }
@@ -286,10 +288,25 @@ class OpsSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(Multimodal.encodePng(sampleId, w0, h0)))
     for (y <- 0 until h0; x <- 0 until w0)
       assert(img.getRaster.getSample(x, y, 0) == Multimodal.pixelValue(sampleId, x, y))
+    // audio rows: REAL AudioSystem decode — sample rate, channels, and
+    // amplitude stats must equal the deterministic synthesized PCM exactly
+    val audFeats = feats.filter(_.kind == "audio")
+    assert(audFeats.nonEmpty)
+    audFeats.foreach { f =>
+      val frames = Multimodal.wavFrames(f.media_id)
+      val samples = (0 until frames).map(i =>
+        Multimodal.sampleValue(f.media_id, i).toDouble)
+      assert(f.width == Multimodal.WavSampleRate, "sample rate")
+      assert(f.height == 1, "channels")
+      assert(f.feature(0) == frames, "n_frames")
+      assert(math.abs(f.feature(1) - samples.sum / frames) < 1e-9, "mean amplitude")
+      assert(f.feature(2) == samples.min && f.feature(3) == samples.max)
+    }
     // decode kernels never throw on garbage
     assert(Multimodal.decodeStub(null)._3.sameElements(Array.fill(4)(0.0)))
     assert(Multimodal.decodeStub(Array[Byte](1, 2))._1 == 0)
     assert(Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
+    assert(Multimodal.decodeAudio(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
   }
 
   test("split assignment is deterministic and ~80/10/10") {
