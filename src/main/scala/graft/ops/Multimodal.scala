@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample run as partition-parallel transforms over those
   * blobs.
   *
-  * IMAGE decode is REAL: `javax.imageio.ImageIO` (in the JDK — PNG, JPEG,
-  * GIF, BMP) turns the blob into width/height plus first-band luminance
-  * statistics, and the synthetic corpus carries genuine PNG bytes with
-  * deterministic pixels. AUDIO decode is REAL too: `javax.sound.sampled.
-  * AudioSystem` (also in the JDK) parses WAV/PCM blobs into sample-rate /
-  * channels / amplitude statistics, and the corpus carries genuine 16-bit
-  * PCM WAV bytes with deterministic samples. VIDEO decode remains a
-  * DETERMINISTIC STUB (no video codec ships in the JDK): it parses the
-  * fake GFT header we synthesize; everything around it — schema, batching,
-  * partition shape, column contracts — is the real Spark plumbing a
-  * production codec drops into.
+  * All three modalities decode REAL bytes with JDK codecs:
+  *  - IMAGE: `javax.imageio.ImageIO` (PNG, JPEG, GIF, BMP) → width/height
+  *    + first-band luminance statistics; the synthetic corpus carries
+  *    genuine PNG bytes with deterministic pixels.
+  *  - AUDIO: `javax.sound.sampled.AudioSystem` (WAV/PCM) → sample-rate /
+  *    channels / amplitude statistics; the corpus carries genuine 16-bit
+  *    PCM WAV bytes with deterministic samples.
+  *  - VIDEO: multi-frame animated GIF via `ImageIO`'s sequence reader —
+  *    frame count, dimensions, and FRAME-SAMPLED luminance statistics
+  *    (decode every k-th frame, the cheap-scan shape a production ffmpeg
+  *    kernel drops into for MP4); the corpus carries genuine animated-GIF
+  *    bytes with deterministic per-frame pixels. `decodeStub` remains only
+  *    as the documented fallback for container formats with no JDK codec.
   */
 object Multimodal {
 
@@ -62,12 +64,12 @@ object Multimodal {
 
   /** Synthesize a deterministic media table from any (id, text) table:
     * image rows carry REAL PNG bytes (deterministic pixels), audio rows
-    * REAL 16-bit PCM WAV bytes (deterministic samples), video rows a fake
-    * GFT header + UTF-8 payload (the declared decode-stub seam). The
-    * width/height columns are the crawler-declared metadata (same formula
-    * for every kind — the `q_media_meta` oracle's contract); decode
-    * recovers the true shape from the bytes. Stands in for crawled media
-    * in tests and benchmarks.
+    * REAL 16-bit PCM WAV bytes (deterministic samples), video rows REAL
+    * animated-GIF bytes (deterministic per-frame pixels). The width/height
+    * columns are the crawler-declared metadata (same formula for every
+    * kind — the `q_media_meta` oracle's contract); decode recovers the
+    * true shape from the bytes. Stands in for crawled media in tests and
+    * benchmarks.
     */
   def synthesizeMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -81,11 +83,7 @@ object Multimodal {
         val blob =
           if (kind == "image") encodePng(id, w, h)
           else if (kind == "audio") encodeWav(id, wavFrames(id))
-          else {
-            val payload = (if (t == null) "" else t).getBytes("UTF-8")
-            Array[Byte]('G', 'F', 'T', '1',
-              (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++ payload
-          }
+          else encodeGifAnim(id, w, h, videoFrames(id))
         MediaRow(id, kind, blob, w, h)
       }
   }
@@ -161,7 +159,109 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Deterministic grayscale pixel for frame `f` of a synthetic video. */
+  def framePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    pixelValue(id * 131L + f, x, y)
+
+  /** Frame count for a synthetic video blob. */
+  def videoFrames(id: Long): Int = 4 + (id % 6).toInt
+
+  /** A real animated GIF: `frames` grayscale frames of deterministic
+    * pixels ([[framePixel]]), written through ImageIO's GIF sequence
+    * writer. GIF is lossless at ≤256 colors, so an 8-bit gray raster
+    * round-trips exactly.
+    */
+  def encodeGifAnim(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    // explicit 256-entry gray palette: the GIF writer encodes palette
+    // indices verbatim (no quantization), so sample values round-trip
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, framePixel(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL video decode: ImageIO's GIF sequence reader → (width, height,
+    * [n_frames, mean, min, max] of luminance over the frames selected by
+    * `sampleEvery` — decode cost scales with frames/sampleEvery, not
+    * frames). None on undecodable bytes — never throws.
+    */
+  def decodeVideo(blob: Array[Byte],
+      sampleEvery: Int = 1): Option[(Int, Int, Array[Double])] =
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val step = math.max(1, sampleEvery)
+          var w = 0
+          var h = 0
+          var sum = 0.0
+          var cnt = 0L
+          var mn = Double.MaxValue
+          var mx = Double.MinValue
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            w = img.getWidth
+            h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                // GIF frames decode as indexed rasters — read through the
+                // color model (blue channel == gray for a gray palette)
+                val v = (img.getRGB(x, y) & 0xff).toDouble
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            cnt += w.toLong * h
+            f += step
+          }
+          Some((w, h, Array(n.toDouble, sum / math.max(1L, cnt), mn, mx)))
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case _: Exception => None }
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  private def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
 
   private def isRiffWave(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
@@ -200,9 +300,11 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** STUB decode kernel for audio/video — a production build replaces this
-    * body with a real codec (e.g. JNI ffmpeg). Contract: bytes → (width,
-    * height, feature vector); deterministic; never throws on any input.
+  /** Fallback kernel for container formats with no JDK codec (e.g. MP4) —
+    * a production build replaces this body with a real codec (e.g. JNI
+    * ffmpeg). Parses the deterministic GFT test header. Contract: bytes →
+    * (width, height, feature vector); deterministic; never throws on any
+    * input.
     */
   def decodeStub(blob: Array[Byte]): (Int, Int, Array[Double]) = {
     if (blob == null || blob.length < 8 ||
@@ -236,9 +338,11 @@ object Multimodal {
         val isPng = bytes.length >= 4 && PngMagic.indices.forall(i => bytes(i) == PngMagic(i))
         // decoded (width, height) carries the modality's natural shape:
         // images (pixel w, pixel h); audio (sample_rate, channels);
-        // video stub (declared w, h from the GFT header)
+        // video (frame w, frame h) with frame-sampled stats
         val (w, h, feat) =
           if (isPng) decodeImage(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
+          else if (isGif(bytes))
+            decodeVideo(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
           else if (isRiffWave(bytes))
             decodeAudio(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
           else decodeStub(bytes)

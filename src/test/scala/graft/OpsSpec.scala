@@ -302,11 +302,36 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(f.feature(1) - samples.sum / frames) < 1e-9, "mean amplitude")
       assert(f.feature(2) == samples.min && f.feature(3) == samples.max)
     }
+    // video rows: REAL animated-GIF decode — frame count, dimensions, and
+    // all-frame luminance stats must equal the deterministic synthesized
+    // frames exactly (GIF is lossless at <=256 colors)
+    val vidFeats = feats.filter(_.kind == "video")
+    assert(vidFeats.nonEmpty)
+    vidFeats.foreach { f =>
+      val w = 16 + (f.media_id % 64).toInt
+      val h = 16 + (f.media_id % 48).toInt
+      val n = Multimodal.videoFrames(f.media_id)
+      val lumas = for (fr <- 0 until n; y <- 0 until h; x <- 0 until w)
+        yield Multimodal.framePixel(f.media_id, fr, x, y).toDouble
+      assert(f.width == w && f.height == h, "frame dimensions")
+      assert(f.feature(0) == n, "n_frames")
+      assert(math.abs(f.feature(1) - lumas.sum / lumas.size) < 1e-9, "mean luma")
+      assert(f.feature(2) == lumas.min && f.feature(3) == lumas.max)
+    }
+    // frame-sampling: decoding every 2nd frame still reports the true
+    // frame count but scans only the sampled frames
+    val vid = Multimodal.encodeGifAnim(7L, 8, 8, 5)
+    val sampled = Multimodal.decodeVideo(vid, sampleEvery = 2).get
+    assert(sampled._3(0) == 5)
+    val sampledLumas = for (fr <- 0 until 5 by 2; y <- 0 until 8; x <- 0 until 8)
+      yield Multimodal.framePixel(7L, fr, x, y).toDouble
+    assert(math.abs(sampled._3(1) - sampledLumas.sum / sampledLumas.size) < 1e-9)
     // decode kernels never throw on garbage
     assert(Multimodal.decodeStub(null)._3.sameElements(Array.fill(4)(0.0)))
     assert(Multimodal.decodeStub(Array[Byte](1, 2))._1 == 0)
     assert(Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
     assert(Multimodal.decodeAudio(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
+    assert(Multimodal.decodeVideo(Array[Byte]('G', 'I', 'F', '8')).isEmpty)
   }
 
   test("split assignment is deterministic and ~80/10/10") {
