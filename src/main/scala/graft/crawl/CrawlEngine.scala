@@ -275,6 +275,23 @@ final class CrawlEngine(
       "start_epoch_ms" -> nowMs()))
   }
 
+  /** Driver pool for concurrent per-wave stage writes (step 8). Sized to
+    * overlap job-scheduling + parquet-commit latency, not to add compute
+    * parallelism (executor cores do the work either way). Daemon threads:
+    * the pool dies with the JVM, and the wave loop always awaits all
+    * staging futures before committing.
+    */
+  private lazy val stageEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-stage-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      }))
+
   private val trace = sys.env.contains("GRAFT_TRACE")
   private def timed[T](wave: Int, step: String)(f: => T): T = {
     if (!trace) f else {
@@ -629,13 +646,29 @@ final class CrawlEngine(
     }
 
     // ---- 8. stage everything, then atomically commit the wave ------------
-    timed(wave, "stage:docs")(io.stage("documents", wave, docs))
-    timed(wave, "stage:blocks")(io.stage("unique_blocks", wave,
+    // The staged tables are INDEPENDENT outputs of already-materialized
+    // persisted datasets, so their write jobs run CONCURRENTLY from a small
+    // driver pool (Spark schedules concurrent actions fine; a cache-miss
+    // partition computed by two jobs at once is serialized per-block by the
+    // BlockManager). The atomic manifest commit — the only ordering that
+    // matters for crash consistency — happens strictly after every staging
+    // future completes, so a kill mid-stage still resumes at the previous
+    // committed wave exactly as before.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val stageJobs = Seq.newBuilder[Future[Unit]]
+    def staged(step: String)(f: => Unit): Unit =
+      stageJobs += Future(timed(wave, step)(f))(stageEc)
+
+    staged("stage:docs")(io.stage("documents", wave, docs))
+    staged("stage:blocks")(io.stage("unique_blocks", wave,
       newUnique.select($"text_hash", $"words")))
-    timed(wave, "stage:seen")(io.stage("seen", wave + 1, seenAdds))
-    if (newHostStates.nonEmpty)
-      timed(wave, "stage:hosts")(io.stage("hosts", wave, newHostStates.toDS()))
-    timed(wave, "stage:metrics")(io.stage("metrics", wave, metrics.coalesce(1)))
+    staged("stage:seen")(io.stage("seen", wave + 1, seenAdds))
+    if (newHostStates.nonEmpty) {
+      val hostDs = newHostStates.toDS()
+      staged("stage:hosts")(io.stage("hosts", wave, hostDs))
+    }
+    staged("stage:metrics")(io.stage("metrics", wave, metrics.coalesce(1)))
     if (config.logFetches) {
       // request log (S9): one row per fetch, mirroring the reference's
       // per-request CSV columns that exist in our model
@@ -645,18 +678,21 @@ final class CrawlEngine(
         size($"out_links").as("n_links"), size($"spans").as("n_spans"),
         $"total_words", round($"fetch_ms", 3).as("fetch_ms"),
         round($"extract_ms", 3).as("extract_ms"))
-      timed(wave, "stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
+      staged("stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
     }
     if (config.minUniquePct > 0) {
-      io.stage("excludes", wave,
-        excludedPrefixes.zipWithIndex.map { case (p, _) => (p, wave) }
-          .toDF("pattern", "wave"))
-      io.stage("window10", wave,
-        window10.zipWithIndex.map { case ((u, p), i) => (u, p, i) }
-          .toDF("url", "pct", "ord"))
+      val excludesDf = excludedPrefixes.zipWithIndex
+        .map { case (p, _) => (p, wave) }.toDF("pattern", "wave")
+      val windowDf = window10.zipWithIndex
+        .map { case ((u, p), i) => (u, p, i) }.toDF("url", "pct", "ord")
+      staged("stage:excludes") {
+        io.stage("excludes", wave, excludesDf)
+        io.stage("window10", wave, windowDf)
+      }
     }
     if (config.maxPagesPerDomain > 0) {
-      io.stage("host_counts", wave, crawledByHost.toSeq.toDF("host", "pages"))
+      val hostCountsDf = crawledByHost.toSeq.toDF("host", "pages")
+      staged("stage:hostcounts")(io.stage("host_counts", wave, hostCountsDf))
     }
     if (useBloom) {
       // fold this wave's accepted hashes into their buckets' filters and
@@ -672,7 +708,7 @@ final class CrawlEngine(
           hs.foreach(bf.add)
           Iterator(BloomBucket.of(b, bf))
         }
-      timed(wave, "stage:blooms")(io.stage("blooms", wave, newBlooms))
+      staged("stage:blooms")(io.stage("blooms", wave, newBlooms))
     }
     // seqs are assigned BEFORE the retroactive exclude filter (the oracle's
     // seq counter is monotonic over assignments, not survivors)
@@ -689,10 +725,12 @@ final class CrawlEngine(
       case None => nextFrontierAll
     }
     val nextFrontierP = nextFrontierOut.persist()
-    val nextCount = timed(wave, "stage:frontier") {
+    val nextCountF = Future(timed(wave, "stage:frontier") {
       io.stage("frontier", wave + 1, nextFrontierP)
       nextFrontierP.count()
-    }
+    })(stageEc)
+    stageJobs.result().foreach(Await.result(_, Duration.Inf))
+    val nextCount = Await.result(nextCountF, Duration.Inf)
     seenRowsTotal += seenAddedWave
     val baseStats = Map(
       "pages" -> pagesFetched,
