@@ -114,9 +114,7 @@ object Graft {
       throw new IllegalArgumentException(s"no persisted config in $warehouse"))
     val website = graft.extract.FileExport.websitePath(config.scope, config.rootUrl)
     val contentDir = s"$outDir/$website"
-    val langs = documents(spark, warehouse).select("doc_id", "lang")
-    val rendered = renderAll(spark, warehouse).join(langs, "doc_id")
-    graft.extract.FileExport.writeFiles(rendered, contentDir)
+    graft.extract.FileExport.writeFiles(renderAll(spark, warehouse), contentDir)
     contentDir
   }
 
@@ -165,10 +163,10 @@ object Graft {
       .map { case (d, ownedHashes) =>
         val owns = ownedHashes.getOrElse(Seq.empty).toSet
         val isUnique = (h: Long) => owns.contains(h)
-        (d.doc_id,
+        (d.doc_id, d.lang,
           graft.extract.SpanRenderers.toMarkdown(d.title, d.spans, isUnique),
           graft.extract.SpanRenderers.toPreviewHtml(d.doc_id, d.title, d.spans, isUnique),
           graft.extract.SpanRenderers.toCsv(d.doc_id, d.title, d.spans, isUnique))
-      }.toDF("doc_id", "markdown", "preview_html", "csv")
+      }.toDF("doc_id", "lang", "markdown", "preview_html", "csv")
   }
 }

@@ -247,7 +247,9 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"))
     }),
 
-    "q_media_features" -> ((s, dir) => { // rows-only: stubbed decode kernel
+    "q_media_features" -> ((s, dir) => { // rows-only: SQL cannot re-derive
+      // the real JDK codec outputs (PNG pixel stats / WAV amplitudes / GIF
+      // frame lumas); decode exactness is pinned by OpsSpec instead
       val spark = s
       import spark.implicits._
       Multimodal.extractFeatures(

@@ -133,6 +133,7 @@ final class CrawlEngine(
     */
   private def compiledRobotsFor(hosts: Seq[String],
       fresh: Seq[HostState]): Map[String, CompiledRobots] = {
+    val hostSet = hosts.toSet // Set lookups: driver work stays O(hosts)
     val freshTxt = fresh.map(h => h.host -> h.robots_txt).toMap
     val need = hosts.filterNot(freshTxt.contains)
     val fromTable: Map[String, String] =
@@ -146,7 +147,7 @@ final class CrawlEngine(
         filtered.select(col("host"), col("robots_txt")).collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
       }
-    (freshTxt.view.filterKeys(hosts.contains).toMap ++ fromTable)
+    (freshTxt.view.filterKeys(hostSet.contains).toMap ++ fromTable)
       .map { case (h, txt) => h -> CompiledRobots.of(txt) }
   }
 
@@ -275,22 +276,7 @@ final class CrawlEngine(
       "start_epoch_ms" -> nowMs()))
   }
 
-  /** Driver pool for concurrent per-wave stage writes (step 8). Sized to
-    * overlap job-scheduling + parquet-commit latency, not to add compute
-    * parallelism (executor cores do the work either way). Daemon threads:
-    * the pool dies with the JVM, and the wave loop always awaits all
-    * staging futures before committing.
-    */
-  private lazy val stageEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(4,
-      new java.util.concurrent.ThreadFactory {
-        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-        def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, s"graft-stage-${n.getAndIncrement()}")
-          t.setDaemon(true)
-          t
-        }
-      }))
+  private def stageEc = CrawlEngine.stageEc
 
   private val trace = sys.env.contains("GRAFT_TRACE")
   private def timed[T](wave: Int, step: String)(f: => T): T = {
@@ -760,6 +746,25 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** JVM-shared driver pool for concurrent per-wave stage writes (step 8).
+    * Sized to overlap job-scheduling + parquet-commit latency, not to add
+    * compute parallelism (executor cores do the work either way). Shared
+    * across engine instances and daemon-threaded, so repeated engine
+    * construction (tests, multi-crawl drivers) never accumulates threads
+    * and the pool dies with the JVM; the wave loop always awaits all
+    * staging futures before committing.
+    */
+  private lazy val stageEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-stage-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      }))
 
   /** Fetch one frontier entry (I/O only) — runs in the host-bucketed,
     * politeness-paced fetch stage.

@@ -104,16 +104,18 @@ object FileExport {
       .as[(String, String, String, String, String)]
       .persist()
     rows.foreachPartition { it: Iterator[(String, String, String, String, String)] =>
+      // BOM-prefixed UTF-8, matching the reference writer's
+      // `new UTF8Encoding(true)` (NLPTextDocumentWriter.cs:27)
+      def bomBytes(s: String): Array[Byte] =
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          s.getBytes(StandardCharsets.UTF_8)
       it.foreach { case (url, lang, md, html, csv) =>
         val base = filePathFromUrl(url) + "." + languageCode(lang)
         val target = Paths.get(contentDir, base + ".text.md")
         if (target.getParent != null) Files.createDirectories(target.getParent)
-        Files.write(Paths.get(contentDir, base + ".text.md"),
-          md.getBytes(StandardCharsets.UTF_8))
-        Files.write(Paths.get(contentDir, base + ".dataframe.csv"),
-          csv.getBytes(StandardCharsets.UTF_8))
-        Files.write(Paths.get(contentDir, base + ".preview.html"),
-          html.getBytes(StandardCharsets.UTF_8))
+        Files.write(Paths.get(contentDir, base + ".text.md"), bomBytes(md))
+        Files.write(Paths.get(contentDir, base + ".dataframe.csv"), bomBytes(csv))
+        Files.write(Paths.get(contentDir, base + ".preview.html"), bomBytes(html))
       }
     }
     val n = rows.count()

@@ -68,9 +68,14 @@ object LegacyDocFormat {
     if (rowspan == 1 && colspan == 1) s"$row,$col"
     else s"$row:$rowspan,$col:$colspan"
 
-  /** Parse one legacy document. Malformed `##` lines throw
+  /** Parse one legacy document. A well-formed element line with an
+    * unknown element name or a malformed Items/property line throws
     * `IllegalArgumentException` with the offending line, mirroring the
-    * reference's file-format error (`NLPTextDocumentReader.cs:218-224`).
+    * reference's file-format error (`NLPTextDocumentReader.cs:218-224`);
+    * a `##`-prefixed line that does not match the element grammar at all
+    * is read as a TEXT line (lenient deviation — the reference throws,
+    * but that makes text beginning with "##" unrepresentable; valid
+    * corpora are unaffected and [[render]]→parse round-trips).
     */
   def parse(lines: Iterator[String]): LegacyDoc = {
     var uri = ""
@@ -145,7 +150,12 @@ object LegacyDocFormat {
                     emit(SpanKinds.end(listName), "")
                 }
               case None =>
-                throw new IllegalArgumentException(s"bad element line: $line")
+                // a "##"-prefixed line that is NOT an element line (e.g. a
+                // markdown heading inside crawled text) is a text block —
+                // the lenient deviation from the reference reader (which
+                // throws) that makes render→parse round-trip total; valid
+                // reference corpora never hit this path
+                emit(SpanKinds.TextBlockText, line)
             }
           } else {
             emit(SpanKinds.TextBlockText, line)

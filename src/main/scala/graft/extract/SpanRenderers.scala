@@ -59,30 +59,34 @@ object SpanRenderers {
       isUnique: Long => Boolean): String =
     toMarkdown(title, graft.core.SpanTree.pruneNonUnique(spans, isUnique))
 
-  /** Column number of a cell-coordinate Start text ("row,col" or
+  /** Row number of a cell-coordinate Start text ("row,col" or
     * "row:rowspan,col:colspan"); 1 when unparseable.
     */
-  private def cellColNum(coords: String): Int = {
+  private def cellRowNum(coords: String): Int = {
     val parts = coords.split(',')
     if (parts.length != 2) 1
-    else parts(1).split(':')(0).toIntOption.getOrElse(1)
+    else parts(0).split(':')(0).toIntOption.getOrElse(1)
   }
 
-  /** Buffered markdown table state: rows break on first-column cells (the
-    * cell-coordinate Start text carries row,col) and a GFM header
-    * separator row follows a leading TableHeader row, so the output
-    * round-trips through a GFM parser (unlike the reference's one-line
-    * rendering — documented improvement).
+  /** Buffered markdown table state: rows break when the cell coordinate's
+    * ROW number changes (col==1 is not a reliable row marker — a rowspan
+    * continuation occupies column 1, so the next row's first cell starts
+    * at col 2) and a GFM header separator row follows a leading
+    * TableHeader row, so the output round-trips through a GFM parser
+    * (unlike the reference's one-line rendering — documented improvement).
     */
   private final class MdTable {
     private val rows = Vector.newBuilder[(Boolean, Vector[String])]
     private var row: Vector[String] = Vector.empty
     private var rowIsHeader = false
+    private var lastRow = Int.MinValue
     var cell: StringBuilder = _
     def startCell(coords: String, isHeader: Boolean): Unit = {
-      if (cellColNum(coords) == 1 && row.nonEmpty) {
+      val rowNum = cellRowNum(coords)
+      if (rowNum != lastRow && row.nonEmpty) {
         rows += ((rowIsHeader, row)); row = Vector.empty
       }
+      lastRow = rowNum
       if (row.isEmpty) rowIsHeader = isHeader
       cell = new StringBuilder
     }

@@ -257,10 +257,49 @@ object Dedup {
     *     Hitting maxIterations without a fixpoint THROWS rather than
     *     silently returning unconverged labels.
     *
-    * Input: pairs (id_a, id_b), integral ids. Output: (id, cluster) with
-    * cluster = the minimum member id — deterministic, oracle-comparable.
+    * Input: pairs (id_a, id_b) of ANY orderable id type. Integral ids run
+    * the long kernel directly; other types (e.g. URL strings) are
+    * dictionary-encoded to dense longs in id sort order first — an
+    * order-preserving map, so the output contract "cluster = the minimum
+    * member id" carries over to the original type's ordering. Output:
+    * (id, cluster) — deterministic, oracle-comparable.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral = pairs.schema.apply("id_a").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integral) connectedComponentsLong(pairs, maxIterations)
+    else {
+      val spark = pairs.sparkSession
+      val ids = pairs.select(col("id_a").as("oid"))
+        .unionByName(pairs.select(col("id_b").as("oid"))).distinct()
+      // dense ids via sort + zipWithIndex (two linear passes, no
+      // single-partition window); dict size = ids touched by pairs only
+      val sorted = ids.orderBy("oid")
+      val dictSchema = StructType(sorted.schema.fields :+
+        StructField("nid", LongType, nullable = false))
+      val dict = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        dictSchema).persist()
+      val enc = pairs
+        .join(dict.select(col("oid").as("id_a"), col("nid").as("na")), "id_a")
+        .join(dict.select(col("oid").as("id_b"), col("nid").as("nb")), "id_b")
+        .select(col("na").as("id_a"), col("nb").as("id_b"))
+      val cc = connectedComponentsLong(enc, maxIterations)
+      val out = cc
+        .join(dict.select(col("nid").as("id"), col("oid").as("id_out")), "id")
+        .join(dict.select(col("nid").as("cluster"), col("oid").as("cluster_out")), "cluster")
+        .select(col("id_out").as("id"), col("cluster_out").as("cluster"))
+        .localCheckpoint(true)
+      dict.unpersist()
+      out
+    }
+  }
+
+  private def connectedComponentsLong(pairs: DataFrame, maxIterations: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges0 = pairs

@@ -123,9 +123,11 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL audio decode: AudioSystem (JDK — WAV/PCM) → (sample_rate,
-    * channels, [n_frames, mean, min, max] over raw sample values). None on
-    * undecodable bytes — never throws.
+  /** REAL audio decode: AudioSystem (JDK — WAV/PCM and whatever else the
+    * installed providers read) → (sample_rate, channels, [n_frames, mean,
+    * min, max]). n_frames counts FRAMES (sample sets across channels =
+    * samples/channels); the amplitude stats run over every individual
+    * sample of every channel. None on undecodable bytes — never throws.
     */
   def decodeAudio(blob: Array[Byte]): Option[(Int, Int, Array[Double])] =
     try {
@@ -136,7 +138,7 @@ object Multimodal {
         if (fmt.getSampleSizeInBits != 16) None
         else {
           val bytes = in.readAllBytes()
-          val n = bytes.length / 2
+          val n = bytes.length / 2 // individual 16-bit samples, all channels
           var sum = 0.0
           var mn = Double.MaxValue
           var mx = Double.MinValue
@@ -151,9 +153,10 @@ object Multimodal {
             if (v > mx) mx = v
             i += 1
           }
-          val frames = math.max(1, n)
+          val channels = math.max(1, fmt.getChannels)
+          val frames = n / channels
           Some((fmt.getSampleRate.toInt, fmt.getChannels,
-            Array(n.toDouble, sum / frames, if (n == 0) 0.0 else mn,
+            Array(frames.toDouble, sum / math.max(1, n), if (n == 0) 0.0 else mn,
               if (n == 0) 0.0 else mx)))
         }
       } finally in.close()
@@ -257,8 +260,6 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
-
   private def isGif(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 &&
       bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
@@ -335,17 +336,25 @@ object Multimodal {
       // per-partition decoder init would go here (codec contexts, buffers)
       rows.map { r =>
         val bytes = if (r.blob == null) Array.emptyByteArray else r.blob
-        val isPng = bytes.length >= 4 && PngMagic.indices.forall(i => bytes(i) == PngMagic(i))
+        val zero = (0, 0, Array.fill(4)(0.0))
         // decoded (width, height) carries the modality's natural shape:
         // images (pixel w, pixel h); audio (sample_rate, channels);
-        // video (frame w, frame h) with frame-sampled stats
-        val (w, h, feat) =
-          if (isPng) decodeImage(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
-          else if (isGif(bytes))
-            decodeVideo(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
-          else if (isRiffWave(bytes))
-            decodeAudio(bytes).getOrElse((0, 0, Array.fill(4)(0.0)))
-          else decodeStub(bytes)
+        // video (frame w, frame h) with frame-sampled stats. Dispatch is
+        // by the row's declared kind (the typed metadata contract) — the
+        // codec itself sniffs the concrete format (ImageIO handles
+        // PNG/JPEG/GIF/BMP, AudioSystem WAV/AIFF/AU) — with the GFT stub
+        // as the fallback for containers the JDK cannot read (e.g. MP4).
+        val (w, h, feat) = r.kind match {
+          case "image" => decodeImage(bytes).getOrElse(zero)
+          case "audio" => decodeAudio(bytes).getOrElse(zero)
+          case "video" =>
+            if (isGif(bytes)) decodeVideo(bytes).getOrElse(zero)
+            else decodeStub(bytes)
+          case _ => // untyped rows: sniff by magic, stub as last resort
+            if (isGif(bytes)) decodeVideo(bytes).getOrElse(zero)
+            else if (isRiffWave(bytes)) decodeAudio(bytes).getOrElse(zero)
+            else decodeImage(bytes).getOrElse(decodeStub(bytes))
+        }
         MediaFeatures(r.media_id, r.kind, bytes.length,
           w, h, graft.core.XxHash64.hash(bytes, 0L), feat.toSeq)
       }

@@ -66,8 +66,10 @@ class GraftFacadeSpec extends AnyFunSuite {
     // per-doc renderings (S5): markdown + preview.html + csv, D4-pruned
     val rendered = Graft.renderAll(spark, wh).collect()
     assert(rendered.length == docs.length)
-    assert(rendered.forall(_.getString(2).startsWith("<!doctype html>")))
-    assert(rendered.forall(_.getString(3).startsWith("DocEltType;")))
+    assert(rendered.forall(r =>
+      r.getAs[String]("preview_html").startsWith("<!doctype html>")))
+    assert(rendered.forall(r =>
+      r.getAs[String]("csv").startsWith("DocEltType;")))
 
     // lineage surfaces — A1 contract: per-partition words is the real
     // sum of fetched pages' total_words (documents only keep unique-text
@@ -103,6 +105,11 @@ class GraftFacadeSpec extends AnyFunSuite {
     // language extension sits between the url-derived base and the format
     assert(names.forall(n => n.contains(".xx.") ||
       n.matches(".*\\.[a-z]{2}\\.(text\\.md|dataframe\\.csv|preview\\.html)")))
+    // BOM-prefixed UTF-8 like the reference writer (UTF8Encoding(true))
+    val firstBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(names.head)).take(3)
+    assert(firstBytes.sameElements(
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)))
   }
 
   test("URL→path mapping matches the reference's documented layout") {

@@ -125,25 +125,36 @@ class LegacyDocSpec extends AnyFunSuite {
   }
 
   test("properties stop at the first non-property line; a '## NLPTextDocument' " +
-      "text line later stays text") {
+      "line later reads as text (lenient)") {
     val text =
       """## NLPTextDocument Uri https://example.org/x
         |Body first line.
         |## NLPTextDocument Title not a property anymore
         |""".stripMargin
-    intercept[IllegalArgumentException] {
-      // after properties end, a ## line must be a valid element line
-      LegacyDocFormat.parse(text)
-    }
-    val ok = LegacyDocFormat.parse(
-      "## NLPTextDocument Uri https://example.org/x\nBody first line.\n")
-    assert(ok.uri == "https://example.org/x")
-    assert(ok.spans == Seq(s("TextBlock.Text", "Body first line.", 0)))
+    val d = LegacyDocFormat.parse(text)
+    assert(d.uri == "https://example.org/x")
+    assert(d.title == "") // the late line is NOT a property
+    assert(d.spans == Seq(
+      s("TextBlock.Text", "Body first line.", 0),
+      s("TextBlock.Text", "## NLPTextDocument Title not a property anymore", 1)))
   }
 
-  test("malformed element line throws, like the reference reader") {
+  test("well-formed element line with unknown element throws; a non-element " +
+      "## line reads as text (lenient deviation)") {
     intercept[IllegalArgumentException](LegacyDocFormat.parse("x\n## 2 Bogus Start\n"))
-    intercept[IllegalArgumentException](LegacyDocFormat.parse("x\n## nonsense\n"))
+    val d = LegacyDocFormat.parse("x\n## nonsense\n")
+    assert(d.spans == Seq(
+      s("TextBlock.Text", "x", 0), s("TextBlock.Text", "## nonsense", 1)))
+  }
+
+  test("text blocks beginning with ## round-trip (markdown headings in crawls)") {
+    val spans = Seq(
+      s("Section.Start", "Docs", 0),
+      s("TextBlock.Text", "## Install", 1),
+      s("TextBlock.Text", "run the installer", 2),
+      s("Section.End", "", 3))
+    val back = LegacyDocFormat.parse(LegacyDocFormat.render(doc(spans)))
+    assert(back.spans == spans)
   }
 
   test("LegacyDocSource reads a directory tree partition-parallel") {

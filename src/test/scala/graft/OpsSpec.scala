@@ -136,6 +136,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == 1L && got(23L) == 20L && got(11L) == 10L)
   }
 
+  test("connected components: string ids (URLs) cluster like their long twins") {
+    // same topology as the long test, ids as URL strings — the dictionary
+    // encoding must preserve min-id (lexicographic) cluster representatives
+    def u(i: Int) = f"https://e.org/p$i%03d"
+    val pairs = Seq((1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23))
+      .map { case (a, b) => (u(a), u(b)) }.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got(u(3)) == u(1) && got(u(2)) == u(1))
+    assert(got(u(23)) == u(20) && got(u(11)) == u(10))
+    assert(got.size == 9)
+    // and nearDupDedup over a string id column is not a silent no-op
+    val docs = Seq(
+      ("docA", "alpha beta gamma delta epsilon zeta"),
+      ("docB", "alpha beta gamma delta epsilon zeta"),
+      ("docZ", "totally unrelated content right here")).toDF("doc_id", "text")
+    val dd = Dedup.nearDupDedup(docs, "doc_id", "text",
+        n = 2, k = 16, rowsPerBand = 2, threshold = 0.3)
+      .select("doc_id", "cluster", "is_canonical")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq.sortBy(_._1)
+    assert(dd == Seq(("docA", "docA", true), ("docB", "docA", false),
+      ("docZ", "docZ", true)), dd.toString)
+  }
+
   test("nearDupDedup: one canonical per transitive near-dup cluster") {
     // planted dups (i, i+100) -> clusters {i, i+100} with canonical i;
     // noise docs are their own singleton clusters

@@ -79,6 +79,23 @@ class RendererSpec extends AnyFunSuite {
     assert(cells(lines2(0)) == Vector("a", "b") && cells(lines2(1)) == Vector("c", "d"))
   }
 
+  test("markdown tables: a rowspan in column 1 still breaks rows") {
+    // row 2's first available cell is col 2 (col 1 occupied by the rowspan
+    // continuation) — rows must break on the ROW coordinate, not col==1
+    val html =
+      """<html><body><table>
+        |<tr><td rowspan="2">A</td><td>B</td></tr>
+        |<tr><td>C</td></tr>
+        |</table></body></html>""".stripMargin
+    val d = HtmlToSpans.extract(html)
+    val md = SpanRenderers.toMarkdown("", d.spans)
+    val lines = md.split("\n").filter(_.nonEmpty).toVector
+    assert(lines.length == 2, md)
+    assert(lines(0).contains("A") && lines(0).contains("B") &&
+      !lines(0).contains("C"), md)
+    assert(lines(1).contains("C"), md)
+  }
+
   test("CSV round-trips uniqueness flags through the isUnique hook") {
     val d = HtmlToSpans.extract(html)
     val allDup = SpanRenderers.toCsv("https://x/", d.title, d.spans, _ => false)
