@@ -157,6 +157,67 @@ class LegacyDocSpec extends AnyFunSuite {
     assert(back.spans == spans)
   }
 
+  test("fuzz: 200 random valid span trees round-trip through render+parse") {
+    // deterministic generator (no scalacheck in the offline cache):
+    // respects the builder guard — no TextBlock directly inside
+    // List/NavigationList/Table; cells only inside Table; items inside
+    // List/NavigationList
+    val rnd = new java.util.Random(42)
+    def texts = Seq("plain text", "## looks like a heading", "with | pipes",
+      "  indented", "a##b", "#single", "unicode é x")
+    def genDoc(): Seq[Span] = {
+      val out = Vector.newBuilder[Span]
+      var off = 0
+      def emit(kind: String, text: String): Unit = {
+        out += Span(kind, text, "", off); off += 1
+      }
+      def block(depth: Int): Unit = rnd.nextInt(6) match {
+        case 0 | 1 => emit("TextBlock.Text", texts(rnd.nextInt(texts.size)))
+        case 2 if depth < 3 =>
+          emit("Section.Start", if (rnd.nextBoolean()) "Sec" + rnd.nextInt(9) else "")
+          (0 until rnd.nextInt(3)).foreach(_ => block(depth + 1))
+          emit("Section.End", "")
+        case 3 if depth < 3 =>
+          val n = if (rnd.nextBoolean()) "List" else "NavigationList"
+          emit(s"$n.Start", if (rnd.nextBoolean()) "L" + rnd.nextInt(9) else "")
+          (0 until rnd.nextInt(3)).foreach { _ =>
+            emit("ListItem.Start", "")
+            (0 until rnd.nextInt(2) + (if (rnd.nextBoolean()) 1 else 0))
+              .foreach(_ => block(depth + 1))
+            emit("ListItem.End", "")
+          }
+          emit(s"$n.End", "")
+        case 4 if depth < 3 =>
+          emit("Table.Start", "")
+          (1 to rnd.nextInt(2) + 1).foreach { r =>
+            (1 to rnd.nextInt(2) + 1).foreach { c =>
+              val hdr = r == 1 && rnd.nextBoolean()
+              val name = if (hdr) "TableHeader" else "TableCell"
+              // canonical Span contract: unit spans use the short form
+              val (rs, cs) = (1 + rnd.nextInt(2), 1 + rnd.nextInt(2))
+              val coords = if (rs == 1 && cs == 1) s"$r,$c" else s"$r:$rs,$c:$cs"
+              emit(s"$name.Start", coords)
+              if (rnd.nextBoolean())
+                emit("TextBlock.Text", texts(rnd.nextInt(texts.size)))
+              emit(s"$name.End", "")
+            }
+          }
+          emit("Table.End", "")
+        case _ => emit("TextBlock.Text", texts(rnd.nextInt(texts.size)))
+      }
+      (0 until 1 + rnd.nextInt(5)).foreach(_ => block(0))
+      out.result()
+    }
+    (0 until 200).foreach { i =>
+      val spans = genDoc()
+      assert(SpanTree.validate(spans).isEmpty, s"doc $i invalid: $spans")
+      val d = doc(spans)
+      val back = LegacyDocFormat.parse(LegacyDocFormat.render(d))
+      assert(back.spans == d.spans, s"doc $i mismatch")
+      assert(back.uri == d.uri && back.metadata == d.metadata)
+    }
+  }
+
   test("LegacyDocSource reads a directory tree partition-parallel") {
     val dir = java.nio.file.Files.createTempDirectory("legacy").toFile
     val sub = new java.io.File(dir, "site/a"); sub.mkdirs()
