@@ -200,6 +200,57 @@ class ExtractSpec extends AnyFunSuite {
     }
     assert(checked > 10)
   }
+  test("fuzz: extractors never throw and always emit valid span trees on " +
+      "malformed input (crawler robustness)") {
+    val rnd = new java.util.Random(1234)
+    val tags = Vector("div", "p", "ul", "ol", "li", "table", "tr", "td", "th",
+      "h1", "h2", "h3", "span", "a", "img", "nav", "script", "style", "b")
+    val atoms = Vector("text", "&amp;", "&nbsp;", "&#xFFFF;", "&bogus;", "<",
+      ">", "\"", "'", " ", "é", "𝄞", "a=b&c", "<!--", "-->", "]]>")
+    def genHtml(budget: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < budget) {
+        rnd.nextInt(7) match {
+          case 0 => sb.append('<').append(tags(rnd.nextInt(tags.size)))
+            .append(if (rnd.nextBoolean()) s""" href="${atoms(rnd.nextInt(atoms.size))}"""" else "")
+            .append(if (rnd.nextInt(4) == 0) "" else ">") // sometimes unclosed tag
+          case 1 => sb.append("</").append(tags(rnd.nextInt(tags.size))).append('>')
+          case 2 => sb.append(atoms(rnd.nextInt(atoms.size)))
+          case 3 => sb.append(" plain words here ")
+          case 4 => sb.append("<table><tr><td rowspan=") // broken mid-attribute
+            .append(rnd.nextInt(3) - 1).append('>')
+          case 5 => sb.append("<!-- comment ").append(if (rnd.nextBoolean()) "-->" else "")
+          case _ => sb.append((0 until rnd.nextInt(8)).map(_ =>
+            (rnd.nextInt(0xD7FF) + 1).toChar).mkString) // random BMP chars
+        }
+        i += 1
+      }
+      // sometimes truncate mid-everything
+      val s = sb.toString
+      if (rnd.nextBoolean()) s.take(rnd.nextInt(s.length + 1)) else s
+    }
+    (0 until 150).foreach { i =>
+      val html = genHtml(3 + rnd.nextInt(40))
+      val d = HtmlToSpans.extract(html) // must not throw
+      assert(SpanTree.validate(d.spans).isEmpty, s"fuzz doc $i invalid for: $html")
+      // renderers must hold on whatever the extractor produced
+      graft.extract.SpanRenderers.toMarkdown(d.title, d.spans)
+      graft.extract.SpanRenderers.toCsv("https://x/", d.title, d.spans)
+      graft.extract.SpanRenderers.toPreviewHtml("https://x/", d.title, d.spans)
+    }
+    // PDF path: random bytes and corrupted headers degrade to empty/partial
+    // extraction, never an exception
+    (0 until 100).foreach { _ =>
+      val n = rnd.nextInt(2048)
+      val bytes = new Array[Byte](n)
+      rnd.nextBytes(bytes)
+      if (rnd.nextBoolean() && n >= 5)
+        Array[Byte]('%', 'P', 'D', 'F', '-').copyToArray(bytes)
+      graft.extract.PdfToSpans.extract(bytes) // must not throw
+    }
+  }
+
   test("nbsp fidelity: decode to U+00A0, end-trim, interior preserved, word split") {
     // reference: WebUtility.HtmlDecode yields U+00A0 for &nbsp;
     // (HtmlDocumentConverter.cs:634 Trim('\u00A0') after decode; C# Trim()
