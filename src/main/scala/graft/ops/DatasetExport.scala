@@ -47,7 +47,12 @@ object DatasetExport {
       langFilter: Option[String] = None, minDocs: Long = 50L,
       prettyName: String = "graft dataset"): Unit = {
     val prepared = prepare(docs, idCol, langFilter, minDocs)
+    // zstd for the EXPORT only: the published dataset is written once and
+    // read many times, so the better ratio wins at 100 TB; the per-wave
+    // crawl-state tables stay on parquet's default snappy, where write
+    // latency sits on the wave critical path
     prepared.write.mode("overwrite")
+      .option("compression", "zstd")
       .partitionBy("website", "split")
       .parquet(outDir)
     val size = dirSize(new java.io.File(outDir))
