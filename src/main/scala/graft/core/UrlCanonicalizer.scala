@@ -28,10 +28,14 @@ object UrlCanonicalizer {
     */
   def resolve(baseUrl: String, href: String): Option[String] = {
     try {
-      val noFrag = href.split('#')(0)
-      val base = new URI(baseUrl.split('#')(0))
-      val fixed =
-        if (noFrag.startsWith("//")) base.getScheme + ":" + noFrag else noFrag
+      // hrefs are IRIs in the wild — pre-encode BEFORE java.net.URI sees
+      // them (it throws on non-ASCII), like canonicalize does. The
+      // scheme-relative fix runs FIRST so an IDN host in a "//host/..."
+      // href is punycoded, not percent-encoded.
+      val base = new URI(iriToUri(baseUrl.split('#')(0)))
+      val raw = href.split('#')(0)
+      val fixed = iriToUri(
+        if (raw.startsWith("//")) base.getScheme + ":" + raw else raw)
       val resolved =
         if (fixed.isEmpty) base
         else base.resolve(encodeSpaces(fixed))
@@ -40,9 +44,59 @@ object UrlCanonicalizer {
   }
 
   /** Canonicalize an absolute URL string. */
+  /** IRI → URI. Crawled hrefs are legally IRIs (raw unicode in host and
+    * path) and the reference's .NET `Uri` accepts them (IdnHost punycodes
+    * the host, the path is UTF-8 percent-encoded) — `java.net.URI`
+    * rejects non-ASCII, which would silently drop every international
+    * link. Pre-encode: `IDN.toASCII` on the host, UTF-8 percent-encoding
+    * on every non-ASCII char elsewhere. Pure-ASCII input returns
+    * IDENTICALLY (fast path), so existing url hashes are unaffected.
+    */
+  private val IriParts = "^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*)([\\s\\S]*)$".r
+
+  private def pctEncodeNonAscii(s: String): String = {
+    if (s.forall(_ < 0x80)) s
+    else {
+      val sb = new StringBuilder
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        if ((b & 0xff) < 0x80) sb.append(b.toChar)
+        else sb.append(f"%%${b & 0xff}%02X")
+      }
+      sb.toString
+    }
+  }
+
+  private[core] def iriToUri(s: String): String = {
+    if (s.forall(_ < 0x80)) s
+    else s match {
+      case IriParts(pre, auth, rest) =>
+        val authAscii =
+          if (auth.forall(_ < 0x80)) auth
+          else {
+            // userinfo@host:port — IDN applies to the host alone; a :port
+            // after an IPv6 ]-bracket is detected by position
+            val (ui, hostPort) = auth.lastIndexOf('@') match {
+              case -1 => ("", auth)
+              case i => (auth.substring(0, i + 1), auth.substring(i + 1))
+            }
+            val (h, port) = hostPort.lastIndexOf(':') match {
+              case i if i >= 0 && hostPort.indexOf(']') < i =>
+                (hostPort.substring(0, i), hostPort.substring(i))
+              case _ => (hostPort, "")
+            }
+            val hAscii =
+              try java.net.IDN.toASCII(h)
+              catch { case _: Exception => pctEncodeNonAscii(h) }
+            ui + hAscii + port
+          }
+        pre + authAscii + pctEncodeNonAscii(rest)
+      case _ => pctEncodeNonAscii(s)
+    }
+  }
+
   def canonicalize(url: String): Option[String] = {
     try {
-      val u = new URI(url.split('#')(0).trim).normalize()
+      val u = new URI(iriToUri(url.split('#')(0).trim)).normalize()
       val scheme = Option(u.getScheme).map(_.toLowerCase).orNull
       if (scheme != "http" && scheme != "https") return None
       var host = Option(u.getHost).map(_.toLowerCase).orNull

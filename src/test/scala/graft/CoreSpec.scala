@@ -32,6 +32,25 @@ class UrlCanonicalizerSpec extends AnyFunSuite {
     assert(canonicalize("https://a.com./x").contains("https://a.com/x"))
   }
 
+  test("IRIs canonicalize: IDN host to punycode, unicode path/query " +
+      "percent-encoded UTF-8 (reference .NET Uri IRI semantics)") {
+    assert(canonicalize("https://bücher.example/straße?q=café")
+      .contains("https://xn--bcher-kva.example/stra%C3%9Fe?q=caf%C3%A9"))
+    assert(canonicalize("http://例え.テスト/パス")
+      .contains("http://xn--r8jz45g.xn--zckzah/%E3%83%91%E3%82%B9"))
+    // IDN host with explicit port and ascii path
+    assert(canonicalize("https://bücher.example:8443/x")
+      .contains("https://xn--bcher-kva.example:8443/x"))
+    // pure-ASCII fast path: byte-identical output (url hashes unchanged)
+    assert(canonicalize("https://plain.example/a%20b?x=1")
+      .contains("https://plain.example/a%20b?x=1"))
+    // relative and scheme-relative IRI hrefs resolve too
+    assert(resolve("https://a.example/dir/", "straße.html")
+      .contains("https://a.example/dir/stra%C3%9Fe.html"))
+    assert(resolve("https://a.example/", "//bücher.example/x")
+      .contains("https://xn--bcher-kva.example/x"))
+  }
+
   test("non-http schemes and garbage are rejected") {
     assert(canonicalize("mailto:x@y.com").isEmpty)
     assert(canonicalize("javascript:void(0)").isEmpty)
