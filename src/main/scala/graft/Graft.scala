@@ -136,7 +136,7 @@ object Graft {
     graft.extract.SpanRenderers.toPreviewHtml(doc.doc_id, doc.title, doc.spans)
 
   /** All three per-document renderings as a DataFrame
-    * (doc_id, markdown, preview_html, csv), with the markdown/preview
+    * (doc_id, lang, markdown, preview_html, csv), with the markdown/preview
     * rendering the UNIQUE view — D4 bottom-up pruning against crawl-wide
     * first-wins ownership of each text hash (a block renders only in the
     * document that first claimed it, `NLPTextAnalyzer.cs:139-152` +

@@ -87,7 +87,9 @@ object UrlCanonicalizer {
             val hAscii =
               try java.net.IDN.toASCII(h)
               catch { case _: Exception => pctEncodeNonAscii(h) }
-            ui + hAscii + port
+            // userinfo/port: IDN applies only to the host — everything
+            // else percent-encodes (.NET Uri accepts unicode userinfo too)
+            pctEncodeNonAscii(ui) + hAscii + pctEncodeNonAscii(port)
           }
         pre + authAscii + pctEncodeNonAscii(rest)
       case _ => pctEncodeNonAscii(s)

@@ -667,8 +667,7 @@ final class CrawlEngine(
       staged("stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
     }
     if (config.minUniquePct > 0) {
-      val excludesDf = excludedPrefixes.zipWithIndex
-        .map { case (p, _) => (p, wave) }.toDF("pattern", "wave")
+      val excludesDf = excludedPrefixes.map(p => (p, wave)).toDF("pattern", "wave")
       val windowDf = window10.zipWithIndex
         .map { case ((u, p), i) => (u, p, i) }.toDF("url", "pct", "ord")
       staged("stage:excludes") {

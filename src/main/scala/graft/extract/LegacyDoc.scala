@@ -171,7 +171,11 @@ object LegacyDocFormat {
 
   /** Serialize a document to the legacy text format. Media spans are
     * dropped (the format predates them); embedded newlines in text become
-    * spaces (legacy text blocks are single-line).
+    * spaces (legacy text blocks are single-line). A text line that ITSELF
+    * matches the element/property grammar (e.g. the literal text
+    * "## 2 Section End") is unrepresentable — it would parse back as
+    * structure — so render THROWS on it rather than corrupt silently;
+    * with that single exclusion, render→parse round-trips exactly.
     */
   def render(doc: LegacyDoc): String = {
     val sb = new StringBuilder
@@ -208,7 +212,12 @@ object LegacyDocFormat {
         sb.append(s"$Marker ${depth + 1} $name End").append('\n')
         depth -= 1
       } else if (s.kind == SpanKinds.TextBlockText) {
-        sb.append(oneLine(s.text)).append('\n')
+        val line = oneLine(s.text)
+        if (ElemLine.findPrefixMatchOf(line).isDefined ||
+            line.startsWith(PropertyPrefix))
+          throw new IllegalArgumentException(
+            s"text not representable in the legacy format (matches its grammar): $line")
+        sb.append(line).append('\n')
       } // Media.* spans: no legacy encoding — dropped
     }
     sb.toString

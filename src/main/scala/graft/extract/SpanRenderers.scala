@@ -193,20 +193,36 @@ object SpanRenderers {
     sb.append("</head>\n<body>\n")
     sb.append(s"""<div class="p-2 "><a href="${htmlEncode(docUri)}" class="btn btn-primary" target="_blank">${htmlEncode(docUri)}</a></div>""").append('\n')
     var level = 1
+    // per-table last row number (stack: tables nest inside cells); a <tr>
+    // opens when the cell's ROW coordinate changes — col==1 is not a
+    // reliable row marker, a rowspan continuation occupies column 1 and
+    // the next row's first cell then starts at col 2
+    var rowStack = List.empty[Int]
     // cell coords text: "row,col" or "row:rowspan,col:colspan"
-    def cellAttrs(coords: String): (Boolean, String) = {
+    def cellAttrs(coords: String): (Int, String) = {
       val parts = coords.split(',')
-      if (parts.length != 2) return (false, "")
+      if (parts.length != 2) return (1, "")
       def split(p: String): (Int, Int) = {
         val rc = p.split(':')
         (rc(0).toIntOption.getOrElse(1),
           if (rc.length > 1) rc(1).toIntOption.getOrElse(1) else 1)
       }
-      val (_, rowSpan) = split(parts(0))
-      val (colNum, colSpan) = split(parts(1))
+      val (rowNum, rowSpan) = split(parts(0))
+      val (_, colSpan) = split(parts(1))
       val attrs = (if (rowSpan > 1) s""" rowspan="$rowSpan"""" else "") +
         (if (colSpan > 1) s""" colspan="$colSpan"""" else "")
-      (colNum == 1, attrs)
+      (rowNum, attrs)
+    }
+    def startCell(coords: String): String = {
+      val (rowNum, attrs) = cellAttrs(coords)
+      rowStack match {
+        case top :: rest if top != rowNum =>
+          if (top != -1) sb.append("</tr>\n")
+          sb.append("<tr>\n")
+          rowStack = rowNum :: rest
+        case _ =>
+      }
+      attrs
     }
     pruned.foreach { s =>
       s.kind match {
@@ -223,15 +239,21 @@ object SpanRenderers {
         case "Table.Start" =>
           val t = if (s.text.nonEmpty) s""" title="${htmlEncode(s.text)}"""" else ""
           sb.append(s"<table$t>\n"); level += 1
-        case "Table.End" => sb.append("</table>\n"); level -= 1
+          rowStack = -1 :: rowStack
+        case "Table.End" =>
+          rowStack match {
+            case top :: rest =>
+              if (top != -1) sb.append("</tr>\n")
+              rowStack = rest
+            case Nil =>
+          }
+          sb.append("</table>\n"); level -= 1
         case "TableHeader.Start" =>
-          val (isFirstCol, attrs) = cellAttrs(s.text)
-          if (isFirstCol) sb.append("<tr>\n")
+          val attrs = startCell(s.text)
           sb.append(s"<th$attrs>\n"); level += 1
         case "TableHeader.End" => sb.append("</th>\n"); level -= 1
         case "TableCell.Start" =>
-          val (isFirstCol, attrs) = cellAttrs(s.text)
-          if (isFirstCol) sb.append("<tr>\n")
+          val attrs = startCell(s.text)
           sb.append(s"<td$attrs>\n"); level += 1
         case "TableCell.End" => sb.append("</td>\n"); level -= 1
         case SpanKinds.TextBlockText =>

@@ -277,13 +277,8 @@ object Dedup {
         .unionByName(pairs.select(col("id_b").as("oid"))).distinct()
       // dense ids via sort + zipWithIndex (two linear passes, no
       // single-partition window); dict size = ids touched by pairs only
-      val sorted = ids.orderBy("oid")
-      val dictSchema = StructType(sorted.schema.fields :+
-        StructField("nid", LongType, nullable = false))
-      val dict = spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-        dictSchema).persist()
+      val dict = graft.crawl.CrawlEngine
+        .assignSeq(spark, ids, Seq("oid"), 0L, "nid").persist()
       val enc = pairs
         .join(dict.select(col("oid").as("id_a"), col("nid").as("na")), "id_a")
         .join(dict.select(col("oid").as("id_b"), col("nid").as("nb")), "id_b")

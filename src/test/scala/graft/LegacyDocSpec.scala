@@ -157,6 +157,14 @@ class LegacyDocSpec extends AnyFunSuite {
     assert(back.spans == spans)
   }
 
+  test("render refuses text that matches the format's own grammar " +
+      "(would parse back as structure)") {
+    intercept[IllegalArgumentException](LegacyDocFormat.render(doc(Seq(
+      s("TextBlock.Text", "## 2 Section End", 0)))))
+    intercept[IllegalArgumentException](LegacyDocFormat.render(doc(Seq(
+      s("TextBlock.Text", "## NLPTextDocument Title sneaky", 0)))))
+  }
+
   test("fuzz: 200 random valid span trees round-trip through render+parse") {
     // deterministic generator (no scalacheck in the offline cache):
     // respects the builder guard — no TextBlock directly inside

@@ -96,6 +96,23 @@ class RendererSpec extends AnyFunSuite {
     assert(lines(1).contains("C"), md)
   }
 
+  test("preview.html tables: rows break on the row coordinate, <tr> closed") {
+    val html =
+      """<html><body><table>
+        |<tr><td rowspan="2">A</td><td>B</td></tr>
+        |<tr><td>C</td></tr>
+        |</table></body></html>""".stripMargin
+    val d = HtmlToSpans.extract(html)
+    val prev = SpanRenderers.toPreviewHtml("https://x/", d.title, d.spans)
+    assert("<tr>".r.findAllIn(prev).size == 2, prev)
+    assert("</tr>".r.findAllIn(prev).size == 2, prev)
+    // C sits in the SECOND row even though its first cell is col 2
+    val rows = prev.split("<tr>").toVector
+    assert(rows.length == 3)
+    assert(rows(1).contains(">A") && rows(1).contains(">B") && !rows(1).contains(">C"), prev)
+    assert(rows(2).contains(">C"), prev)
+  }
+
   test("CSV round-trips uniqueness flags through the isUnique hook") {
     val d = HtmlToSpans.extract(html)
     val allDup = SpanRenderers.toCsv("https://x/", d.title, d.spans, _ => false)
