@@ -94,28 +94,44 @@ object FileExport {
 
   /** Write all three renderings for every document, partition-parallel.
     * `rendered` columns: doc_id, lang, markdown, preview_html, csv.
-    * Returns the number of documents written.
+    * Files go through the Hadoop FileSystem resolved from `contentDir`
+    * (executors on a cluster must hit the SHARED filesystem — hdfs://,
+    * s3a://, a mounted file:// — not their local disks; locally this is
+    * plain file:// with zero behavior change). Returns the number of
+    * documents written.
     */
   def writeFiles(rendered: DataFrame, contentDir: String): Long = {
     val spark = rendered.sparkSession
     import spark.implicits._
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rows = rendered
       .select($"doc_id", $"lang", $"markdown", $"preview_html", $"csv")
       .as[(String, String, String, String, String)]
       .persist()
     rows.foreachPartition { it: Iterator[(String, String, String, String, String)] =>
+      import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+      val root = new HPath(contentDir)
+      val fs: FileSystem = root.getFileSystem(confSer.value)
+      // no .crc sidecars in the user-facing tree (LocalFileSystem is a
+      // ChecksumFileSystem by default; HDFS/object stores ignore this)
+      fs.setWriteChecksum(false)
       // BOM-prefixed UTF-8, matching the reference writer's
       // `new UTF8Encoding(true)` (NLPTextDocumentWriter.cs:27)
-      def bomBytes(s: String): Array[Byte] =
-        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
-          s.getBytes(StandardCharsets.UTF_8)
+      def write(path: HPath, s: String): Unit = {
+        val out = fs.create(path, true)
+        try {
+          out.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+          out.write(s.getBytes(StandardCharsets.UTF_8))
+        } finally out.close()
+      }
       it.foreach { case (url, lang, md, html, csv) =>
         val base = filePathFromUrl(url) + "." + languageCode(lang)
-        val target = Paths.get(contentDir, base + ".text.md")
-        if (target.getParent != null) Files.createDirectories(target.getParent)
-        Files.write(Paths.get(contentDir, base + ".text.md"), bomBytes(md))
-        Files.write(Paths.get(contentDir, base + ".dataframe.csv"), bomBytes(csv))
-        Files.write(Paths.get(contentDir, base + ".preview.html"), bomBytes(html))
+        val target = new HPath(root, base + ".text.md")
+        if (target.getParent != null) fs.mkdirs(target.getParent)
+        write(new HPath(root, base + ".text.md"), md)
+        write(new HPath(root, base + ".dataframe.csv"), csv)
+        write(new HPath(root, base + ".preview.html"), html)
       }
     }
     val n = rows.count()
