@@ -65,12 +65,10 @@ object Graft {
   /** `restart` semantics: wipe the warehouse, then crawl fresh. */
   def restart(spark: SparkSession, config: CrawlConfig, fetcher: Fetcher,
       warehouse: String, numPartitions: Int = 0): CrawlResult = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    val dir = new java.io.File(warehouse)
-    if (dir.exists()) rm(dir)
+    // through the Hadoop FS so hdfs://-warehouses restart too (TableIO)
+    val p = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     crawl(spark, config, fetcher, warehouse, numPartitions)
   }
 

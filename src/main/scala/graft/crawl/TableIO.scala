@@ -1,7 +1,7 @@
 package graft.crawl
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import java.nio.charset.StandardCharsets
 
 /** Wave-granular checkpointed table storage for crawl state.
@@ -26,15 +26,44 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
   import TableIO._
 
   private def waveDir(name: String, wave: Int) = s"$warehouse/$name/w$wave"
-  private val manifestPath = Paths.get(s"$warehouse/manifest.json")
+  private val manifestPath = s"$warehouse/manifest.json"
 
-  Files.createDirectories(Paths.get(warehouse))
+  // All driver-side warehouse IO goes through the Hadoop FileSystem
+  // resolved from the warehouse path, so the same warehouse works on
+  // file:// (local), hdfs:// and object stores; table reads/writes
+  // already do (spark.read/df.write). FileContext.rename(OVERWRITE) is
+  // the atomic-replace primitive on both HDFS and the local filesystem —
+  // the same commit contract the nio ATOMIC_MOVE gave locally.
+  private val fs: FileSystem = new HPath(warehouse).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+  fs.setWriteChecksum(false) // no .crc sidecars next to manifest/config
+  private lazy val fctx: FileContext = FileContext.getFileContext(
+    fs.makeQualified(new HPath(warehouse)).toUri,
+    spark.sparkContext.hadoopConfiguration)
+
+  private def exists(path: String): Boolean = fs.exists(new HPath(path))
+
+  private def readString(path: String): String = {
+    val in = fs.open(new HPath(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** tmp-write + atomic rename-with-overwrite. */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val tmp = new HPath(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fctx.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(path)),
+      Options.Rename.OVERWRITE)
+  }
+
+  fs.mkdirs(new HPath(warehouse))
 
   /** Last committed wave; -2 for a fresh warehouse (bootstrap commits -1). */
   def committedWave: Int = {
-    if (!Files.exists(manifestPath)) -2
+    if (!exists(manifestPath)) -2
     else {
-      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      val txt = readString(manifestPath)
       """"committed_wave"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toInt).getOrElse(-2)
     }
@@ -42,18 +71,18 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
 
   /** A long-valued stat persisted with the last commit (e.g. max_seq). */
   def stat(name: String): Option[Long] = {
-    if (!Files.exists(manifestPath)) None
+    if (!exists(manifestPath)) None
     else {
-      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      val txt = readString(manifestPath)
       (""""""" + name + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong)
     }
   }
 
   /** String-valued manifest field (e.g. stop_reason). */
   def statStr(name: String): Option[String] = {
-    if (!Files.exists(manifestPath)) None
+    if (!exists(manifestPath)) None
     else {
-      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      val txt = readString(manifestPath)
       ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
     }
   }
@@ -70,10 +99,7 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
     val statsJson = stats.map { case (k, v) => s""","$k":$v""" }.mkString
     val stopJson = stopReason.map(r => s""","stop_reason":"$r"""").getOrElse("")
     val json = s"""{"committed_wave":$wave$statsJson$stopJson}"""
-    val tmp = Paths.get(s"$warehouse/manifest.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(manifestPath, json)
   }
 
   /** Record a terminal stop reason against the CURRENT committed manifest
@@ -81,20 +107,17 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
     * run()-exit rather than at a wave boundary (e.g. max_waves).
     */
   def setStopReason(reason: String): Unit = {
-    val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+    val txt = readString(manifestPath)
     val stripped = txt.stripSuffix("}").replaceAll(""","stop_reason":"[^"]*"""", "")
     val json = stripped + s""","stop_reason":"$reason"}"""
-    val tmp = Paths.get(s"$warehouse/manifest.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(manifestPath, json)
   }
 
   /** Union of all visible wave partitions of a table. */
   def readAll(name: String, schemaDdl: String, lookahead: Int = 0): DataFrame = {
     val maxWave = committedWave + lookahead
     val dirs = (0 to maxWave).map(w => waveDir(name, w))
-      .filter(d => Files.exists(Paths.get(d)))
+      .filter(exists)
     if (dirs.isEmpty) emptyDf(spark, schemaDdl)
     else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .parquet(dirs: _*)
@@ -105,28 +128,21 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
     * bootstrap, re-read on resume so callers can continue with overrides
     * instead of re-supplying an identical config.
     */
-  private val configPath = Paths.get(s"$warehouse/config.json")
+  private val configPath = s"$warehouse/config.json"
 
-  def writeConfig(json: String): Unit = {
-    val tmp = Paths.get(s"$warehouse/config.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, configPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeConfig(json: String): Unit = atomicWrite(configPath, json)
 
   def readConfig(): Option[String] =
-    if (Files.exists(configPath))
-      Some(new String(Files.readAllBytes(configPath), StandardCharsets.UTF_8))
-    else None
+    if (exists(configPath)) Some(readString(configPath)) else None
 
   /** Whether a wave partition exists on disk AND is visible. */
   def waveExists(name: String, wave: Int, lookahead: Int = 0): Boolean =
-    wave <= committedWave + lookahead && Files.exists(Paths.get(waveDir(name, wave)))
+    wave <= committedWave + lookahead && exists(waveDir(name, wave))
 
   /** Rows of exactly one visible wave partition. */
   def readWave(name: String, wave: Int, schemaDdl: String, lookahead: Int = 0): DataFrame = {
     val d = waveDir(name, wave)
-    if (wave > committedWave + lookahead || !Files.exists(Paths.get(d))) emptyDf(spark, schemaDdl)
+    if (wave > committedWave + lookahead || !exists(d)) emptyDf(spark, schemaDdl)
     else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .parquet(d)
   }
