@@ -3,7 +3,6 @@ package graft.extract
 import graft.core.ScopeFilter
 import org.apache.spark.sql.DataFrame
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 /** Per-document file-tree export — the reference's browsable output layout
   * (`html/HtmlFileUtils.cs:102-166` URL→path mapping +

@@ -55,15 +55,17 @@ object DatasetExport {
       .option("compression", "zstd")
       .partitionBy("website", "split")
       .parquet(outDir)
-    val size = dirSize(new java.io.File(outDir))
+    // card size + write through the Hadoop FS of the output path, so the
+    // export works on hdfs://-style destinations too (driver-side IO)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val size = fs.getContentSummary(outPath).getLength
     val card = datasetCard(prepared, prettyName, langFilter.getOrElse("multi"), size)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/README.md"),
-      card.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fs.setWriteChecksum(false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/README.md"), true)
+    try out.write(card.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
-
-  private def dirSize(f: java.io.File): Long =
-    if (f.isFile) f.length()
-    else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
 
   /** HF size_categories bucket (`HuggingFaceDatasetBuilder.cs:84-112`). */
   def sizeCategory(totalExamples: Long): String =
