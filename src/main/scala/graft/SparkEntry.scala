@@ -165,6 +165,21 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.langGuess(col("text")).as("lang_guess"))
     }),
 
+    "q_pii_scrub" -> ((s, dir) => {
+      // plant deterministic PII in each row so the scrub has real work
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)),
+          lit(".1 now")).as("dirty"))
+      planted.select(col("doc_id"),
+        TextOps.scrubPii(col("dirty")).as("scrubbed"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.dupTokenFrac(col("text")), 4).as("dup_token_frac"))
+    }),
+
     // ---- dedup family ---------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactFirstWins(t(s, dir, "documents"), "text", "doc_id")
@@ -431,6 +446,26 @@ object SparkEntry {
         |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |             w -> w IN ('the','a','of','to','and','in','is','it'))) AS stop_hits
         |  FROM documents)""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+        |        (doc_id % 256) || '.1 now',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN
+        |    round(CAST(len(string_split_regex(trim(text), '\s+')) -
+        |               len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |          AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 4)
+        |  ELSE 0.0 END AS dup_token_frac
+        |FROM documents""".stripMargin,
 
     "q_lang_guess" ->
       """SELECT doc_id, CASE

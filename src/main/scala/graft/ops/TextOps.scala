@@ -56,6 +56,34 @@ object TextOps {
     * detection across engines (the reference's xxHash64 dictionary analog,
     * in a form DuckDB can reproduce).
     */
+  /** PII scrubbing for training corpora: emails and IPv4 literals are
+    * replaced with typed placeholders. Pure `regexp_replace` chain —
+    * codegen'd, no UDF — with RE2-portable patterns (the DuckDB oracle
+    * runs the same regexes with the 'g' flag). Deliberately conservative:
+    * phone formats vary too much across locales for a portable regex, so
+    * a production build extends the chain rather than risking false
+    * positives here.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  /** Repetition scoring (the Gopher-style duplicate-fraction family):
+    * fraction of tokens that are repeats of an earlier token in the same
+    * document. High values flag boilerplate/spam for the quality gate.
+    * Whitespace tokenization after trim, so the DuckDB oracle
+    * (`string_split_regex(trim(...), '\s+')` + `list_distinct`) mirrors
+    * it exactly.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    when(n > 0, (n - size(array_distinct(toks))).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

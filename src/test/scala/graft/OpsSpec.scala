@@ -359,6 +359,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideo(Array[Byte]('G', 'I', 'F', '8')).isEmpty)
   }
 
+  test("PII scrub replaces emails/IPv4 with placeholders, leaves prose alone") {
+    val rows = Seq(
+      ("write a.b-c+1@sub.example.co.uk today", "write <EMAIL> today"),
+      ("server at 192.168.0.1 and 8.8.8.8.", "server at <IP> and <IP>."),
+      ("version 1.2.3 stays, 1.2.3.4.5 has an IP prefix", // 4-octet run scrubs
+        "version 1.2.3 stays, <IP>.5 has an IP prefix"),
+      ("no pii here", "no pii here"),
+      ("x@y@z.com double-at", "x@<EMAIL> double-at"))
+      .toDF("dirty", "expected")
+    val got = rows.select(TextOps.scrubPii(col("dirty")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' expected '${r.getString(1)}'"))
+  }
+
+  test("dupTokenFrac: fraction of repeated whitespace tokens") {
+    val rows = Seq(
+      ("a b c d", 0.0),
+      ("a a a a", 0.75),
+      ("spam spam ham spam", 0.5),
+      ("  padded   tokens padded  ", 1.0 / 3.0),
+      ("", 0.0))
+      .toDF("text", "expected")
+    rows.select(TextOps.dupTokenFrac(col("text")).as("got"), col("expected"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"got ${r.getDouble(0)} expected ${r.getDouble(1)}"))
+  }
+
   test("split assignment is deterministic and ~80/10/10") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val counts = docs.withColumn("split", TextOps.splitAssign(col("doc_id")))
