@@ -168,8 +168,10 @@ object SparkEntry {
     "q_pii_scrub" -> ((s, dir) => {
       // plant deterministic PII in each row so the scrub has real work
       val planted = t(s, dir, "documents").select(col("doc_id"),
+        // plain % (dividend-sign) on BOTH sides — pmod would diverge from
+        // the DuckDB oracle's % if a fixture ever carried negative ids
         concat(col("text"), lit(" contact user"), col("doc_id"),
-          lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)),
+          lit("@example.com or 10.0."), col("doc_id") % 256,
           lit(".1 now")).as("dirty"))
       planted.select(col("doc_id"),
         TextOps.scrubPii(col("dirty")).as("scrubbed"))

@@ -30,13 +30,17 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
 
   // All driver-side warehouse IO goes through the Hadoop FileSystem
   // resolved from the warehouse path, so the same warehouse works on
-  // file:// (local), hdfs:// and object stores; table reads/writes
-  // already do (spark.read/df.write). FileContext.rename(OVERWRITE) is
-  // the atomic-replace primitive on both HDFS and the local filesystem —
-  // the same commit contract the nio ATOMIC_MOVE gave locally.
+  // file:// (local) and hdfs://; table reads/writes already do
+  // (spark.read/df.write). The atomic-replace primitive is scheme-
+  // dependent: java.nio ATOMIC_MOVE on the local filesystem (Hadoop's
+  // FileContext.rename(OVERWRITE) falls back to delete-then-rename
+  // there — a crash window that would lose the manifest), and
+  // FileContext.rename(OVERWRITE) on HDFS, where the NameNode makes it
+  // atomic. Object stores without atomic rename need a real commit
+  // service (Iceberg et al.) — the class doc's substitution point.
   private val fs: FileSystem = new HPath(warehouse).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
-  fs.setWriteChecksum(false) // no .crc sidecars next to manifest/config
+  private val isLocalFs = fs.getScheme == "file"
   private lazy val fctx: FileContext = FileContext.getFileContext(
     fs.makeQualified(new HPath(warehouse)).toUri,
     spark.sparkContext.hadoopConfiguration)
@@ -48,13 +52,23 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** tmp-write + atomic rename-with-overwrite. */
+  /** tmp-write + atomic rename-with-overwrite (see scheme note above). */
   private def atomicWrite(path: String, content: String): Unit = {
-    val tmp = new HPath(path + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fctx.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(path)),
-      Options.Rename.OVERWRITE)
+    if (isLocalFs) {
+      val target = java.nio.file.Paths.get(
+        fs.makeQualified(new HPath(path)).toUri.getPath)
+      val tmp = java.nio.file.Paths.get(target.toString + ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new HPath(path + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      fctx.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(path)),
+        Options.Rename.OVERWRITE)
+    }
   }
 
   fs.mkdirs(new HPath(warehouse))

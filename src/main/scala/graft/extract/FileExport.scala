@@ -111,27 +111,29 @@ object FileExport {
     rows.foreachPartition { it: Iterator[(String, String, String, String, String)] =>
       import org.apache.hadoop.fs.{FileSystem, Path => HPath}
       val root = new HPath(contentDir)
-      val fs: FileSystem = root.getFileSystem(confSer.value)
-      // no .crc sidecars in the user-facing tree (LocalFileSystem is a
-      // ChecksumFileSystem by default; HDFS/object stores ignore this)
-      fs.setWriteChecksum(false)
-      // BOM-prefixed UTF-8, matching the reference writer's
-      // `new UTF8Encoding(true)` (NLPTextDocumentWriter.cs:27)
-      def write(path: HPath, s: String): Unit = {
-        val out = fs.create(path, true)
-        try {
-          out.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
-          out.write(s.getBytes(StandardCharsets.UTF_8))
-        } finally out.close()
-      }
-      it.foreach { case (url, lang, md, html, csv) =>
-        val base = filePathFromUrl(url) + "." + languageCode(lang)
-        val target = new HPath(root, base + ".text.md")
-        if (target.getParent != null) fs.mkdirs(target.getParent)
-        write(new HPath(root, base + ".text.md"), md)
-        write(new HPath(root, base + ".dataframe.csv"), csv)
-        write(new HPath(root, base + ".preview.html"), html)
-      }
+      // a PRIVATE FileSystem instance so disabling .crc sidecars (the
+      // user-facing tree should not carry them on a local fs) never
+      // mutates the JVM-wide cached instance Spark itself writes through
+      val fs: FileSystem = FileSystem.newInstance(
+        root.getFileSystem(confSer.value).makeQualified(root).toUri, confSer.value)
+      try {
+        fs.setWriteChecksum(false)
+        // BOM-prefixed UTF-8, matching the reference writer's
+        // `new UTF8Encoding(true)` (NLPTextDocumentWriter.cs:27)
+        def write(path: HPath, s: String): Unit = {
+          val out = fs.create(path, true) // creates parent dirs itself
+          try {
+            out.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+            out.write(s.getBytes(StandardCharsets.UTF_8))
+          } finally out.close()
+        }
+        it.foreach { case (url, lang, md, html, csv) =>
+          val base = filePathFromUrl(url) + "." + languageCode(lang)
+          write(new HPath(root, base + ".text.md"), md)
+          write(new HPath(root, base + ".dataframe.csv"), csv)
+          write(new HPath(root, base + ".preview.html"), html)
+        }
+      } finally fs.close()
     }
     val n = rows.count()
     rows.unpersist()

@@ -57,14 +57,20 @@ object DatasetExport {
       .parquet(outDir)
     // card size + write through the Hadoop FS of the output path, so the
     // export works on hdfs://-style destinations too (driver-side IO)
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    val size = fs.getContentSummary(outPath).getLength
-    val card = datasetCard(prepared, prettyName, langFilter.getOrElse("multi"), size)
-    fs.setWriteChecksum(false)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/README.md"), true)
-    try out.write(card.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // private instance: checksum-off must not leak into the JVM-wide
+    // cached FileSystem that Spark writes through
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      outPath.getFileSystem(conf).makeQualified(outPath).toUri, conf)
+    try {
+      val size = fs.getContentSummary(fs.makeQualified(outPath)).getLength
+      val card = datasetCard(prepared, prettyName, langFilter.getOrElse("multi"), size)
+      fs.setWriteChecksum(false)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/README.md"), true)
+      try out.write(card.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally fs.close()
   }
 
   /** HF size_categories bucket (`HuggingFaceDatasetBuilder.cs:84-112`). */
