@@ -34,6 +34,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // optional comma-separated subset for profiling (e.g. isolating one
+    // query's wall time from its predecessors'); "nocrawl" skips the crawl leg
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skipCrawl = subset.exists(s => !s.contains("crawl"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -51,7 +56,7 @@ object Bench {
     spark.range(1000000).agg(sum(col("id"))).collect()
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    headline.foreach { name =>
+    headline.filter(n => subset.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -60,9 +65,10 @@ object Bench {
     }
 
     // ---- crawl-engine throughput (pages fetched+extracted per second) ----
-    val (crawlSec, pages, waves) = crawlBench(spark, cpus)
-    results("crawl") = crawlSec
-    val pagesPerSec = pages / crawlSec
+    val (crawlSec, pages, waves) =
+      if (skipCrawl) (0.0, 0L, 0) else crawlBench(spark, cpus)
+    if (!skipCrawl) results("crawl") = crawlSec
+    val pagesPerSec = if (crawlSec > 0) pages / crawlSec else 0.0
 
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * space before any pairwise work happens.
   */
 object Dedup {
+
+  /** Release the block-manager blocks behind a `connectedComponents` (or
+    * any `localCheckpoint`ed) result once a pipeline is done reading it.
+    * The CC loop already frees its per-round intermediates; this frees the
+    * returned labels too — call it in long-lived jobs that run CC many
+    * times. No-op on plain (non-checkpointed) DataFrames.
+    */
+  def release(df: DataFrame): Unit = GraftColumnBridge.unpersistCheckpoint(df)
 
   /** Exact dedup: first-wins by deterministic key order within each
     * normalized-text group (never `dropDuplicates`, which picks an
@@ -290,6 +298,7 @@ object Dedup {
         .select(col("id_out").as("id"), col("cluster_out").as("cluster"))
         .localCheckpoint(true)
       dict.unpersist()
+      GraftColumnBridge.unpersistCheckpoint(cc) // decoded result supersedes it
       out
     }
   }
@@ -328,6 +337,8 @@ object Dedup {
     // undirected star edges for the stitch loop
     val edges = stars.unionByName(stars.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst").distinct().localCheckpoint(true)
+    // both consumers of the star forest are materialized — drop its blocks
+    GraftColumnBridge.unpersistCheckpoint(stars)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -348,15 +359,21 @@ object Dedup {
         .localCheckpoint(true)
       val anyChanged = updated.agg(max($"changed")).head()
       converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      // the new round's checkpoint is materialized (eager) — release the
+      // superseded one instead of stranding O(rounds) block-manager blocks
+      GraftColumnBridge.unpersistCheckpoint(labels)
       labels = updated.drop("changed")
       iter += 1
       if (sys.env.contains("GRAFT_TRACE"))
         System.err.println(s"[trace] cc round $iter converged=$converged")
     }
+    GraftColumnBridge.unpersistCheckpoint(edges)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations stitch rounds " +
         "(star-forest diameter beyond the doubling budget — raise maxIterations)")
+    // only the returned labels checkpoint survives; callers that are done
+    // with it can release it via Dedup.release
     labels.select($"id", $"cluster")
   }
 

@@ -12,4 +12,20 @@ object GraftColumnBridge {
     classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` only touches the plan cache, not the
+    * checkpoint RDD, so iterative algorithms that checkpoint per round
+    * (connected components) would otherwise strand O(rounds) cached
+    * blocks until GC + ContextCleaner notice. Finds the `LogicalRDD`
+    * leaves (what localCheckpoint rewrites the plan to) and unpersists
+    * their RDDs directly; non-blocking, safe on non-checkpointed plans
+    * (no-op).
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

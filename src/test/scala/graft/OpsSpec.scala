@@ -161,6 +161,23 @@ class OpsSpec extends AnyFunSuite {
       ("docZ", "docZ", true)), dd.toString)
   }
 
+  test("connected components: no cached blocks survive beyond the returned labels") {
+    val sc = spark.sparkContext
+    // drain anything earlier tests left cached so the census below is ours
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(sc.getPersistentRDDs.isEmpty)
+    val pairs = (1L to 3000L).map(i => (i, (i % 300) + 10000L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.count() == 3300)
+    // the loop's per-round localCheckpoints (stars/edges/labels) must all
+    // have been released; only the returned labels' checkpoint may remain
+    val survivors = sc.getPersistentRDDs
+    assert(survivors.size <= 1,
+      s"stranded cached RDDs after CC: ${survivors.values.map(_.name).mkString(", ")}")
+    Dedup.release(cc)
+    assert(sc.getPersistentRDDs.isEmpty, "release(labels) left blocks behind")
+  }
+
   test("nearDupDedup: one canonical per transitive near-dup cluster") {
     // planted dups (i, i+100) -> clusters {i, i+100} with canonical i;
     // noise docs are their own singleton clusters
