@@ -27,6 +27,22 @@ object PdfFixture {
     assemble(contents, title, compress)
   }
 
+  /** PDF 1.5+ layout of the same document: the whole non-stream object
+    * catalog (catalog, page tree, info dict — so the /Title) lives inside
+    * a Flate-compressed /ObjStm object stream, located by a /XRef
+    * cross-reference stream with /W [1 2 2] fields and the PNG Up row
+    * predictor; content streams are Flate too and declare their /Length
+    * as an INDIRECT reference (a trailing length object), the way
+    * real-world incremental writers emit them.
+    */
+  def pdfModern(pages: Seq[Seq[Block]], title: String = "",
+      header: String = "", pageNumbers: Boolean = false): String = {
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, header, pageNumbers)
+    }
+    assembleModern(contents, title)
+  }
+
   /** zlib-deflate a content stream, returned as its lossless ISO-8859-1
     * string image (how real PDFs store page content: /Filter /FlateDecode).
     */
@@ -89,6 +105,87 @@ object PdfFixture {
       sb.append("\nendstream endobj\n")
     }
     sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
+    sb.toString
+  }
+
+  private def assembleModern(contents: Seq[String], title: String): String = {
+    val n = contents.length
+    // object ids: 1 = ObjStm; inside it: 2 catalog, 3 pages, 4 info,
+    // 5..4+n page dicts; top level: per page (content stream, its length
+    // object) at 5+n+2i / 6+n+2i; last = the XRef stream itself
+    val xrefId = 5 + n + 2 * n
+    val kids = (0 until n).map(i => s"${5 + i} 0 R").mkString(" ")
+    val embedded: Seq[(Int, String)] =
+      Seq(
+        2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>",
+        4 -> s"<< /Title (${esc(title)}) >>") ++
+      (0 until n).map { i =>
+        (5 + i) -> (s"<< /Type /Page /Parent 3 0 R /Contents ${5 + n + 2 * i} 0 R " +
+          "/MediaBox [0 0 612 792] >>")
+      }
+    val bodies = embedded.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length)
+    val head = embedded.zip(offsets).map { case ((id, _), off) => s"$id $off" }
+      .mkString(" ") + "\n"
+    val objStmPlain = head + bodies.mkString
+    val objStmData = deflate(objStmPlain)
+
+    val sb = new StringBuilder
+    val objOffsets = scala.collection.mutable.Map.empty[Int, Int]
+    sb.append("%PDF-1.5\n")
+    objOffsets(1) = sb.length
+    sb.append(s"1 0 obj << /Type /ObjStm /N ${embedded.length} /First ${head.length} " +
+      s"/Length ${objStmData.length} /Filter /FlateDecode >> stream\n")
+    sb.append(objStmData)
+    sb.append("\nendstream endobj\n")
+    contents.zipWithIndex.foreach { case (c, i) =>
+      val contentId = 5 + n + 2 * i
+      val lenId = contentId + 1
+      val data = deflate(c)
+      objOffsets(contentId) = sb.length
+      // indirect /Length: the byte count lives in a SEPARATE object after
+      // the stream (how streaming writers emit it — they know the length
+      // only once the data is out)
+      sb.append(s"$contentId 0 obj << /Length $lenId 0 R /Filter /FlateDecode >> stream\n")
+      sb.append(data)
+      sb.append("\nendstream endobj\n")
+      objOffsets(lenId) = sb.length
+      sb.append(s"$lenId 0 obj ${data.length} endobj\n")
+    }
+    // ---- the /XRef cross-reference stream: /W [1 2 2], PNG Up predictor
+    val xrefOffset = sb.length
+    objOffsets(xrefId) = xrefOffset
+    val entries: Seq[(Int, Long, Long)] =
+      Seq((0, 0L, 65535L), (1, objOffsets(1).toLong, 0L)) ++
+      embedded.zipWithIndex.map { case ((_, _), i) => (2, 1L, i.toLong) } ++
+      (0 until n).flatMap { i =>
+        val cid = 5 + n + 2 * i
+        Seq((1, objOffsets(cid).toLong, 0L), (1, objOffsets(cid + 1).toLong, 0L))
+      } ++
+      Seq((1, xrefOffset.toLong, 0L))
+    val rowW = 5 // /W [1 2 2]
+    val raw = entries.map { case (t, f2, f3) =>
+      Array[Int](t, ((f2 >> 8) & 0xff).toInt, (f2 & 0xff).toInt,
+        ((f3 >> 8) & 0xff).toInt, (f3 & 0xff).toInt)
+    }
+    // PNG Up filter: row[j] - prevRow[j], tag byte 2
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Int](rowW)
+    raw.foreach { row =>
+      filtered.write(2)
+      (0 until rowW).foreach(j => filtered.write((row(j) - prev(j)) & 0xff))
+      prev = row
+    }
+    val xrefData = deflate(new String(filtered.toByteArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    sb.append(s"$xrefId 0 obj << /Type /XRef /Size ${xrefId + 1} /W [1 2 2] " +
+      s"/Index [0 ${xrefId + 1}] /Root 2 0 R /Info 4 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowW >> " +
+      s"/Length ${xrefData.length} >> stream\n")
+    sb.append(xrefData)
+    sb.append("\nendstream endobj\n")
+    sb.append(s"startxref\n$xrefOffset\n%%EOF\n")
     sb.toString
   }
 }

@@ -62,13 +62,29 @@ object PdfToSpans {
 
   // --- document info -----------------------------------------------------
 
-  /** /Title (...) from the info dictionary (escapes \( \) \\ handled). */
+  private val InfoRefRe = "/Info\\s+(\\d+)\\s+\\d+\\s+R".r
+
+  /** /Title (...) from the info dictionary. Resolution order: follow the
+    * trailer's `/Info N 0 R` reference through the object catalog (works
+    * when the info dict lives inside a PDF 1.5+ compressed object stream,
+    * where a raw byte scan sees nothing), then fall back to the classic
+    * raw scan for xref-free fixtures. Escapes \( \) \\ handled.
+    */
   def docTitle(pdf: String): String = {
-    val i = pdf.indexOf("/Title")
+    val resolved = for {
+      m <- InfoRefRe.findAllMatchIn(pdf).toSeq.lastOption // last trailer wins
+      body <- resolveObject(pdf, m.group(1).toInt)
+      t = titleIn(body) if t.nonEmpty
+    } yield t
+    resolved.getOrElse(titleIn(pdf))
+  }
+
+  private def titleIn(s: String): String = {
+    val i = s.indexOf("/Title")
     if (i < 0) return ""
-    val open = pdf.indexOf('(', i)
+    val open = s.indexOf('(', i)
     if (open < 0 || open > i + 16) return ""
-    parseLiteralString(pdf, open)._1
+    parseLiteralString(s, open)._1
   }
 
   private def parseLiteralString(s: String, open: Int): (String, Int) = {
@@ -118,48 +134,234 @@ object PdfToSpans {
     } catch { case _: Exception => None }
   }
 
-  /** Text content streams in byte order (one per page). Unfiltered streams
-    * are used as-is; /FlateDecode streams (essentially every real-world
-    * PDF — the reference's PdfPig reads them as a matter of course,
-    * `pdf/PdfDocumentConverter.cs:30-47`) are inflated with the JDK's zlib
-    * (`java.util.zip.Inflater`); any OTHER filter (DCT, LZW, ASCII85,
-    * filter chains) is skipped — declared limitation, not a crash.
+  /** One raw stream object: its governing dictionary text and the stream
+    * data (both as lossless ISO-8859-1 char images of the bytes).
     */
-  private val LengthRe = "/Length\\s+(\\d+)".r
+  private final case class RawStream(dict: String, data: String)
 
-  def contentStreams(pdf: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
+  // the (\s+\d+\s+R)? tail detects an INDIRECT length ("/Length 5 0 R" —
+  // common in real PDFs, where the writer backfills the length after the
+  // data): the leading digits are an object number, not a byte count
+  private val LengthRe = "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r
+
+  /** Start of the balanced `<<` that governs the `stream` keyword at
+    * `streamKw` (nested dicts — /DecodeParms etc. — handled; a plain
+    * `lastIndexOf("<<")` would stop at the innermost one).
+    */
+  private def dictStart(pdf: String, streamKw: Int): Int = {
+    var i = streamKw - 1
+    var depth = 0
+    while (i >= 1) {
+      if (pdf.charAt(i) == '>' && pdf.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (pdf.charAt(i) == '<' && pdf.charAt(i - 1) == '<') {
+        depth -= 1
+        if (depth == 0) return i - 1
+        i -= 2
+      } else i -= 1
+    }
+    -1
+  }
+
+  /** All stream objects in byte order. /Length bounds the data exactly —
+    * compressed bytes may contain the "endstream" byte sequence by chance,
+    * so the keyword alone is not a safe terminator; it IS the fallback
+    * when /Length is absent or indirect ("/Length 5 0 R" — resolving the
+    * reference from inside the scanner would recurse, and the keyword scan
+    * is what correctly handled these before /Length trust existed).
+    */
+  private def rawStreams(pdf: String): Vector[RawStream] = {
+    val out = Vector.newBuilder[RawStream]
     var i = 0
-    while (true) {
+    var done = false
+    while (!done) {
       val s = pdf.indexOf("stream", i)
-      if (s < 0) return out.result()
-      // the governing dict starts at the nearest << before "stream"
-      val dictStart = pdf.lastIndexOf("<<", s)
-      val dict = if (dictStart >= 0) pdf.substring(dictStart, s) else ""
-      val filters = FilterNames.findAllMatchIn(dict).map(_.group(1)).toVector
-      var b = s + "stream".length
-      if (b < pdf.length && pdf.charAt(b) == '\r') b += 1
-      if (b < pdf.length && pdf.charAt(b) == '\n') b += 1
-      // /Length bounds the data exactly — compressed bytes may contain the
-      // "endstream" byte sequence by chance, so the keyword alone is not a
-      // safe terminator; fall back to it only when /Length is absent
-      val dataEnd = LengthRe.findFirstMatchIn(dict).map(m => b + m.group(1).toInt)
-        .filter(_ <= pdf.length)
-        .getOrElse {
+      if (s < 0) done = true
+      else {
+        val ds = dictStart(pdf, s)
+        val dict = if (ds >= 0) pdf.substring(ds, s) else ""
+        var b = s + "stream".length
+        if (b < pdf.length && pdf.charAt(b) == '\r') b += 1
+        if (b < pdf.length && pdf.charAt(b) == '\n') b += 1
+        val direct = LengthRe.findFirstMatchIn(dict)
+          .filter(_.group(2) == null).map(m => b + m.group(1).toInt)
+        val dataEnd = direct.filter(_ <= pdf.length).getOrElse {
           val e = pdf.indexOf("endstream", s)
-          if (e < 0) return out.result() else e
+          if (e < 0) { done = true; b } else e
         }
-      val raw = pdf.substring(b, dataEnd)
-      if (filters.isEmpty) {
-        if (raw.contains("BT")) out += raw
-      } else if (filters == Vector("FlateDecode")) {
-        inflate(raw).filter(_.contains("BT")).foreach(out += _)
-      } // other filters / chains: skip (no toolkit for DCT/LZW/ASCII85)
-      val endTok = pdf.indexOf("endstream", dataEnd)
-      if (endTok < 0) return out.result()
-      i = endTok + "endstream".length
+        if (!done) {
+          out += RawStream(dict, pdf.substring(b, dataEnd))
+          val endTok = pdf.indexOf("endstream", dataEnd)
+          if (endTok < 0) done = true
+          else i = endTok + "endstream".length
+        }
+      }
     }
     out.result()
+  }
+
+  /** Decoded data of a stream: unfiltered as-is, /FlateDecode inflated,
+    * any other filter (DCT, LZW, ASCII85, chains) → None — declared
+    * limitation, not a crash.
+    */
+  private def decodedData(st: RawStream): Option[String] = {
+    val filters = FilterNames.findAllMatchIn(st.dict).map(_.group(1)).toVector
+    if (filters.isEmpty) Some(st.data)
+    else if (filters == Vector("FlateDecode")) inflate(st.data)
+    else None
+  }
+
+  /** Text content streams in byte order (one per page). PDF 1.5+ metadata
+    * streams — /ObjStm object catalogs and /XRef cross-reference streams —
+    * are structural, never page content, and their inflated bytes can
+    * contain "BT" by chance, so they are excluded here and routed to
+    * `objectStreamBodies` / `xrefStreamEntries` instead. The reference's
+    * PdfPig reads all of these as a matter of course
+    * (`pdf/PdfDocumentConverter.cs:30-47`).
+    */
+  def contentStreams(pdf: String): Vector[String] =
+    rawStreams(pdf)
+      .filterNot(st => st.dict.contains("/ObjStm") || st.dict.contains("/XRef"))
+      .flatMap(st => decodedData(st).filter(_.contains("BT")))
+
+  // --- PDF 1.5+ object catalog (xref streams + object streams) ------------
+
+  private val ObjCountRe = "/N\\s+(\\d+)".r
+  private val FirstRe = "/First\\s+(\\d+)".r
+
+  /** Bodies of objects embedded in /ObjStm object streams, by object
+    * number. An ObjStm is a Flate stream whose head (before /First) is N
+    * whitespace-separated (objnum, offset) pairs and whose tail is the
+    * concatenated object bodies — PDF 1.5+ writers put the whole
+    * non-stream object catalog (info dict, page tree) in these, so a raw
+    * byte scan of the file sees none of it.
+    */
+  def objectStreamBodies(pdf: String): Map[Int, String] =
+    rawStreams(pdf).filter(_.dict.contains("/ObjStm")).flatMap { st =>
+      val parsed = for {
+        d <- decodedData(st)
+        n <- ObjCountRe.findFirstMatchIn(st.dict).map(_.group(1).toInt)
+        first <- FirstRe.findFirstMatchIn(st.dict).map(_.group(1).toInt)
+        if first <= d.length
+      } yield {
+        val header = d.substring(0, first).trim.split("\\s+")
+          .filter(_.nonEmpty).flatMap(_.toIntOption)
+        val pairs = header.grouped(2).collect { case Array(num, off) => (num, off) }
+          .toVector.take(n)
+        pairs.zipWithIndex.map { case ((num, off), i) =>
+          val start = math.min(first + off, d.length)
+          val end =
+            if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, d.length)
+            else d.length
+          num -> d.substring(start, math.max(start, end))
+        }
+      }
+      parsed.getOrElse(Vector.empty)
+    }.toMap
+
+  private val WidthsRe = "/W\\s*\\[([^\\]]*)\\]".r
+  private val IndexRe = "/Index\\s*\\[([^\\]]*)\\]".r
+  private val SizeRe = "/Size\\s+(\\d+)".r
+  private val PredictorRe = "/Predictor\\s+(\\d+)".r
+
+  /** Entries of /XRef cross-reference streams: objnum → (type, f2, f3).
+    * type 1 = regular object at byte offset f2; type 2 = object number
+    * f3-th inside object stream f2; type 0 = free. Handles the /W field
+    * widths, /Index subsection runs, and the PNG row predictors
+    * (/Predictor 10-15: None/Sub/Up) real writers emit.
+    */
+  def xrefStreamEntries(pdf: String): Map[Int, (Int, Long, Long)] =
+    rawStreams(pdf).filter(_.dict.contains("/XRef")).flatMap { st =>
+      val parsed = for {
+        d0 <- decodedData(st)
+        w <- WidthsRe.findFirstMatchIn(st.dict).map(
+          _.group(1).trim.split("\\s+").flatMap(_.toIntOption).toVector)
+        if w.length == 3
+      } yield {
+        val rowW = w.sum
+        val predictor = PredictorRe.findFirstMatchIn(st.dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        val bytes = d0.toCharArray.map(c => (c & 0xff).toByte)
+        val rows: Vector[Array[Int]] =
+          if (predictor >= 10) unPng(bytes, rowW)
+          else bytes.grouped(rowW).filter(_.length == rowW)
+            .map(_.map(_ & 0xff)).toVector
+        val index: Vector[(Int, Int)] = IndexRe.findFirstMatchIn(st.dict)
+          .map(_.group(1).trim.split("\\s+").flatMap(_.toIntOption).toVector)
+          .map(_.grouped(2).collect { case Vector(s0, c0) => (s0, c0) }.toVector)
+          .getOrElse {
+            val size = SizeRe.findFirstMatchIn(st.dict)
+              .map(_.group(1).toInt).getOrElse(rows.length)
+            Vector((0, size))
+          }
+        var rowIdx = 0
+        val out = Vector.newBuilder[(Int, (Int, Long, Long))]
+        index.foreach { case (start, count) =>
+          var k = 0
+          while (k < count && rowIdx < rows.length) {
+            val r = rows(rowIdx)
+            def field(off: Int, len: Int): Long = {
+              var v = 0L; var j = 0
+              while (j < len) { v = (v << 8) | r(off + j); j += 1 }
+              v
+            }
+            // a zero-width type field defaults to type 1 (PDF 32000 §7.5.8.2)
+            val t = if (w(0) == 0) 1 else field(0, w(0)).toInt
+            out += ((start + k, (t, field(w(0), w(1)), field(w(0) + w(1), w(2)))))
+            rowIdx += 1; k += 1
+          }
+        }
+        out.result()
+      }
+      parsed.getOrElse(Vector.empty)
+    }.toMap
+
+  /** Undo a PNG row predictor: each (1 + rowW)-byte row leads with a
+    * filter tag (0 None, 1 Sub, 2 Up — what PDF writers use).
+    */
+  private def unPng(bytes: Array[Byte], rowW: Int): Vector[Array[Int]] = {
+    val rows = Vector.newBuilder[Array[Int]]
+    var prev = new Array[Int](rowW)
+    var i = 0
+    while (i + rowW < bytes.length) {
+      val tag = bytes(i) & 0xff
+      val row = new Array[Int](rowW)
+      var j = 0
+      while (j < rowW) {
+        val raw = bytes(i + 1 + j) & 0xff
+        row(j) = tag match {
+          case 0 => raw
+          case 1 => (raw + (if (j > 0) row(j - 1) else 0)) & 0xff
+          case 2 => (raw + prev(j)) & 0xff
+          case _ => raw // unsupported PNG filter: best-effort pass-through
+        }
+        j += 1
+      }
+      rows += row
+      prev = row
+      i += 1 + rowW
+    }
+    rows.result()
+  }
+
+  /** Body text of object `num`: the xref stream's entry when one exists
+    * (type 1 → parse at its byte offset; type 2 → the object-stream
+    * catalog), else a top-level "num gen obj" scan, else the ObjStm
+    * catalog (xref-free fixtures).
+    */
+  private def resolveObject(pdf: String, num: Int): Option[String] = {
+    def topLevelAt(from: Int): Option[String] = {
+      val re = ("(?<![0-9])" + num + "\\s+\\d+\\s+obj").r
+      re.findFirstMatchIn(pdf.substring(from)).map { m =>
+        val start = from + m.end
+        val end = pdf.indexOf("endobj", start)
+        pdf.substring(start, if (end < 0) pdf.length else end)
+      }
+    }
+    xrefStreamEntries(pdf).get(num) match {
+      case Some((1, off, _)) if off < pdf.length => topLevelAt(off.toInt)
+      case Some((2, stm, _)) => objectStreamBodies(pdf).get(num)
+      case _ => topLevelAt(0).orElse(objectStreamBodies(pdf).get(num))
+    }
   }
 
   // --- page parsing: text operators → lines → blocks ----------------------

@@ -126,6 +126,50 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(PdfToSpans.extract(corrupt).spans.size <= dPlain.spans.size)
   }
 
+  test("PDF 1.5: ObjStm + xref-stream layout extracts identically to classic") {
+    val pages = Seq(
+      Seq(
+        Block(Seq("Modern Chapter"), fontSize = 18),
+        Block(Seq("object-stream page body paragraph with words",
+          "and a continuation line of the same paragraph")),
+        Block(Seq("closing remarks of modern page one"))),
+      Seq(
+        Block(Seq("second modern page body, distinct words")),
+        Block(Seq("closing remarks of modern page two"))))
+    val classic = PdfFixture.pdf(pages, title = "Modern Twin",
+      header = "Modern Running Header", pageNumbers = true, compress = true)
+    val modern = PdfFixture.pdfModern(pages, title = "Modern Twin",
+      header = "Modern Running Header", pageNumbers = true)
+    // the modern layout really hides the catalog: no raw /Title visible
+    assert(!modern.substring(modern.indexOf('\n')).contains("/Title ("))
+    assert(modern.contains("/ObjStm") && modern.contains("/XRef"))
+    val dClassic = PdfToSpans.extract(classic)
+    val dModern = PdfToSpans.extract(modern)
+    assert(dModern.title == "Modern Twin", s"title='${dModern.title}'")
+    assert(dModern.spans == dClassic.spans, "modern != classic spans")
+    assert(dModern.spans.exists(_.kind == "TextBlock.Text"))
+    // xref machinery sees through the layout: type-2 entries resolve the
+    // info dict from inside the object stream
+    val xref = PdfToSpans.xrefStreamEntries(modern)
+    assert(xref.values.exists(_._1 == 2), "no type-2 (in-ObjStm) entries")
+    val bodies = PdfToSpans.objectStreamBodies(modern)
+    assert(bodies.values.exists(_.contains("/Title")), bodies.toString)
+  }
+
+  test("PDF: indirect /Length falls back to the endstream scan (not length 5)") {
+    val pdf = PdfFixture.pdf(Seq(Seq(
+      Block(Seq("body paragraph behind an indirect length")),
+      Block(Seq("second paragraph still extracted")))), title = "Ind")
+    // rewrite every direct /Length N into an indirect '/Length 77 0 R':
+    // trusting the leading digits as a byte count would truncate to 77
+    val indirect = pdf.replaceAll("/Length \\d+ ", "/Length 77 0 R ")
+    assert(indirect.contains("/Length 77 0 R"))
+    val d = PdfToSpans.extract(indirect)
+    val texts = d.spans.filter(_.kind == "TextBlock.Text").map(_.text)
+    assert(texts == Vector("body paragraph behind an indirect length",
+      "second paragraph still extracted"), texts.mkString("|"))
+  }
+
   test("PDF end-to-end through the crawl engine and oracle, in parity") {
     import graft.crawl._
     import graft.core.ScopeFilter
