@@ -2,6 +2,7 @@ package graft.extract
 
 import graft.core.ScopeFilter
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 
 /** Per-document file-tree export — the reference's browsable output layout
@@ -104,11 +105,25 @@ object FileExport {
     import spark.implicits._
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // distinct URLs can sanitize to the SAME path ('a:b' and 'a?b' both
+    // become 'a_b'): detect collisions on the derived base path and suffix
+    // a short URL hash, so no document silently overwrites another —
+    // deterministic (every member of a colliding group gets its suffix,
+    // no order dependence), one hash-partitioned shuffle on the base path
+    val basePathUdf = org.apache.spark.sql.functions.udf(
+      (url: String) => filePathFromUrl(url))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"base")
     val rows = rendered
       .select($"doc_id", $"lang", $"markdown", $"preview_html", $"csv")
-      .as[(String, String, String, String, String)]
+      .withColumn("base", basePathUdf($"doc_id"))
+      .withColumn("base",
+        when(count(lit(1)).over(w) > 1,
+          concat($"base", lit("_"), upper(substring(md5($"doc_id"), 1, 8))))
+        .otherwise($"base"))
+      .select($"doc_id", $"lang", $"markdown", $"preview_html", $"csv", $"base")
+      .as[(String, String, String, String, String, String)]
       .persist()
-    rows.foreachPartition { it: Iterator[(String, String, String, String, String)] =>
+    rows.foreachPartition { it: Iterator[(String, String, String, String, String, String)] =>
       import org.apache.hadoop.fs.{FileSystem, Path => HPath}
       val root = new HPath(contentDir)
       // a PRIVATE FileSystem instance so disabling .crc sidecars (the
@@ -127,8 +142,8 @@ object FileExport {
             out.write(s.getBytes(StandardCharsets.UTF_8))
           } finally out.close()
         }
-        it.foreach { case (url, lang, md, html, csv) =>
-          val base = filePathFromUrl(url) + "." + languageCode(lang)
+        it.foreach { case (url, lang, md, html, csv, basePath) =>
+          val base = basePath + "." + languageCode(lang)
           write(new HPath(root, base + ".text.md"), md)
           write(new HPath(root, base + ".dataframe.csv"), csv)
           write(new HPath(root, base + ".preview.html"), html)

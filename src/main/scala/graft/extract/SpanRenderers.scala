@@ -91,7 +91,23 @@ object SpanRenderers {
       cell = new StringBuilder
     }
     def endCell(): Unit = {
-      if (cell != null) { row :+= cell.toString.trim; cell = null }
+      // '|' would split the cell into extra GFM columns and a newline would
+      // end the row — escape/collapse so the table round-trips a GFM parser
+      if (cell != null) {
+        row :+= cell.toString.trim.replace("\n", " ").replace("|", "\\|")
+        cell = null
+      }
+    }
+    /** Late content for a row whose cell already closed (malformed nesting:
+      * an inner table ending after its host cell) — lands in that cell
+      * instead of leaking outside the table.
+      */
+    def appendToLastCell(text: String): Unit = {
+      val t = text.trim.replace("\n", " ").replace("|", "\\|")
+      if (t.isEmpty) ()
+      else if (cell != null) cell.append(' ').append(text)
+      else if (row.nonEmpty) row = row.init :+ (row.last + " " + t)
+      else row :+= t
     }
     def render(): String = {
       if (row.nonEmpty) { rows += ((rowIsHeader, row)); row = Vector.empty }
@@ -144,7 +160,12 @@ object SpanRenderers {
               val text = t.render()
               activeCell match {
                 case Some(c) => c.append(' ').append(text.replace('\n', ' ').trim)
-                case None => sb.append(text)
+                case None => tables match {
+                  // outer table still open but its cell already closed:
+                  // route into that row, never outside the table
+                  case outer :: _ => outer.appendToLastCell(text)
+                  case Nil => sb.append(text)
+                }
               }
             case Nil => ()
           }

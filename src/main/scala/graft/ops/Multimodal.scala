@@ -77,9 +77,12 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val w = 16 + (id % 64).toInt
-        val h = 16 + (id % 48).toInt
-        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        // floorMod: Scala's % is dividend-signed, so a negative id would
+        // produce a negative width/frame count and crash the encoders
+        val w = 16 + math.floorMod(id, 64L).toInt
+        val h = 16 + math.floorMod(id, 48L).toInt
+        val m3 = math.floorMod(id, 3L)
+        val kind = if (m3 == 0) "image" else if (m3 == 1) "audio" else "video"
         val blob =
           if (kind == "image") encodePng(id, w, h)
           else if (kind == "audio") encodeWav(id, wavFrames(id))
@@ -98,7 +101,7 @@ object Multimodal {
   val WavSampleRate = 8000
 
   /** Frame count for a synthetic audio blob. */
-  def wavFrames(id: Long): Int = 64 + (id % 128).toInt
+  def wavFrames(id: Long): Int = 64 + math.floorMod(id, 128L).toInt
 
   /** A real RIFF/WAVE blob: 16-bit PCM mono at [[WavSampleRate]] with
     * deterministic samples ([[sampleValue]]), written through the JDK's
@@ -167,7 +170,7 @@ object Multimodal {
     pixelValue(id * 131L + f, x, y)
 
   /** Frame count for a synthetic video blob. */
-  def videoFrames(id: Long): Int = 4 + (id % 6).toInt
+  def videoFrames(id: Long): Int = 4 + math.floorMod(id, 6L).toInt
 
   /** A real animated GIF: `frames` grayscale frames of deterministic
     * pixels ([[framePixel]]), written through ImageIO's GIF sequence

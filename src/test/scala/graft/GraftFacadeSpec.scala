@@ -112,6 +112,34 @@ class GraftFacadeSpec extends AnyFunSuite {
       Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)))
   }
 
+  test("errors log: failed fetches persist class+message per wave, resume carries") {
+    val host = "err.example.com"
+    def page(u: String, html: String) =
+      u -> SyntheticPage(u, host, 200, "text/html", null, html)
+    val root = s"https://$host/"
+    val pages = Map(
+      page(root, s"""<html><body><p>root page body</p>
+        |<a href="/ok.html">ok</a><a href="/missing.html">gone</a></body></html>""".stripMargin),
+      page(s"https://$host/ok.html", "<html><body><p>fine page body</p></body></html>"))
+      // missing.html is NOT in the universe → SyntheticFetcher returns 404
+    val site = SyntheticWeb.Site(pages, Map(host -> ""), Map.empty, root)
+    val wh = Files.createTempDirectory("graft-errors").toString
+    val config = CrawlConfig(rootUrl = root, scope = ScopeFilter.Domain)
+    Graft.crawl(spark, config, new SyntheticFetcher(site.pages, site.robots), wh,
+      numPartitions = 2)
+    val errs = Graft.errorLog(spark, wh).collect()
+    assert(errs.length == 1, errs.mkString("|"))
+    val r = errs.head
+    assert(r.getAs[String]("url") == s"https://$host/missing.html")
+    assert(r.getAs[Int]("status") == 404)
+    assert(r.getAs[String]("error_class") == "HttpStatus")
+    assert(r.getAs[String]("error_message") == "HTTP 404")
+    // resume on the finished crawl is a no-op and KEEPS the error history
+    Graft.crawl(spark, config, new SyntheticFetcher(site.pages, site.robots), wh,
+      numPartitions = 2)
+    assert(Graft.errorLog(spark, wh).count() == 1)
+  }
+
   test("URL→path mapping matches the reference's documented layout") {
     import graft.extract.FileExport
     // GetBaseDomain doc example (HtmlFileUtils.cs:36-38)
@@ -139,5 +167,38 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(!FileExport.pathValidChars("a/../b").contains(".."))
     // language extension
     assert(FileExport.languageCode("?") == "xx" && FileExport.languageCode("en") == "en")
+  }
+
+  test("file export: sanitize-collided URLs get distinct hash-suffixed paths") {
+    import graft.extract.FileExport
+    // both sanitize to h.com path 'a_b' — without collision handling one
+    // document's three files silently overwrite the other's
+    val u1 = "https://h.com/a:b"
+    val u2 = "https://h.com/a*b"
+    assert(FileExport.filePathFromUrl(u1) == FileExport.filePathFromUrl(u2))
+    val sqlc = spark
+    import sqlc.implicits._
+    val rendered = Seq(
+      (u1, "en", "md one", "<p>one</p>", "csv1"),
+      (u2, "en", "md two", "<p>two</p>", "csv2"),
+      ("https://h.com/solo", "en", "md solo", "<p>s</p>", "csv3"))
+      .toDF("doc_id", "lang", "markdown", "preview_html", "csv")
+    val out = Files.createTempDirectory("graft-collide").toString
+    assert(FileExport.writeFiles(rendered, out) == 3)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(java.nio.file.Files.isRegularFile(_)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.map(_.toString).toVector
+    // 3 docs x 3 formats, none overwritten
+    assert(names.length == 9, names.mkString("\n"))
+    val mds = names.filter(_.endsWith(".text.md"))
+    assert(mds.length == 3)
+    val bodies = mds.map(p => new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    assert(bodies.exists(_.contains("md one")) && bodies.exists(_.contains("md two")))
+    // the uncollided path keeps its clean name (no hash suffix)
+    assert(names.exists(_.contains("solo.en.text.md")))
+    // colliding members both carry an 8-hex suffix
+    assert(mds.count(_.matches(".*a_b_[0-9A-F]{8}\\.en\\.text\\.md")) == 2)
   }
 }

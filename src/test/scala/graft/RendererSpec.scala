@@ -79,6 +79,22 @@ class RendererSpec extends AnyFunSuite {
     assert(cells(lines2(0)) == Vector("a", "b") && cells(lines2(1)) == Vector("c", "d"))
   }
 
+  test("markdown tables: '|' in cell text is escaped, not a column break") {
+    val html =
+      """<html><body><table>
+        |<tr><th>Expr</th><th>Means</th></tr>
+        |<tr><td>a|b</td><td>a or b</td></tr>
+        |</table></body></html>""".stripMargin
+    val d = HtmlToSpans.extract(html)
+    val md = SpanRenderers.toMarkdown("", d.spans)
+    val lines = md.split("\n").filter(_.nonEmpty).toVector
+    assert(lines.length == 3, md)
+    // a GFM parser splits on UNESCAPED pipes: the data row still has 2 cells
+    def cells(l: String): Vector[String] = l.stripPrefix("|").stripSuffix("|")
+      .split("(?<!\\\\)\\|").map(_.trim).toVector
+    assert(cells(lines(2)) == Vector("a\\|b", "a or b"), md)
+  }
+
   test("markdown tables: a rowspan in column 1 still breaks rows") {
     // row 2's first available cell is col 2 (col 1 occupied by the rowspan
     // continuation) — rows must break on the ROW coordinate, not col==1
