@@ -22,7 +22,11 @@ trait Fetcher extends Serializable {
 }
 
 final case class FetchResponse(status: Int, contentType: String,
-    redirectTo: String, body: String, retryAfterSec: Int = 0)
+    redirectTo: String, body: String, retryAfterSec: Int = 0,
+    // exception detail for transport-level failures (status < 0): surfaced
+    // into the per-wave `errors` table (S9 — the reference's exceptions/
+    // messages logs, WebsiteTextExtractor.cs:298-311)
+    errorClass: String = null, errorMessage: String = null)
 
 /** Deterministic in-memory fetcher over the synthetic web fixture, with an
   * optional fixed simulated per-page cost so benchmarks exercise the engine
@@ -110,21 +114,33 @@ final class CrawlEngine(
   private val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
     .getOrElse(throw new IllegalArgumentException(s"bad root url: ${config.rootUrl}"))
 
-  /** Driver-side cache of per-host crawl delays ONLY (a long per host —
-    * politeness caps need nothing else). The robots corpus itself stays in
-    * the `hosts` table and is read back PER WAVE for just the hosts the
-    * wave touches, so neither driver memory nor the per-wave broadcast
-    * grows with crawl age (the round-2 design broadcast every host's
-    * compiled rules every wave). The delay map is bounded by distinct
-    * hosts × ~a few bytes — safe on the driver at a 10^7-host frontier
-    * where the robots corpus would not be (SURVEY.md §4).
-    */
-  private var delayByHost: scala.collection.mutable.Map[String, Long] = _
-
   /** Size of the last wave's compiled-robots broadcast (test hook: asserts
     * the broadcast is scoped to the wave's candidate hosts).
     */
   private[graft] var lastRobotsBroadcastSize: Int = -1
+
+  /** Size of the last wave's driver-side politeness-delay map (test hook:
+    * asserts driver host state is O(wave hosts), not O(crawl age) — the
+    * hosts TABLE is the authoritative store, read back per wave for just
+    * the wave's frontier hosts; no cumulative driver map anywhere).
+    */
+  private[graft] var lastWaveDelayMapSize: Int = -1
+
+  /** Crawl delays for exactly `hosts`, read from the authoritative hosts
+    * table — the same scoped-read shape as `compiledRobotsFor`: an `isin`
+    * pushdown for modest sets, a (broadcast) join past that, so the big
+    * hosts table never shuffles and the driver only ever holds this
+    * wave's delays.
+    */
+  private def delaysFor(hosts: Seq[String]): Map[String, Long] = {
+    if (hosts.isEmpty) return Map.empty
+    val tbl = io.readAll("hosts", TableIO.HostsSchema)
+    val filtered =
+      if (hosts.length <= 1024) tbl.filter(col("host").isin(hosts: _*))
+      else tbl.join(spark.createDataset(hosts.toSeq).toDF("host"), "host")
+    filtered.select(col("host"), col("crawl_delay_ms")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Compiled robots rules for exactly `hosts`: freshly-fetched states
     * first (not yet staged to the hosts table), the rest read back from
@@ -308,17 +324,15 @@ final class CrawlEngine(
     val prevMaxSeq = io.stat("max_seq").getOrElse(0L)
 
     // ---- 1. robots for hosts newly appearing in the frontier -------------
-    if (delayByHost == null) {
-      delayByHost = scala.collection.mutable.Map.empty
-      io.readAll("hosts", TableIO.HostsSchema)
-        .select($"host", $"crawl_delay_ms").collect()
-        .foreach(r => delayByHost(r.getString(0)) = r.getLong(1))
-    }
     val fetcherL = fetcher
     val cfg = config
     val frontierHosts = timed(wave, "hosts")(
       frontier.select($"host").distinct().as[String].collect())
-    val newHostNames = frontierHosts.filterNot(delayByHost.contains)
+    // per-wave politeness state from the hosts TABLE — nothing on the
+    // driver outlives the wave, so driver memory is O(wave hosts) at any
+    // crawl age (a 10^7-host crawl history costs the driver nothing)
+    val knownDelays = timed(wave, "delays")(delaysFor(frontierHosts.toSeq))
+    val newHostNames = frontierHosts.filterNot(knownDelays.contains)
     // few new hosts → fetch robots on the driver; many → distribute
     val newHostStates: Seq[HostState] = timed(wave, "robots")(
       if (newHostNames.length <= 64) {
@@ -337,10 +351,12 @@ final class CrawlEngine(
             }
           }.collect().toSeq
       })
-    newHostStates.foreach(h => delayByHost(h.host) = h.crawl_delay_ms)
+    val delayOf: Map[String, Long] =
+      knownDelays ++ newHostStates.map(h => h.host -> h.crawl_delay_ms)
+    lastWaveDelayMapSize = delayOf.size
     // politeness caps for THIS WAVE's frontier hosts only
     val capByHost: Map[String, Int] = frontierHosts.map { h =>
-      val delay = delayByHost.getOrElse(h, config.effectiveDelayMs(0))
+      val delay = delayOf.getOrElse(h, config.effectiveDelayMs(0))
       h -> math.max(1L, config.waveBudgetMs / math.max(1L, delay)).toInt
     }.toMap
     val capBc = spark.sparkContext.broadcast(capByHost)
@@ -507,13 +523,13 @@ final class CrawlEngine(
 
     // robots rules are needed only by the candidate-link filter below, so
     // the broadcast is scoped to THIS WAVE'S candidate hosts. Hosts never
-    // seen before have no rules yet and pass as Empty (their robots are
-    // fetched when they become frontier — reference semantics); known
-    // hosts' robots come from the hosts TABLE, so neither the driver nor
-    // the broadcast ever holds the full robots corpus.
-    val candKnownHosts: Seq[String] =
-      candHostCounts.map(_._1).filter(delayByHost.contains).toSeq
-    val robotsRules = compiledRobotsFor(candKnownHosts, newHostStates)
+    // seen before simply have no row in the hosts table, drop out of the
+    // scoped read, and pass as Empty (their robots are fetched when they
+    // become frontier — reference semantics); known hosts' robots come
+    // from the hosts TABLE, so neither the driver nor the broadcast ever
+    // holds the full robots corpus.
+    val robotsRules =
+      compiledRobotsFor(candHostCounts.map(_._1).toSeq, newHostStates)
     lastRobotsBroadcastSize = robotsRules.size
     val robotsBc = spark.sparkContext.broadcast(robotsRules)
 
@@ -666,6 +682,17 @@ final class CrawlEngine(
         round($"extract_ms", 3).as("extract_ms"))
       staged("stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
     }
+    if (errorsWave > 0) {
+      // error-detail log (S9 remainder): the WHY of each error row —
+      // exception class + message per failed fetch, persisted per wave
+      // like the reference's exceptions/messages logs
+      // (WebsiteTextExtractor.cs:298-311); appended per wave, so resume
+      // carries the full history
+      val errorLog = results.toDF().filter($"is_error").select(
+        $"wave", $"seq", $"url", $"host", $"status",
+        $"error_class", $"error_message", $"retry_count")
+      staged("stage:errors")(io.stage("errors", wave, errorLog))
+    }
     if (config.minUniquePct > 0) {
       val excludesDf = excludedPrefixes.map(p => (p, wave)).toDF("pattern", "wave")
       val windowDf = window10.zipWithIndex
@@ -746,6 +773,11 @@ final class CrawlEngine(
 
 object CrawlEngine {
 
+  /** `error_class` value for HTTP-level (non-exception) error rows in the
+    * errors log — e.g. a plain 404/500 with no transport exception.
+    */
+  val HttpStatusErrorClass = "HttpStatus"
+
   /** JVM-shared driver pool for concurrent per-wave stage writes (step 8).
     * Sized to overlap job-scheduling + parquet-commit latency, not to add
     * compute parallelism (executor cores do the work either way). Shared
@@ -774,7 +806,8 @@ object CrawlEngine {
     val t1 = System.nanoTime()
     FetchedPage(e.url, e.url_hash, e.host, e.parent_url, e.seq, e.depth, e.wave,
       resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6,
-      e.retry_count, resp.retryAfterSec, e.redirect_position)
+      e.retry_count, resp.retryAfterSec, e.redirect_position,
+      resp.errorClass, resp.errorMessage)
   }
 
   /** Extract one fetched page — the CPU-bound unit of work run in the
@@ -825,11 +858,17 @@ object CrawlEngine {
     // error classification (F9): any non-200 except a followable redirect
     val isError = p.status != 200 &&
       !(p.status >= 300 && p.status < 400 && p.redirect_to != null)
+    // error detail for the S9 errors log: transport exceptions carry their
+    // class/message from the fetcher; HTTP-level errors synthesize one
+    val (errClass, errMsg) =
+      if (!isError) (null, null)
+      else if (p.error_class != null) (p.error_class, p.error_message)
+      else (CrawlEngine.HttpStatusErrorClass, s"HTTP ${p.status}")
     PageResult(p.url, p.url_hash, p.host, p.seq, p.depth, p.wave,
       p.status, p.content_type, title, spans, outLinks, noFollow,
       p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError,
       p.parent_url, p.retry_count, p.retry_after_sec, p.redirect_position,
-      if (p.body == null) 0 else p.body.length)
+      if (p.body == null) 0 else p.body.length, errClass, errMsg)
   }
 
   /** Bucket of a url_hash for partition-local seen-cache filters. */

@@ -159,11 +159,13 @@ class CrawlParitySpec extends AnyFunSuite {
     val engine = new CrawlEngine(spark, io, sConfig,
       new SyntheticFetcher(sSite.pages, sSite.robots), numPartitions = 4)
     val sizes = scala.collection.mutable.Buffer.empty[Int]
+    val delaySizes = scala.collection.mutable.Buffer.empty[Int]
     var hadWork = true
     var wave = 0
     while (hadWork && wave < 40) {
       hadWork = engine.run(maxWavesThisRun = 1) > 0
-      if (hadWork) sizes += engine.lastRobotsBroadcastSize
+      if (hadWork) { sizes += engine.lastRobotsBroadcastSize
+        delaySizes += engine.lastWaveDelayMapSize }
       wave += 1
     }
     val totalHosts = sSite.pages.values.map(_.host).toSet.size
@@ -171,6 +173,12 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sizes.forall(_ <= totalHosts))
     assert(sizes.last < totalHosts,
       s"final-wave broadcast ${sizes.last} not scoped below $totalHosts hosts")
+    // driver politeness state is per-wave too: late tree waves touch few
+    // hosts, so the delay map must SHRINK with them, not accumulate every
+    // host ever seen (the retired delayByHost design)
+    assert(delaySizes.forall(_ <= totalHosts))
+    assert(delaySizes.last < totalHosts,
+      s"final-wave delay map ${delaySizes.last} not O(wave hosts)")
     // parity is unaffected by the scoping
     assert(seenOf(io) == sOracle.seen)
     assert(io.readAll("documents", TableIO.DocumentsSchema).count() ==
