@@ -92,6 +92,11 @@ object Graft {
     new TableIO(warehouse, spark).readAll("hosts", TableIO.HostsSchema)
   def fetchLog(spark: SparkSession, warehouse: String): DataFrame =
     new TableIO(warehouse, spark).readAll("fetch_log", TableIO.FetchLogSchema)
+  /** Error-detail log (S9): one row per failed fetch with the exception
+    * class and message (or "HTTP <code>"), appended per wave.
+    */
+  def errorLog(spark: SparkSession, warehouse: String): DataFrame =
+    new TableIO(warehouse, spark).readAll("errors", TableIO.ErrorsSchema)
 
   /** The `dataset` entry point (§3.3): filter + gate + split + export. */
   def exportDataset(docs: DataFrame, outDir: String,

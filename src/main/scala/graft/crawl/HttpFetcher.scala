@@ -98,7 +98,9 @@ final class HttpFetcher(
         FetchResponse(status, mime, null, "", retryAfterSec = sec)
       }
     } catch {
-      case _: Exception => FetchResponse(-1, "", null, "")
+      case e: Exception => FetchResponse(-1, "", null, "",
+        errorClass = e.getClass.getName,
+        errorMessage = String.valueOf(e.getMessage))
     }
   }
 

@@ -64,7 +64,9 @@ final case class FetchedPage(
     fetch_ms: Double,
     retry_count: Int,      // attempts already spent on this url
     retry_after_sec: Int,  // server Retry-After hint from THIS response
-    redirect_position: Int) // position along a 3xx chain (0 = not via redirect)
+    redirect_position: Int, // position along a 3xx chain (0 = not via redirect)
+    error_class: String = null,   // transport exception class (status < 0)
+    error_message: String = null) // transport exception message
 
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(
@@ -90,7 +92,12 @@ final case class PageResult(
     retry_count: Int,
     retry_after_sec: Int,
     redirect_position: Int,
-    content_chars: Int) // body size (chars) — the size-on-disk stop proxy
+    content_chars: Int, // body size (chars) — the size-on-disk stop proxy
+    // error detail (S9 errors log): transport exception class/message for
+    // status < 0, "HttpStatus"/"HTTP <code>" for HTTP-level errors, nulls
+    // on success — the WHY of each error row, persisted per wave
+    error_class: String = null,
+    error_message: String = null)
 
 /** One extracted document row — the north-rule table shape
   * (doc_id, spans) plus analysis metadata.
