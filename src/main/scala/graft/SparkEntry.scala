@@ -294,6 +294,46 @@ object SparkEntry {
         .orderBy(col("website"), col("split"))
     }),
 
+    // ---- pipeline composition: legacy ingest → dedup → stats ------------
+    "q_legacy_export_stats" -> ((s, dir) => {
+      // S6 end-to-end: render 200 documents into the reference's legacy
+      // `##`-marker files, ingest them back through the partition-parallel
+      // binaryFile source, then run the standard dedup + aggregation over
+      // the ROUND-TRIPPED text — proving a legacy corpus feeds the same
+      // pipeline as a live crawl. The oracle computes identical stats from
+      // the parquet source directly, so any round-trip corruption fails
+      // the hash compare. (Files land in a fresh local temp dir — query
+      // fixture plumbing; production legacy corpora live on a shared fs
+      // and enter at Graft.readLegacy.)
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-legacy-q").toString
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .foreachPartition { it: Iterator[(Long, String, String)] =>
+          it.foreach { case (id, text, lang) =>
+            val doc = graft.extract.LegacyDoc(
+              uri = f"doc://$id%05d", title = f"Doc $id%05d", timestamp = "",
+              metadata = Map("lang" -> lang),
+              spans = Vector(graft.core.Span("TextBlock.Text", text, "", 0)))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"doc_$id%05d.txt"),
+              graft.extract.LegacyDocFormat.render(doc)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      val texts = Graft.readLegacy(s, tmp)
+        .select(col("uri"),
+          concat_ws("\n", expr(
+            "transform(filter(spans, x -> x.kind = 'TextBlock.Text'), x -> x.text)"))
+            .as("text"))
+        .withColumn("ord", substring(col("uri"), 7, 5).cast("long"))
+      Dedup.exactFirstWins(texts, "text", "ord")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_unique"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_words"))
+    }),
+
     // ---- pipeline composition: dedup → export as ONE DAG ----------------
     "q_neardup_export" -> ((s, dir) => {
       // the full pipeline story (mine pairs → cluster → keep canonicals →
@@ -553,6 +593,12 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM prepared p JOIN gated g ON p.website = g.website
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_legacy_export_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_words
+        |FROM documents WHERE doc_id < 200""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH pairs AS (

@@ -256,8 +256,13 @@ object Dedup {
     *     edge count (~500k edges/task), so each task's map is executor-
     *     memory bounded at any corpus size.
     *  2. CROSS-PARTITION STITCHING: min-label propagation with a pointer
-    *     jump over the star edges. Star forests have tiny diameters (they
-    *     only chain across partitions), so a handful of rounds suffices;
+    *     jump over the star edges. The jump DOUBLES the propagation
+    *     distance per round (measured: a 10^4-diameter quotient chain
+    *     converges in 14 ≈ log2(10^4) rounds — OpsSpec pins it), so the
+    *     default 25-round budget covers quotient diameters to ~2^25 with
+    *     no manual tuning; beyond that the loop throws rather than
+    *     returning unconverged labels. Star forests have tiny diameters
+    *     in practice (they only chain across partitions);
     *     each round is ONE materializing job (eager localCheckpoint — the
     *     plan must truncate per round or plan compilation blows up long
     *     before the data does) carrying a fused `changed` flag, and the
@@ -272,13 +277,14 @@ object Dedup {
     * member id" carries over to the original type's ordering. Output:
     * (id, cluster) — deterministic, oracle-comparable.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25,
+      contractionParts: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val integral = pairs.schema.apply("id_a").dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    if (integral) connectedComponentsLong(pairs, maxIterations)
+    if (integral) connectedComponentsLong(pairs, maxIterations, contractionParts)
     else {
       val spark = pairs.sparkSession
       val ids = pairs.select(col("id_a").as("oid"))
@@ -291,7 +297,7 @@ object Dedup {
         .join(dict.select(col("oid").as("id_a"), col("nid").as("na")), "id_a")
         .join(dict.select(col("oid").as("id_b"), col("nid").as("nb")), "id_b")
         .select(col("na").as("id_a"), col("nb").as("id_b"))
-      val cc = connectedComponentsLong(enc, maxIterations)
+      val cc = connectedComponentsLong(enc, maxIterations, contractionParts)
       val out = cc
         .join(dict.select(col("nid").as("id"), col("oid").as("id_out")), "id")
         .join(dict.select(col("nid").as("cluster"), col("oid").as("cluster_out")), "cluster")
@@ -303,7 +309,8 @@ object Dedup {
     }
   }
 
-  private def connectedComponentsLong(pairs: DataFrame, maxIterations: Int): DataFrame = {
+  private def connectedComponentsLong(pairs: DataFrame, maxIterations: Int,
+      contractionParts: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges0 = pairs
@@ -311,7 +318,11 @@ object Dedup {
       .distinct().persist()
     val m = edges0.count()
     // ---- phase 1: per-partition union-find → star edges (node, localRoot)
-    val parts = math.max(1L, math.min(1L << 16, (m + 499999L) / 500000L)).toInt
+    // contractionParts: test hook to force a pathological multi-partition
+    // contraction on small inputs (a 10^4-link chain hash-scattered over
+    // 32 partitions contracts to ~nothing and stresses the stitch loop)
+    val parts = contractionParts.getOrElse(
+      math.max(1L, math.min(1L << 16, (m + 499999L) / 500000L)).toInt)
     val stars = edges0.as[(Long, Long)].repartition(parts).mapPartitions { it =>
       val parent = scala.collection.mutable.LongMap.empty[Long]
       val nodes = scala.collection.mutable.LongMap.empty[Boolean]

@@ -161,6 +161,22 @@ class OpsSpec extends AnyFunSuite {
       ("docZ", "docZ", true)), dd.toString)
   }
 
+  test("connected components: a 10^4-diameter chain converges on default budget") {
+    // pathological stitch topology: one path graph 0-1-2-...-10000, edges
+    // hash-scattered over 32 contraction partitions so partition-local
+    // union-find contracts almost nothing — the stitch loop must close a
+    // ~10^4-diameter quotient graph within the DEFAULT iteration budget
+    // (possible because the neighbor-min + pointer-jump rounds double the
+    // propagation distance, so the need is ~log2(10^4), not 10^4)
+    val n = 10000
+    val pairs = (0L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, contractionParts = Some(32))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == n + 1)
+    assert(cc.forall(_._2 == 0L), s"chain not fully labeled: ${cc.filter(_._2 != 0L).take(5).mkString(",")}")
+    Dedup.release(spark.emptyDataFrame) // no-op guard: release is safe on plain DFs
+  }
+
   test("connected components: no cached blocks survive beyond the returned labels") {
     val sc = spark.sparkContext
     // drain anything earlier tests left cached so the census below is ours
