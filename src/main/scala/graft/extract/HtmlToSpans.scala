@@ -105,8 +105,28 @@ object HtmlToSpans {
     (cls.exists(c => c.contains("hidden") || c.contains("invisible") ||
                      c.contains("login") || c.contains("search"))) ||
     role.exists(_.contains("search")) ||
-    e.hasAttr("aria-hidden")
+    e.hasAttr("aria-hidden") ||
+    e.attr("style").exists(inlineStyleHides)
   }
+
+  /** Inline-CSS hiding: `display:none` / `visibility:hidden|collapse` in
+    * the `style` attribute — the inline case of the reference's computed
+    * display/visibility evaluation (`html/HtmlDocumentConverter.cs:328-344`
+    * + `WebsiteTextExtractor.cs:189-205` FilterDisplayAndVisibilityOnly).
+    * Full stylesheet cascade stays out of scope (declared deviation); the
+    * inline attribute is cheap and common on real pages. Declarations are
+    * parsed properly (split on ';' then ':'), so `display: block` or
+    * `visibility: visible` never false-positive on substring grounds.
+    */
+  private[extract] def inlineStyleHides(style: String): Boolean =
+    style.split(';').exists { decl =>
+      val kv = decl.split(":", 2)
+      kv.length == 2 && {
+        val (prop, value) = (kv(0).trim.toLowerCase, kv(1).trim.toLowerCase)
+        (prop == "display" && value == "none") ||
+        (prop == "visibility" && (value == "hidden" || value == "collapse"))
+      }
+    }
 
   private final class TableCoords {
     var row = 1

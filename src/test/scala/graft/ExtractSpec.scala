@@ -109,6 +109,23 @@ class ExtractSpec extends AnyFunSuite {
     assert(ktext(spansOf(html)) == Seq(("TextBlock.Text", "yes")))
   }
 
+  test("inline style display:none / visibility:hidden hides; overrides render") {
+    val html =
+      """<html><body>
+        |<div style="display:none"><p>no</p></div>
+        |<div style="color: red; DISPLAY: NONE ;"><p>no</p></div>
+        |<p style="visibility:hidden">no</p>
+        |<p style="visibility: collapse">no</p>
+        |<div style="display: block"><p>block yes</p></div>
+        |<p style="visibility: visible">visible yes</p>
+        |<p style="display:inline-block">inline yes</p>
+        |</body></html>""".stripMargin
+    assert(ktext(spansOf(html)) == Seq(
+      ("TextBlock.Text", "block yes"),
+      ("TextBlock.Text", "visible yes"),
+      ("TextBlock.Text", "inline yes")))
+  }
+
   test("inline_blocks: inline fragments join with single spaces, entities decode") {
     val html =
       """<html><body><div>one <span>two</span> three&nbsp;&amp; four<p>inner block</p>tail</div></body></html>"""
