@@ -27,6 +27,48 @@ object PdfFixture {
     assemble(contents, title, compress)
   }
 
+  /** Same document with an explicit content-stream /Filter chain, named in
+    * DECODE order as PDF dicts do (e.g. `Seq("ASCII85Decode",
+    * "FlateDecode")` = the classic mail-safe wrapping: deflate, then
+    * ASCII85-armor; the reader un-armors first, inflates second).
+    */
+  def pdfFiltered(pages: Seq[Seq[Block]], title: String,
+      filters: Seq[String]): String = {
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, "", pageNumbers = false)
+    }
+    def encode(c: String): String = filters.reverse.foldLeft(c) { (d, f) =>
+      f match {
+        case "FlateDecode" => deflate(d)
+        case "ASCII85Decode" => a85Encode(d)
+        case "ASCIIHexDecode" => hexEncode(d)
+        case other => throw new IllegalArgumentException(other)
+      }
+    }
+    val filterSpec =
+      if (filters.length == 1) s" /Filter /${filters.head}"
+      else s" /Filter [${filters.map("/" + _).mkString(" ")}]"
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val n = contents.length
+    val kids = (0 until n).map(i => s"${4 + i * 2} 0 R").mkString(" ")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    sb.append(s"3 0 obj << /Title (${esc(title)}) >> endobj\n")
+    contents.zipWithIndex.foreach { case (c, i) =>
+      val pageId = 4 + i * 2
+      val contentId = pageId + 1
+      sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /Contents $contentId 0 R " +
+        "/MediaBox [0 0 612 792] >> endobj\n")
+      val data = encode(c)
+      sb.append(s"$contentId 0 obj << /Length ${data.length}$filterSpec >> stream\n")
+      sb.append(data)
+      sb.append("\nendstream endobj\n")
+    }
+    sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
+    sb.toString
+  }
+
   /** PDF 1.5+ layout of the same document: the whole non-stream object
     * catalog (catalog, page tree, info dict — so the /Title) lives inside
     * a Flate-compressed /ObjStm object stream, located by a /XRef
@@ -59,6 +101,35 @@ object PdfFixture {
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** ASCII85 encoding (PDF §7.4.3): 4 bytes → 5 chars '!'..'u', partial
+    * final group of n bytes → n+1 chars, '~>' terminator. (No 'z'
+    * shorthand — optional for encoders; the decoder handles both.)
+    */
+  private def a85Encode(data: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val count = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < count) data.charAt(i + j) & 0xff else 0)
+        j += 1
+      }
+      val cs = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+      sb.appendAll(cs, 0, count + 1)
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  /** ASCIIHex encoding (PDF §7.4.2): hex pairs with line breaks, '>'. */
+  private def hexEncode(data: String): String =
+    data.grouped(32).map(_.map(c => f"${c & 0xff}%02X").mkString)
+      .mkString("", "\n", ">")
 
   private def pageContent(blocks: Seq[Block], pageNo: Int,
       header: String, pageNumbers: Boolean): String = {

@@ -26,12 +26,15 @@ import scala.collection.mutable
   *     intended); the LAST block is always a plain text block.
   *
   * No PDF toolkit ships in this container, so the byte-level reader
-  * handles the text subset directly: content streams that are either
-  * unfiltered or /FlateDecode-compressed (zlib via `java.util.zip.
-  * Inflater` — the filter essentially every real-world PDF uses),
+  * handles the text subset directly: content streams filtered with
+  * /FlateDecode (zlib via `java.util.zip.Inflater` — essentially every
+  * real-world PDF), /ASCIIHexDecode, /ASCII85Decode, or chains of those
+  * (`[/ASCII85Decode /FlateDecode]`); PDF 1.5+ object streams (/ObjStm)
+  * and cross-reference streams (/XRef, with PNG row predictors);
   * BT..ET text objects with the Tf, Td, TD, TL, T-star, Tm, Tj, quote
-  * and TJ operators, and the document-info /Title. Other filters (DCT,
-  * LZW, ASCII85, chains) are skipped.
+  * and TJ operators, and the document-info /Title resolved through the
+  * trailer's /Info reference. Other filters (DCT, LZW, JBIG2) are
+  * skipped.
   * Each content stream is one page (the fixture/page-tree simplification;
   * a real toolkit drops in at `extract` without touching the engine).
   */
@@ -199,15 +202,84 @@ object PdfToSpans {
     out.result()
   }
 
-  /** Decoded data of a stream: unfiltered as-is, /FlateDecode inflated,
-    * any other filter (DCT, LZW, ASCII85, chains) → None — declared
-    * limitation, not a crash.
+  /** Decoded data of a stream: the /Filter chain applied in order —
+    * /FlateDecode (zlib), /ASCIIHexDecode, /ASCII85Decode, and their
+    * chains (e.g. `[/ASCII85Decode /FlateDecode]`, the classic
+    * mail-safe wrapping). Any other filter (DCT, LZW, JBIG2) → None —
+    * declared limitation, not a crash.
     */
   private def decodedData(st: RawStream): Option[String] = {
     val filters = FilterNames.findAllMatchIn(st.dict).map(_.group(1)).toVector
-    if (filters.isEmpty) Some(st.data)
-    else if (filters == Vector("FlateDecode")) inflate(st.data)
-    else None
+    filters.foldLeft(Option(st.data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" => inflate(d)
+          case "ASCIIHexDecode" => asciiHexDecode(d)
+          case "ASCII85Decode" => ascii85Decode(d)
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** /ASCIIHexDecode: hex pairs, whitespace ignored, '>' terminates, an
+    * odd trailing digit pads with 0 (PDF 32000 §7.4.2). None on a non-hex
+    * byte — degrade, never crash.
+    */
+  private def asciiHexDecode(s: String): Option[String] = {
+    val out = new StringBuilder
+    var hi = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '>') i = s.length
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0) return None
+        if (hi < 0) hi = v
+        else { out.append(((hi << 4) | v).toChar); hi = -1 }
+        i += 1
+      } else i += 1
+    }
+    if (hi >= 0) out.append((hi << 4).toChar) // odd digit: low nibble 0
+    Some(out.toString)
+  }
+
+  /** /ASCII85Decode: 5 chars '!'..'u' → 4 bytes base 85, 'z' = four zero
+    * bytes, whitespace ignored, '~>' terminates; a partial final group of
+    * n chars pads with 'u' and yields n-1 bytes (PDF 32000 §7.4.3).
+    */
+  private def ascii85Decode(s: String): Option[String] = {
+    val out = new StringBuilder
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Boolean = {
+      if (count == 1) return false // a 1-char final group is invalid
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < count) grp(i) else 84); i += 1 }
+      var j = 0
+      while (j < count - 1) {
+        out.append(((v >> (8 * (3 - j))) & 0xff).toChar)
+        j += 1
+      }
+      true
+    }
+    var i = 0
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c == '~') done = true // '~>' terminator
+      else if (c == 'z' && n == 0) out.append("\u0000\u0000\u0000\u0000")
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    if (n > 0 && !flush(n)) return None
+    Some(out.toString)
   }
 
   /** Text content streams in byte order (one per page). PDF 1.5+ metadata

@@ -156,6 +156,31 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(bodies.values.exists(_.contains("/Title")), bodies.toString)
   }
 
+  test("PDF: ASCIIHex, ASCII85, and ASCII85+Flate chains extract identically") {
+    val pages = Seq(Seq(
+      Block(Seq("Filtered Chapter"), fontSize = 18),
+      Block(Seq("body paragraph travelling through ascii armor",
+        "with a second line in the paragraph")),
+      Block(Seq("closing filtered remarks"))))
+    val plain = PdfFixture.pdf(pages, title = "Filter Twin")
+    val base = PdfToSpans.extract(plain)
+    assert(base.spans.nonEmpty)
+    for (chain <- Seq(
+        Seq("ASCIIHexDecode"),
+        Seq("ASCII85Decode"),
+        Seq("ASCII85Decode", "FlateDecode"), // mail-safe classic
+        Seq("ASCIIHexDecode", "FlateDecode"))) {
+      val filtered = PdfFixture.pdfFiltered(pages, "Filter Twin", chain)
+      val d = PdfToSpans.extract(filtered)
+      assert(d.title == "Filter Twin", chain.toString)
+      assert(d.spans == base.spans, s"chain $chain spans differ")
+    }
+    // an unsupported filter in a chain degrades to no text, never a crash
+    val lzw = PdfFixture.pdfFiltered(pages, "x", Seq("ASCII85Decode", "FlateDecode"))
+      .replace("/FlateDecode", "/LZWDecode")
+    assert(PdfToSpans.extract(lzw).spans.isEmpty)
+  }
+
   test("PDF: indirect /Length falls back to the endstream scan (not length 5)") {
     val pdf = PdfFixture.pdf(Seq(Seq(
       Block(Seq("body paragraph behind an indirect length")),
