@@ -378,11 +378,23 @@ object SparkEntry {
               s"second line of the paragraph for doc $i page $p")),
             PdfFixture.Block(Seq(s"closing remarks $i $p")))
         }
-        // odd fixtures are /FlateDecode-compressed (the real-world form);
-        // extraction must be identical either way
-        (s"pdf_$i", PdfFixture.pdf(pages, title = s"Fixture $i",
-          header = "Shared Running Header", pageNumbers = true,
-          compress = i % 2 == 1))
+        // the corpus cycles through the real-world layouts — classic
+        // uncompressed, /FlateDecode, PDF 1.5 (ObjStm + xref stream +
+        // indirect lengths), and an ASCII85+Flate filter chain; extraction
+        // must be identical across all of them
+        val body = (i % 4) match {
+          case 0 => PdfFixture.pdf(pages, title = s"Fixture $i",
+            header = "Shared Running Header", pageNumbers = true)
+          case 1 => PdfFixture.pdf(pages, title = s"Fixture $i",
+            header = "Shared Running Header", pageNumbers = true,
+            compress = true)
+          case 2 => PdfFixture.pdfModern(pages, title = s"Fixture $i",
+            header = "Shared Running Header", pageNumbers = true)
+          case _ => PdfFixture.pdfFiltered(pages, s"Fixture $i",
+            Seq("ASCII85Decode", "FlateDecode"),
+            header = "Shared Running Header", pageNumbers = true)
+        }
+        (s"pdf_$i", body)
       }
       fixtures.toDF("doc_id", "body").as[(String, String)].map { case (id, body) =>
         val d = PdfToSpans.extract(body)

@@ -26,7 +26,8 @@ final case class FetchResponse(status: Int, contentType: String,
     // exception detail for transport-level failures (status < 0): surfaced
     // into the per-wave `errors` table (S9 — the reference's exceptions/
     // messages logs, WebsiteTextExtractor.cs:298-311)
-    errorClass: String = null, errorMessage: String = null)
+    errorClass: String = null, errorMessage: String = null,
+    errorStack: String = null)
 
 /** Deterministic in-memory fetcher over the synthetic web fixture, with an
   * optional fixed simulated per-page cost so benchmarks exercise the engine
@@ -690,7 +691,7 @@ final class CrawlEngine(
       // carries the full history
       val errorLog = results.toDF().filter($"is_error").select(
         $"wave", $"seq", $"url", $"host", $"status",
-        $"error_class", $"error_message", $"retry_count")
+        $"error_class", $"error_message", $"error_stack", $"retry_count")
       staged("stage:errors")(io.stage("errors", wave, errorLog))
     }
     if (config.minUniquePct > 0) {
@@ -807,7 +808,7 @@ object CrawlEngine {
     FetchedPage(e.url, e.url_hash, e.host, e.parent_url, e.seq, e.depth, e.wave,
       resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6,
       e.retry_count, resp.retryAfterSec, e.redirect_position,
-      resp.errorClass, resp.errorMessage)
+      resp.errorClass, resp.errorMessage, resp.errorStack)
   }
 
   /** Extract one fetched page — the CPU-bound unit of work run in the
@@ -860,15 +861,15 @@ object CrawlEngine {
       !(p.status >= 300 && p.status < 400 && p.redirect_to != null)
     // error detail for the S9 errors log: transport exceptions carry their
     // class/message from the fetcher; HTTP-level errors synthesize one
-    val (errClass, errMsg) =
-      if (!isError) (null, null)
-      else if (p.error_class != null) (p.error_class, p.error_message)
-      else (CrawlEngine.HttpStatusErrorClass, s"HTTP ${p.status}")
+    val (errClass, errMsg, errStack) =
+      if (!isError) (null, null, null)
+      else if (p.error_class != null) (p.error_class, p.error_message, p.error_stack)
+      else (CrawlEngine.HttpStatusErrorClass, s"HTTP ${p.status}", null)
     PageResult(p.url, p.url_hash, p.host, p.seq, p.depth, p.wave,
       p.status, p.content_type, title, spans, outLinks, noFollow,
       p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError,
       p.parent_url, p.retry_count, p.retry_after_sec, p.redirect_position,
-      if (p.body == null) 0 else p.body.length, errClass, errMsg)
+      if (p.body == null) 0 else p.body.length, errClass, errMsg, errStack)
   }
 
   /** Bucket of a url_hash for partition-local seen-cache filters. */

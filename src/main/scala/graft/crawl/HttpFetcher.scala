@@ -100,7 +100,9 @@ final class HttpFetcher(
     } catch {
       case e: Exception => FetchResponse(-1, "", null, "",
         errorClass = e.getClass.getName,
-        errorMessage = String.valueOf(e.getMessage))
+        errorMessage = String.valueOf(e.getMessage),
+        // first frames only: enough to locate the failure, bounded row size
+        errorStack = e.getStackTrace.take(12).mkString("\n"))
     }
   }
 

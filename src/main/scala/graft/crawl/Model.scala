@@ -66,7 +66,8 @@ final case class FetchedPage(
     retry_after_sec: Int,  // server Retry-After hint from THIS response
     redirect_position: Int, // position along a 3xx chain (0 = not via redirect)
     error_class: String = null,   // transport exception class (status < 0)
-    error_message: String = null) // transport exception message
+    error_message: String = null, // transport exception message
+    error_stack: String = null)   // transport exception stack (first frames)
 
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(
@@ -97,7 +98,8 @@ final case class PageResult(
     // status < 0, "HttpStatus"/"HTTP <code>" for HTTP-level errors, nulls
     // on success — the WHY of each error row, persisted per wave
     error_class: String = null,
-    error_message: String = null)
+    error_message: String = null,
+    error_stack: String = null)
 
 /** One extracted document row — the north-rule table shape
   * (doc_id, spans) plus analysis metadata.

@@ -186,7 +186,7 @@ object TableIO {
     "n_links int, n_spans int, total_words bigint, fetch_ms double, extract_ms double"
   val ErrorsSchema =
     "wave int, seq bigint, url string, host string, status int, " +
-    "error_class string, error_message string, retry_count int"
+    "error_class string, error_message string, error_stack string, retry_count int"
 
   def emptyDf(spark: SparkSession, schemaDdl: String): DataFrame =
     spark.createDataFrame(

@@ -33,9 +33,10 @@ object PdfFixture {
     * ASCII85-armor; the reader un-armors first, inflates second).
     */
   def pdfFiltered(pages: Seq[Seq[Block]], title: String,
-      filters: Seq[String]): String = {
+      filters: Seq[String], header: String = "",
+      pageNumbers: Boolean = false): String = {
     val contents = pages.zipWithIndex.map { case (blocks, p) =>
-      pageContent(blocks, p + 1, "", pageNumbers = false)
+      pageContent(blocks, p + 1, header, pageNumbers)
     }
     def encode(c: String): String = filters.reverse.foldLeft(c) { (d, f) =>
       f match {

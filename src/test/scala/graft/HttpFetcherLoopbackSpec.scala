@@ -146,6 +146,8 @@ class HttpFetcherLoopbackSpec extends AnyFunSuite {
     assert(r.status == -1)
     assert(r.errorClass != null && r.errorClass.nonEmpty, "exception class recorded")
     assert(r.errorMessage != null, "exception message recorded")
+    assert(r.errorStack != null && r.errorStack.contains("."),
+      "stack frames recorded for the errors log")
   }
 
   test("loopback: fetchRobots falls back from https to http") {
