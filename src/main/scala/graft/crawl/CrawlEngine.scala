@@ -693,6 +693,12 @@ final class CrawlEngine(
         $"wave", $"seq", $"url", $"host", $"status",
         $"error_class", $"error_message", $"error_stack", $"retry_count")
       staged("stage:errors")(io.stage("errors", wave, errorLog))
+    } else {
+      // data-dependent staging: a killed earlier attempt of THIS wave may
+      // have staged errors that the re-run no longer produces (transient
+      // failure gone) — delete the stale partition or the commit below
+      // would make it visible alongside a fetch_log that disagrees
+      io.deleteStaged("errors", wave)
     }
     if (config.minUniquePct > 0) {
       val excludesDf = excludedPrefixes.map(p => (p, wave)).toDF("pattern", "wave")

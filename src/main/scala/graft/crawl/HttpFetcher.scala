@@ -84,7 +84,9 @@ final class HttpFetcher(
             HttpFetcher.gunzipCapped(raw, maxBodyBytes)
           else Some(if (raw.length > maxBodyBytes) raw.take(maxBodyBytes) else raw)
         bytesOpt match {
-          case None => FetchResponse(-1, mime, null, "") // undecodable body = fetch error
+          case None => FetchResponse(-1, mime, null, "", // undecodable = fetch error
+            errorClass = "UndecodableGzipBody",
+            errorMessage = "Content-Encoding: gzip body is not valid gzip")
           case Some(bytes) =>
             val charset = HttpFetcher.resolveCharset(contentType, bytes)
             FetchResponse(status, mime, null, new String(bytes, charset))
@@ -100,7 +102,7 @@ final class HttpFetcher(
     } catch {
       case e: Exception => FetchResponse(-1, "", null, "",
         errorClass = e.getClass.getName,
-        errorMessage = String.valueOf(e.getMessage),
+        errorMessage = Option(e.getMessage).getOrElse(""),
         // first frames only: enough to locate the failure, bounded row size
         errorStack = e.getStackTrace.take(12).mkString("\n"))
     }

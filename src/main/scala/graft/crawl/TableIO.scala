@@ -105,6 +105,19 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
   def stage[T](name: String, wave: Int, ds: Dataset[T]): Unit =
     ds.write.mode(SaveMode.Overwrite).parquet(waveDir(name, wave))
 
+  /** Delete a staged wave partition. Needed by DATA-DEPENDENT staging: a
+    * table staged only when rows exist (e.g. `errors`) can leave a stale
+    * partition behind when a killed run staged it, the resumed wave
+    * produces no rows, and the commit then makes the orphan visible —
+    * the resumed wave must delete it instead. Driver-side fs call, no
+    * Spark job. Refuses committed (visible) partitions.
+    */
+  def deleteStaged(name: String, wave: Int): Unit = {
+    require(wave > committedWave, s"wave $wave is committed, not staged")
+    val d = new HPath(waveDir(name, wave))
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+
   /** Atomically commit `wave`, with lineage stats and an optional terminal
     * stop reason (a stopped crawl stays stopped across resumes).
     */

@@ -122,7 +122,10 @@ object HtmlToSpans {
     style.split(';').exists { decl =>
       val kv = decl.split(":", 2)
       kv.length == 2 && {
-        val (prop, value) = (kv(0).trim.toLowerCase, kv(1).trim.toLowerCase)
+        val prop = kv(0).trim.toLowerCase
+        // a trailing !important (ubiquitous on real hidden elements) does
+        // not change the computed value — strip it before comparing
+        val value = kv(1).trim.toLowerCase.stripSuffix("!important").trim
         (prop == "display" && value == "none") ||
         (prop == "visibility" && (value == "hidden" || value == "collapse"))
       }

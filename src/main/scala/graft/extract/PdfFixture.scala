@@ -73,7 +73,7 @@ object PdfFixture {
   /** PDF 1.5+ layout of the same document: the whole non-stream object
     * catalog (catalog, page tree, info dict — so the /Title) lives inside
     * a Flate-compressed /ObjStm object stream, located by a /XRef
-    * cross-reference stream with /W [1 2 2] fields and the PNG Up row
+    * cross-reference stream with /W [1 4 2] fields and the PNG Up row
     * predictor; content streams are Flate too and declare their /Length
     * as an INDIRECT reference (a trailing length object), the way
     * real-world incremental writers emit them.
@@ -236,9 +236,12 @@ object PdfFixture {
         Seq((1, objOffsets(cid).toLong, 0L), (1, objOffsets(cid + 1).toLong, 0L))
       } ++
       Seq((1, xrefOffset.toLong, 0L))
-    val rowW = 5 // /W [1 2 2]
+    val rowW = 7 // /W [1 4 2]: 4-byte offsets — 2 bytes would silently
+    // truncate offsets in documents past 64 KB
     val raw = entries.map { case (t, f2, f3) =>
-      Array[Int](t, ((f2 >> 8) & 0xff).toInt, (f2 & 0xff).toInt,
+      Array[Int](t,
+        ((f2 >> 24) & 0xff).toInt, ((f2 >> 16) & 0xff).toInt,
+        ((f2 >> 8) & 0xff).toInt, (f2 & 0xff).toInt,
         ((f3 >> 8) & 0xff).toInt, (f3 & 0xff).toInt)
     }
     // PNG Up filter: row[j] - prevRow[j], tag byte 2
@@ -251,7 +254,7 @@ object PdfFixture {
     }
     val xrefData = deflate(new String(filtered.toByteArray,
       java.nio.charset.StandardCharsets.ISO_8859_1))
-    sb.append(s"$xrefId 0 obj << /Type /XRef /Size ${xrefId + 1} /W [1 2 2] " +
+    sb.append(s"$xrefId 0 obj << /Type /XRef /Size ${xrefId + 1} /W [1 4 2] " +
       s"/Index [0 ${xrefId + 1}] /Root 2 0 R /Info 4 0 R " +
       s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowW >> " +
       s"/Length ${xrefData.length} >> stream\n")

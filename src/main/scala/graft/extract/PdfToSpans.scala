@@ -57,8 +57,12 @@ object PdfToSpans {
   def extract(pdf: String): ExtractedDoc = {
     if (pdf == null || !pdf.startsWith("%PDF"))
       return ExtractedDoc("", Vector.empty, Vector.empty, noFollow = true)
-    val title = docTitle(pdf)
-    val pages = contentStreams(pdf).map(parsePage)
+    // ONE raw-stream scan feeds title resolution, the object catalog, and
+    // content extraction (this runs per document inside the extract
+    // mapPartitions — a 10 MB PDF must not pay three full-file passes)
+    val streams = rawStreams(pdf)
+    val title = docTitleIn(pdf, streams)
+    val pages = contentStreamsOf(streams).map(parsePage)
     val blocks = removeDecorations(pages).flatten
     ExtractedDoc(title, buildSpans(blocks), Vector.empty, noFollow = true)
   }
@@ -73,10 +77,12 @@ object PdfToSpans {
     * where a raw byte scan sees nothing), then fall back to the classic
     * raw scan for xref-free fixtures. Escapes \( \) \\ handled.
     */
-  def docTitle(pdf: String): String = {
+  def docTitle(pdf: String): String = docTitleIn(pdf, rawStreams(pdf))
+
+  private def docTitleIn(pdf: String, streams: Vector[RawStream]): String = {
     val resolved = for {
       m <- InfoRefRe.findAllMatchIn(pdf).toSeq.lastOption // last trailer wins
-      body <- resolveObject(pdf, m.group(1).toInt)
+      body <- resolveObject(pdf, streams, m.group(1).toInt)
       t = titleIn(body) if t.nonEmpty
     } yield t
     resolved.getOrElse(titleIn(pdf))
@@ -291,7 +297,10 @@ object PdfToSpans {
     * (`pdf/PdfDocumentConverter.cs:30-47`).
     */
   def contentStreams(pdf: String): Vector[String] =
-    rawStreams(pdf)
+    contentStreamsOf(rawStreams(pdf))
+
+  private def contentStreamsOf(streams: Vector[RawStream]): Vector[String] =
+    streams
       .filterNot(st => st.dict.contains("/ObjStm") || st.dict.contains("/XRef"))
       .flatMap(st => decodedData(st).filter(_.contains("BT")))
 
@@ -308,7 +317,10 @@ object PdfToSpans {
     * byte scan of the file sees none of it.
     */
   def objectStreamBodies(pdf: String): Map[Int, String] =
-    rawStreams(pdf).filter(_.dict.contains("/ObjStm")).flatMap { st =>
+    objectStreamBodiesOf(rawStreams(pdf))
+
+  private def objectStreamBodiesOf(streams: Vector[RawStream]): Map[Int, String] =
+    streams.filter(_.dict.contains("/ObjStm")).flatMap { st =>
       val parsed = for {
         d <- decodedData(st)
         n <- ObjCountRe.findFirstMatchIn(st.dict).map(_.group(1).toInt)
@@ -342,7 +354,11 @@ object PdfToSpans {
     * (/Predictor 10-15: None/Sub/Up) real writers emit.
     */
   def xrefStreamEntries(pdf: String): Map[Int, (Int, Long, Long)] =
-    rawStreams(pdf).filter(_.dict.contains("/XRef")).flatMap { st =>
+    xrefStreamEntriesOf(rawStreams(pdf))
+
+  private def xrefStreamEntriesOf(
+      streams: Vector[RawStream]): Map[Int, (Int, Long, Long)] =
+    streams.filter(_.dict.contains("/XRef")).flatMap { st =>
       val parsed = for {
         d0 <- decodedData(st)
         w <- WidthsRe.findFirstMatchIn(st.dict).map(
@@ -420,7 +436,8 @@ object PdfToSpans {
     * catalog), else a top-level "num gen obj" scan, else the ObjStm
     * catalog (xref-free fixtures).
     */
-  private def resolveObject(pdf: String, num: Int): Option[String] = {
+  private def resolveObject(pdf: String, streams: Vector[RawStream],
+      num: Int): Option[String] = {
     def topLevelAt(from: Int): Option[String] = {
       val re = ("(?<![0-9])" + num + "\\s+\\d+\\s+obj").r
       re.findFirstMatchIn(pdf.substring(from)).map { m =>
@@ -429,10 +446,10 @@ object PdfToSpans {
         pdf.substring(start, if (end < 0) pdf.length else end)
       }
     }
-    xrefStreamEntries(pdf).get(num) match {
+    xrefStreamEntriesOf(streams).get(num) match {
       case Some((1, off, _)) if off < pdf.length => topLevelAt(off.toInt)
-      case Some((2, stm, _)) => objectStreamBodies(pdf).get(num)
-      case _ => topLevelAt(0).orElse(objectStreamBodies(pdf).get(num))
+      case Some((2, _, _)) => objectStreamBodiesOf(streams).get(num)
+      case _ => topLevelAt(0).orElse(objectStreamBodiesOf(streams).get(num))
     }
   }
 

@@ -177,6 +177,9 @@ object SpanRenderers {
           tables.headOption.foreach(_.endCell())
         case SpanKinds.TextBlockText =>
           if (activeCell.nonEmpty) out(s.text)
+          // text inside an open table whose cell already closed (stray text
+          // node under <table>/<tr>): land in the last row, never outside
+          else if (tables.nonEmpty) tables.head.appendToLastCell(s.text)
           else if (listDepth > 0) sb.append(s.text).append('\n')
           else sb.append(s.text).append("\n\n")
         case SpanKinds.MediaImage =>

@@ -22,26 +22,41 @@ final case class HostCounts(pages: Long, errors: Long)
   * run either stateless-windowed or with EXPLICIT per-key state
   * (`KeyValueGroupedDataset.mapGroupsWithState`) where the semantics need
   * crawl-lifetime accumulation.
+  *
+  * DELIVERY SEMANTICS: at-least-once across crash-resume boundaries. The
+  * file source lists raw staged files, not the manifest's committed
+  * window, so rows of a wave staged by a killed run and re-staged on
+  * resume (different part-file names under the same `wN/`) can be
+  * observed twice by a monitor that straddled the crash; in steady state
+  * (stage→commit seconds apart, no crash) counts are exact, and
+  * `ignoreMissingFiles` below keeps the overwrite window from killing
+  * the query. Monitoring tolerates transient over-count; anything
+  * needing the exact committed contract reads the BATCH surfaces
+  * (`Graft.metrics` / `Graft.fetchLog` / `Graft.errorLog`), which
+  * consult the manifest.
   */
 object CrawlMonitor {
 
   /** Streaming view of the per-wave, per-partition metrics lineage. */
   def metricsStream(spark: SparkSession, warehouse: String): DataFrame =
-    spark.readStream
-      .schema(TableIO.MetricsSchema)
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$warehouse/metrics")
+    waveTableStream(spark, warehouse, "metrics", TableIO.MetricsSchema)
 
   /** Streaming view of the request log (one row per fetch; requires the
     * crawl to run with `logFetches = true`).
     */
   def fetchLogStream(spark: SparkSession, warehouse: String): DataFrame =
+    waveTableStream(spark, warehouse, "fetch_log", TableIO.FetchLogSchema)
+
+  private def waveTableStream(spark: SparkSession, warehouse: String,
+      table: String, schemaDdl: String): DataFrame =
     spark.readStream
-      .schema(TableIO.FetchLogSchema)
+      .schema(schemaDdl)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$warehouse/fetch_log")
+      // a resumed wave overwrites its staged dir; listed-but-deleted part
+      // files must skip, not kill the monitor (see delivery semantics)
+      .option("ignoreMissingFiles", "true")
+      .parquet(s"$warehouse/$table")
 
   /** Per-wave crawl throughput/health rollup — stateless aggregation,
     * run with outputMode("complete") (waves are few; the state is the

@@ -119,6 +119,7 @@ class ExtractSpec extends AnyFunSuite {
         |<div style="display: block"><p>block yes</p></div>
         |<p style="visibility: visible">visible yes</p>
         |<p style="display:inline-block">inline yes</p>
+        |<div style="display: none !important"><p>no</p></div>
         |</body></html>""".stripMargin
     assert(ktext(spansOf(html)) == Seq(
       ("TextBlock.Text", "block yes"),

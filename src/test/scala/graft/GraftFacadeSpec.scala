@@ -140,6 +140,27 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Graft.errorLog(spark, wh).count() == 1)
   }
 
+  test("stale staged errors partition from a killed attempt is deleted on re-run") {
+    // data-dependent staging hazard: a killed attempt staged errors/w0,
+    // the re-run wave has no errors — committing must NOT surface the orphan
+    val host = "clean.example.com"
+    val root = s"https://$host/"
+    val pages = Map(root -> SyntheticPage(root, host, 200, "text/html", null,
+      "<html><body><p>all good here</p></body></html>"))
+    val site = SyntheticWeb.Site(pages, Map(host -> ""), Map.empty, root)
+    val wh = Files.createTempDirectory("graft-stale-errors").toString
+    val sqlc = spark
+    import sqlc.implicits._
+    Seq((0, 99L, s"https://$host/ghost", host, 503, "Fake", "fake", "", 0))
+      .toDF("wave", "seq", "url", "host", "status", "error_class",
+        "error_message", "error_stack", "retry_count")
+      .write.parquet(s"$wh/errors/w0") // the killed attempt's leftover
+    Graft.crawl(spark, CrawlConfig(rootUrl = root, scope = ScopeFilter.Domain),
+      new SyntheticFetcher(site.pages, site.robots), wh, numPartitions = 2)
+    assert(Graft.errorLog(spark, wh).count() == 0,
+      "stale uncommitted errors partition became visible")
+  }
+
   test("URL→path mapping matches the reference's documented layout") {
     import graft.extract.FileExport
     // GetBaseDomain doc example (HtmlFileUtils.cs:36-38)
