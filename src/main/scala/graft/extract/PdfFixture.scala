@@ -43,6 +43,8 @@ object PdfFixture {
         case "FlateDecode" => deflate(d)
         case "ASCII85Decode" => a85Encode(d)
         case "ASCIIHexDecode" => hexEncode(d)
+        case "LZWDecode" => lzwEncode(d)
+        case "RunLengthDecode" => rleEncode(d)
         case other => throw new IllegalArgumentException(other)
       }
     }
@@ -107,7 +109,7 @@ object PdfFixture {
     * final group of n bytes → n+1 chars, '~>' terminator. (No 'z'
     * shorthand — optional for encoders; the decoder handles both.)
     */
-  private def a85Encode(data: String): String = {
+  private[extract] def a85Encode(data: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < data.length) {
@@ -128,9 +130,86 @@ object PdfFixture {
   }
 
   /** ASCIIHex encoding (PDF §7.4.2): hex pairs with line breaks, '>'. */
-  private def hexEncode(data: String): String =
+  private[extract] def hexEncode(data: String): String =
     data.grouped(32).map(_.map(c => f"${c & 0xff}%02X").mkString)
       .mkString("", "\n", ">")
+
+  /** LZW encoding (PDF §7.4.4 TIFF variant): MSB-first variable-width
+    * codes from 9 bits; leading clear-table (256), trailing EOD (257);
+    * the decoder widens ONE CODE EARLY (EarlyChange=1), which — given the
+    * decoder's one-entry table lag — means the ENCODER widens exactly
+    * when its next free code reaches 2^width; clears the table at 4096.
+    */
+  private[extract] def lzwEncode(data: String): String = {
+    val out = new StringBuilder
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.append((((bitBuf >> (bitCnt - 8)) & 0xff)).toChar)
+        bitCnt -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var nextCode = 258
+    def reset(): Unit = {
+      dict = scala.collection.mutable.HashMap.empty
+      (0 until 256).foreach(i => dict(i.toChar.toString) = i)
+      nextCode = 258
+      width = 9
+    }
+    reset()
+    emit(256) // clear
+    var w = ""
+    data.foreach { c =>
+      val wc = w + c
+      if (dict.contains(wc)) w = wc
+      else {
+        emit(dict(w))
+        if (nextCode < 4096) {
+          dict(wc) = nextCode
+          nextCode += 1
+          if (nextCode >= (1 << width) && width < 12) width += 1
+        } else { emit(256); reset() }
+        w = c.toString
+      }
+    }
+    if (w.nonEmpty) emit(dict(w))
+    emit(257) // EOD
+    if (bitCnt > 0) out.append((((bitBuf << (8 - bitCnt)) & 0xff)).toChar)
+    out.toString
+  }
+
+  /** RunLength encoding (PDF §7.4.5): repeat runs of ≥3 as (257-n, byte),
+    * literals in ≤128-byte chunks, 128 terminator.
+    */
+  private[extract] def rleEncode(data: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data.charAt(i + run) == data.charAt(i))
+        run += 1
+      if (run >= 3) {
+        out.append((257 - run).toChar).append(data.charAt(i))
+        i += run
+      } else {
+        var lit = run // start with the short run as literal
+        while (i + lit < data.length && lit < 128 &&
+            !(i + lit + 2 < data.length &&
+              data.charAt(i + lit) == data.charAt(i + lit + 1) &&
+              data.charAt(i + lit) == data.charAt(i + lit + 2)))
+          lit += 1
+        out.append((lit - 1).toChar)
+        out.append(data.substring(i, i + lit))
+        i += lit
+      }
+    }
+    out.append(128.toChar).toString
+  }
 
   private def pageContent(blocks: Seq[Block], pageNo: Int,
       header: String, pageNumbers: Boolean): String = {

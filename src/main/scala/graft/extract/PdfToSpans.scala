@@ -29,12 +29,13 @@ import scala.collection.mutable
   * handles the text subset directly: content streams filtered with
   * /FlateDecode (zlib via `java.util.zip.Inflater` — essentially every
   * real-world PDF), /ASCIIHexDecode, /ASCII85Decode, or chains of those
-  * (`[/ASCII85Decode /FlateDecode]`); PDF 1.5+ object streams (/ObjStm)
+  * (`[/ASCII85Decode /FlateDecode]`), /LZWDecode (TIFF variant,
+  * EarlyChange), /RunLengthDecode; PDF 1.5+ object streams (/ObjStm)
   * and cross-reference streams (/XRef, with PNG row predictors);
   * BT..ET text objects with the Tf, Td, TD, TL, T-star, Tm, Tj, quote
   * and TJ operators, and the document-info /Title resolved through the
-  * trailer's /Info reference. Other filters (DCT, LZW, JBIG2) are
-  * skipped.
+  * trailer's /Info reference; literal AND `<hex>` string text shows.
+  * Image-only filters (DCT, JPX, JBIG2, CCITT) are skipped.
   * Each content stream is one page (the fixture/page-tree simplification;
   * a real toolkit drops in at `extract` without touching the engine).
   */
@@ -222,17 +223,90 @@ object PdfToSpans {
           case "FlateDecode" => inflate(d)
           case "ASCIIHexDecode" => asciiHexDecode(d)
           case "ASCII85Decode" => ascii85Decode(d)
+          case "LZWDecode" => lzwDecode(d)
+          case "RunLengthDecode" => runLengthDecode(d)
           case _ => None
         }
       }
     }
   }
 
+  /** /LZWDecode (PDF 32000 §7.4.4, the TIFF variant with EarlyChange=1):
+    * MSB-first variable-width codes starting at 9 bits, 256 = clear-table,
+    * 257 = end-of-data, new entries from 258; the code width grows ONE
+    * CODE EARLY (at table size 2^w - 1) and caps at 12 bits. None on any
+    * malformed stream — degrade, never crash.
+    */
+  private[extract] def lzwDecode(s: String): Option[String] = {
+    val out = new StringBuilder
+    var table = mutable.ArrayBuffer.empty[String]
+    var width = 9
+    def reset(): Unit = {
+      table = mutable.ArrayBuffer.tabulate(258)(i =>
+        if (i < 256) i.toChar.toString else "")
+      width = 9
+    }
+    reset()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var prev: String = null
+    var i = 0
+    while (i <= s.length) {
+      if (bitCnt < width && i < s.length) {
+        bitBuf = (bitBuf << 8) | (s.charAt(i) & 0xff)
+        bitCnt += 8
+        i += 1
+      } else if (bitCnt >= width) {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 257) return Some(out.toString) // EOD
+        else if (code == 256) { reset(); prev = null }
+        else {
+          val entry =
+            if (code < table.length) table(code)
+            else if (code == table.length && prev != null) prev + prev.charAt(0)
+            else return None // out-of-range code: corrupt stream
+          out.append(entry)
+          if (prev != null && table.length < 4096) table += (prev + entry.charAt(0))
+          // EarlyChange=1: widen one code before the table index needs it
+          if (table.length >= (1 << width) - 1 && width < 12) width += 1
+          prev = entry
+        }
+      } else i += 1 // trailing partial byte: pad bits exhausted
+    }
+    Some(out.toString) // EOD missing: tolerate, like the other decoders
+  }
+
+  /** /RunLengthDecode (PDF 32000 §7.4.5): length byte L — 0..127 copies
+    * the next L+1 bytes literally, 129..255 repeats the next byte 257-L
+    * times, 128 ends the data.
+    */
+  private[extract] def runLengthDecode(s: String): Option[String] = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val l = s.charAt(i) & 0xff
+      if (l == 128) return Some(out.toString) // EOD
+      else if (l < 128) {
+        if (i + 1 + l + 1 > s.length) return None
+        out.append(s.substring(i + 1, i + 1 + l + 1))
+        i += 1 + l + 1
+      } else {
+        if (i + 1 >= s.length) return None
+        val c = s.charAt(i + 1)
+        var k = 0
+        while (k < 257 - l) { out.append(c); k += 1 }
+        i += 2
+      }
+    }
+    Some(out.toString)
+  }
+
   /** /ASCIIHexDecode: hex pairs, whitespace ignored, '>' terminates, an
     * odd trailing digit pads with 0 (PDF 32000 §7.4.2). None on a non-hex
     * byte — degrade, never crash.
     */
-  private def asciiHexDecode(s: String): Option[String] = {
+  private[extract] def asciiHexDecode(s: String): Option[String] = {
     val out = new StringBuilder
     var hi = -1
     var i = 0
@@ -255,7 +329,7 @@ object PdfToSpans {
     * bytes, whitespace ignored, '~>' terminates; a partial final group of
     * n chars pads with 'u' and yields n-1 bytes (PDF 32000 §7.4.3).
     */
-  private def ascii85Decode(s: String): Option[String] = {
+  private[extract] def ascii85Decode(s: String): Option[String] = {
     val out = new StringBuilder
     val grp = new Array[Int](5)
     var n = 0
@@ -497,6 +571,31 @@ object PdfToSpans {
   /** Tokenizer: literal strings collapse to one token tagged with a NUL+S prefix (TJ
     * arrays fold their strings together, positioning numbers ignored).
     */
+  /** `<48656C6C6F>` hex string starting at `open` ('<') -> (decoded text,
+    * index after '>'). Whitespace inside is ignored; an odd final digit
+    * pads with 0 (PDF 32000 §7.3.4.3). The decoded bytes are treated as
+    * single-byte text — the simple-font case; CID/multi-byte encodings
+    * need a font toolkit and stay out of scope.
+    */
+  private def parseHexString(s: String, open: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var hi = -1
+    var i = open + 1
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { sb.append(((hi << 4) | v).toChar); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) sb.append((hi << 4).toChar)
+    (sb.toString, i + 1)
+  }
+
   private def tokenize(content: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -510,14 +609,24 @@ object PdfToSpans {
           val (s, next) = parseLiteralString(content, i)
           out += ("\u0000S" + s)
           i = next - 1
+        case '<' if i + 1 < n && content.charAt(i + 1) != '<' =>
+          // hex string shown as text: <48656C6C6F> Tj — real writers emit
+          // these for simple fonts as readily as literal strings
+          flush()
+          val (s, next) = parseHexString(content, i)
+          out += ("\u0000S" + s)
+          i = next - 1
         case '[' =>
           flush()
-          // TJ array: concatenate its literal strings
+          // TJ array: concatenate its literal and hex strings
           val sb = new StringBuilder
           var j = i + 1
           while (j < n && content.charAt(j) != ']') {
             if (content.charAt(j) == '(') {
               val (s, next) = parseLiteralString(content, j)
+              sb.append(s); j = next
+            } else if (content.charAt(j) == '<') {
+              val (s, next) = parseHexString(content, j)
               sb.append(s); j = next
             } else j += 1
           }

@@ -1,0 +1,41 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfCodecSpec extends AnyFunSuite {
+  import graft.extract.{PdfFixture => F, PdfToSpans => P}
+  // in-package spec: exercises the private[extract] codec kernels directly
+
+  private def randomData(seed: Int, n: Int): String = {
+    val r = new java.util.Random(seed)
+    val sb = new StringBuilder
+    (0 until n).foreach { _ => sb.append((r.nextInt(256)).toChar) }
+    sb.toString
+  }
+
+  test("RunLength round-trips random and runny data") {
+    for (seed <- 1 to 5; n <- Seq(0, 1, 2, 500, 5000)) {
+      val d = randomData(seed, n)
+      assert(P.runLengthDecode(F.rleEncode(d)).contains(d), s"seed=$seed n=$n")
+    }
+    val runny = "a" * 300 + "bc" + "d" * 127 + "efg" + "h" * 129
+    assert(P.runLengthDecode(F.rleEncode(runny)).contains(runny))
+  }
+
+  test("LZW round-trips random, runny, and width-crossing data") {
+    for (seed <- 1 to 3; n <- Seq(0, 1, 600, 20000)) {
+      val d = randomData(seed, n)
+      assert(P.lzwDecode(F.lzwEncode(d)).contains(d), s"seed=$seed n=$n")
+    }
+    val txt = ("the quick brown fox " * 600) + randomData(9, 8000)
+    assert(P.lzwDecode(F.lzwEncode(txt)).contains(txt), "big mixed")
+  }
+
+  test("ASCII85/Hex round-trips") {
+    for (seed <- 1 to 3; n <- Seq(0, 1, 2, 3, 4, 5, 1000)) {
+      val d = randomData(seed, n)
+      assert(P.ascii85Decode(F.a85Encode(d)).contains(d), s"a85 seed=$seed n=$n")
+      assert(P.asciiHexDecode(F.hexEncode(d)).contains(d), s"hex seed=$seed n=$n")
+    }
+  }
+}

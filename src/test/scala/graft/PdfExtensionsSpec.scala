@@ -175,10 +175,54 @@ class PdfExtensionsSpec extends AnyFunSuite {
       assert(d.title == "Filter Twin", chain.toString)
       assert(d.spans == base.spans, s"chain $chain spans differ")
     }
-    // an unsupported filter in a chain degrades to no text, never a crash
-    val lzw = PdfFixture.pdfFiltered(pages, "x", Seq("ASCII85Decode", "FlateDecode"))
-      .replace("/FlateDecode", "/LZWDecode")
-    assert(PdfToSpans.extract(lzw).spans.isEmpty)
+    // an unsupported (image-only) filter in a chain degrades to no text
+    val dct = PdfFixture.pdfFiltered(pages, "x", Seq("ASCII85Decode", "FlateDecode"))
+      .replace("/FlateDecode", "/DCTDecode")
+    assert(PdfToSpans.extract(dct).spans.isEmpty)
+  }
+
+  test("PDF: LZW and RunLength streams extract identically (incl. width growth)") {
+    // enough distinct word pairs that the LZW dictionary crosses the
+    // 9->10-bit width boundary (>254 adds) — the EarlyChange handshake
+    // between encoder and decoder must hold across it
+    val rnd = new java.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "sigma",
+      "lambda", "kappa", "theta", "zeta")
+    val names = Vector("One", "Two")
+    val pages = Seq.tabulate(2) { p =>
+      Seq(
+        Block(Seq(s"LZW Chapter ${names(p)}"), fontSize = 18),
+        Block(Seq.fill(6)(Seq.fill(14)(words(rnd.nextInt(words.length))).mkString(" "))),
+        Block(Seq(s"${"a" * 28} run length material page ${names(p)}")))
+    }
+    val plain = PdfFixture.pdf(pages, title = "LZW Twin")
+    val base = PdfToSpans.extract(plain)
+    assert(base.spans.count(_.kind == "TextBlock.Text") >= 4)
+    for (chain <- Seq(
+        Seq("LZWDecode"),
+        Seq("RunLengthDecode"),
+        Seq("ASCII85Decode", "LZWDecode"),
+        Seq("ASCIIHexDecode", "RunLengthDecode"))) {
+      val d = PdfToSpans.extract(PdfFixture.pdfFiltered(pages, "LZW Twin", chain))
+      assert(d.title == "LZW Twin", chain.toString)
+      assert(d.spans == base.spans, s"chain $chain spans differ")
+    }
+  }
+
+  test("PDF: hex strings show as text like literal strings") {
+    def hex(s: String): String = s.map(c => f"${c.toInt}%02X").mkString
+    val pdf = "%PDF-1.4\n" +
+      "1 0 obj << /Length 120 >> stream\n" +
+      s"BT /F1 10 Tf 72 700 Td <${hex("hex shown paragraph")}> Tj ET\n" +
+      s"BT /F1 10 Tf 72 650 Td [<${hex("array hex")}> (and literal)] TJ ET\n" +
+      "endstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n"
+    // /Length is wrong on purpose: the endstream fallback must still bound it
+    val fixed = pdf.replace("/Length 120", "/Length 9999 0 R")
+    val texts = PdfToSpans.extract(fixed).spans
+      .filter(_.kind == "TextBlock.Text").map(_.text)
+    assert(texts == Vector("hex shown paragraph", "array hexand literal"),
+      texts.mkString("|"))
   }
 
   test("PDF: indirect /Length falls back to the endstream scan (not length 5)") {
