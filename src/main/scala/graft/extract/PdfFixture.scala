@@ -140,7 +140,7 @@ object PdfFixture {
     * decoder's one-entry table lag — means the ENCODER widens exactly
     * when its next free code reaches 2^width; clears the table at 4096.
     */
-  private[extract] def lzwEncode(data: String): String = {
+  private[extract] def lzwEncode(data: String, earlyChange: Int = 1): String = {
     val out = new StringBuilder
     var bitBuf = 0L
     var bitCnt = 0
@@ -172,7 +172,7 @@ object PdfFixture {
         if (nextCode < 4096) {
           dict(wc) = nextCode
           nextCode += 1
-          if (nextCode >= (1 << width) && width < 12) width += 1
+          if (nextCode >= (1 << width) + (1 - earlyChange) && width < 12) width += 1
         } else { emit(256); reset() }
         w = c.toString
       }

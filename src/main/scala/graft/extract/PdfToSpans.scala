@@ -210,10 +210,11 @@ object PdfToSpans {
   }
 
   /** Decoded data of a stream: the /Filter chain applied in order —
-    * /FlateDecode (zlib), /ASCIIHexDecode, /ASCII85Decode, and their
+    * /FlateDecode (zlib), /ASCIIHexDecode, /ASCII85Decode, /LZWDecode
+    * (honoring /DecodeParms /EarlyChange), /RunLengthDecode, and their
     * chains (e.g. `[/ASCII85Decode /FlateDecode]`, the classic
-    * mail-safe wrapping). Any other filter (DCT, LZW, JBIG2) → None —
-    * declared limitation, not a crash.
+    * mail-safe wrapping). Image-only filters (DCT, JPX, JBIG2, CCITT) →
+    * None — declared limitation, not a crash.
     */
   private def decodedData(st: RawStream): Option[String] = {
     val filters = FilterNames.findAllMatchIn(st.dict).map(_.group(1)).toVector
@@ -223,7 +224,7 @@ object PdfToSpans {
           case "FlateDecode" => inflate(d)
           case "ASCIIHexDecode" => asciiHexDecode(d)
           case "ASCII85Decode" => ascii85Decode(d)
-          case "LZWDecode" => lzwDecode(d)
+          case "LZWDecode" => lzwDecode(d, earlyChangeOf(st.dict))
           case "RunLengthDecode" => runLengthDecode(d)
           case _ => None
         }
@@ -231,13 +232,20 @@ object PdfToSpans {
     }
   }
 
-  /** /LZWDecode (PDF 32000 §7.4.4, the TIFF variant with EarlyChange=1):
-    * MSB-first variable-width codes starting at 9 bits, 256 = clear-table,
-    * 257 = end-of-data, new entries from 258; the code width grows ONE
-    * CODE EARLY (at table size 2^w - 1) and caps at 12 bits. None on any
-    * malformed stream — degrade, never crash.
+  private val EarlyChangeRe = "/EarlyChange\\s+(\\d+)".r
+
+  /** /EarlyChange from a stream dict's /DecodeParms (default 1). */
+  private def earlyChangeOf(dict: String): Int =
+    EarlyChangeRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
+
+  /** /LZWDecode (PDF 32000 §7.4.4, the TIFF variant): MSB-first
+    * variable-width codes starting at 9 bits, 256 = clear-table, 257 =
+    * end-of-data, new entries from 258, width capped at 12 bits. With
+    * `earlyChange` 1 (the spec default) the width grows ONE CODE EARLY
+    * (at table size 2^w - 1); /DecodeParms << /EarlyChange 0 >> defers it
+    * to 2^w. None on any malformed stream — degrade, never crash.
     */
-  private[extract] def lzwDecode(s: String): Option[String] = {
+  private[extract] def lzwDecode(s: String, earlyChange: Int = 1): Option[String] = {
     val out = new StringBuilder
     var table = mutable.ArrayBuffer.empty[String]
     var width = 9
@@ -268,8 +276,8 @@ object PdfToSpans {
             else return None // out-of-range code: corrupt stream
           out.append(entry)
           if (prev != null && table.length < 4096) table += (prev + entry.charAt(0))
-          // EarlyChange=1: widen one code before the table index needs it
-          if (table.length >= (1 << width) - 1 && width < 12) width += 1
+          // earlyChange=1 widens one code before the table index needs it
+          if (table.length >= (1 << width) - earlyChange && width < 12) width += 1
           prev = entry
         }
       } else i += 1 // trailing partial byte: pad bits exhausted
@@ -568,16 +576,17 @@ object PdfToSpans {
   private def stringTok(t: String): String =
     if (t.startsWith("\u0000S")) t.substring(2) else ""
 
-  /** Tokenizer: literal strings collapse to one token tagged with a NUL+S prefix (TJ
-    * arrays fold their strings together, positioning numbers ignored).
-    */
-  /** `<48656C6C6F>` hex string starting at `open` ('<') -> (decoded text,
-    * index after '>'). Whitespace inside is ignored; an odd final digit
-    * pads with 0 (PDF 32000 §7.3.4.3). The decoded bytes are treated as
+  /** `<48656C6C6F>` hex string starting at `open` ('<') -> Some(decoded
+    * text, index after '>'); None when the bracketed content is NOT a
+    * spec-valid hex string (anything but hex digits + whitespace before
+    * '>', or no '>' at all — PDF 32000 §7.3.4.3), so a lone '<' inside a
+    * dict (`<</MCID 0>>`) or binary data never swallows page text: the
+    * tokenizer falls back to treating the '<' as an ordinary char. An odd
+    * final digit pads with 0. The decoded bytes are treated as
     * single-byte text — the simple-font case; CID/multi-byte encodings
     * need a font toolkit and stay out of scope.
     */
-  private def parseHexString(s: String, open: Int): (String, Int) = {
+  private def parseHexString(s: String, open: Int): Option[(String, Int)] = {
     val sb = new StringBuilder
     var hi = -1
     var i = open + 1
@@ -585,17 +594,21 @@ object PdfToSpans {
       val c = s.charAt(i)
       if (!c.isWhitespace) {
         val v = Character.digit(c, 16)
-        if (v >= 0) {
-          if (hi < 0) hi = v
-          else { sb.append(((hi << 4) | v).toChar); hi = -1 }
-        }
+        if (v < 0) return None // not a hex string after all
+        if (hi < 0) hi = v
+        else { sb.append(((hi << 4) | v).toChar); hi = -1 }
       }
       i += 1
     }
+    if (i >= s.length) return None // unterminated: binary '<', not a string
     if (hi >= 0) sb.append((hi << 4).toChar)
-    (sb.toString, i + 1)
+    Some((sb.toString, i + 1))
   }
 
+  /** Tokenizer: literal and hex strings collapse to one token tagged with
+    * a NUL+S prefix (TJ arrays fold their strings together, positioning
+    * numbers ignored).
+    */
   private def tokenize(content: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -609,13 +622,19 @@ object PdfToSpans {
           val (s, next) = parseLiteralString(content, i)
           out += ("\u0000S" + s)
           i = next - 1
-        case '<' if i + 1 < n && content.charAt(i + 1) != '<' =>
+        case '<' if i + 1 < n && content.charAt(i + 1) != '<' &&
+            (i == 0 || content.charAt(i - 1) != '<') =>
           // hex string shown as text: <48656C6C6F> Tj — real writers emit
-          // these for simple fonts as readily as literal strings
-          flush()
-          val (s, next) = parseHexString(content, i)
-          out += ("\u0000S" + s)
-          i = next - 1
+          // these for simple fonts as readily as literal strings. The
+          // prev/next guards skip both '<' of a '<<' dict open, and a
+          // failed strict parse falls through to the default case
+          parseHexString(content, i) match {
+            case Some((s, next)) =>
+              flush()
+              out += ("\u0000S" + s)
+              i = next - 1
+            case None => cur.append('<')
+          }
         case '[' =>
           flush()
           // TJ array: concatenate its literal and hex strings
@@ -626,8 +645,10 @@ object PdfToSpans {
               val (s, next) = parseLiteralString(content, j)
               sb.append(s); j = next
             } else if (content.charAt(j) == '<') {
-              val (s, next) = parseHexString(content, j)
-              sb.append(s); j = next
+              parseHexString(content, j) match {
+                case Some((s, next)) => sb.append(s); j = next
+                case None => j += 1
+              }
             } else j += 1
           }
           out += ("\u0000S" + sb.toString)

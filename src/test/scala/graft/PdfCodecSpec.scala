@@ -31,6 +31,29 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(P.lzwDecode(F.lzwEncode(txt)).contains(txt), "big mixed")
   }
 
+  test("LZW EarlyChange=0 round-trips (deferred width growth)") {
+    val txt = ("deferred width growth material " * 400) + randomData(11, 6000)
+    assert(P.lzwDecode(F.lzwEncode(txt, earlyChange = 0), earlyChange = 0)
+      .contains(txt))
+    // and the two conventions really differ past the first width boundary
+    assert(!P.lzwDecode(F.lzwEncode(txt, earlyChange = 0), earlyChange = 1)
+      .contains(txt))
+  }
+
+  test("PDF: /DecodeParms EarlyChange 0 LZW streams decode") {
+    val content = "BT /F1 10 Tf 72 700 Td (early change zero paragraph " +
+      ("word " * 300).trim + ") Tj ET"
+    val data = F.lzwEncode(content, earlyChange = 0)
+    val pdf = "%PDF-1.4\n" +
+      s"1 0 obj << /Length ${data.length} /Filter /LZWDecode " +
+      "/DecodeParms << /EarlyChange 0 >> >> stream\n" + data +
+      "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    val texts = P.extract(pdf).spans
+      .filter(_.kind == "TextBlock.Text").map(_.text)
+    assert(texts.length == 1 && texts.head.startsWith("early change zero"),
+      texts.mkString("|"))
+  }
+
   test("ASCII85/Hex round-trips") {
     for (seed <- 1 to 3; n <- Seq(0, 1, 2, 3, 4, 5, 1000)) {
       val d = randomData(seed, n)

@@ -225,6 +225,29 @@ class PdfExtensionsSpec extends AnyFunSuite {
       texts.mkString("|"))
   }
 
+  test("PDF: marked-content dicts and stray '<' never swallow or fake text") {
+    def hex(s: String): String = s.map(c => f"${c.toInt}%02X").mkString
+    // tagged-PDF marked content: '/P <</MCID 0>> BDC' — the inner dict must
+    // not parse as a hex string (phantom token) nor eat the real text
+    val content = "BT /P <</MCID 0>> BDC /F1 10 Tf 72 700 Td " +
+      "(tagged paragraph text) Tj EMC ET\n" +
+      // a stray unterminated '<' (binary-ish) before more text
+      "BT /F1 10 Tf 72 650 Td (after stray) Tj ET < ÿþ\n"
+    val pdf = "%PDF-1.4\n" +
+      s"1 0 obj << /Length ${content.length} >> stream\n" + content +
+      "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    val texts = PdfToSpans.extract(pdf).spans
+      .filter(_.kind == "TextBlock.Text").map(_.text)
+    assert(texts == Vector("tagged paragraph text", "after stray"),
+      texts.mkString("|"))
+    // hex text still shows when it IS a valid hex string
+    val okContent = s"BT /F1 10 Tf 72 700 Td <${hex("still hex")}> Tj ET"
+    val ok = "%PDF-1.4\n" +
+      s"1 0 obj << /Length ${okContent.length} >> stream\n" + okContent +
+      "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    assert(PdfToSpans.extract(ok).spans.map(_.text) == Vector("still hex"))
+  }
+
   test("PDF: indirect /Length falls back to the endstream scan (not length 5)") {
     val pdf = PdfFixture.pdf(Seq(Seq(
       Block(Seq("body paragraph behind an indirect length")),
