@@ -264,6 +264,25 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"))
     }),
 
+    "q_media_resize" -> ((s, dir) => {
+      // thumbnail/normalize step over REAL image bytes: resize to fit
+      // 24x24, then report the dimensions DECODED FROM THE RESIZED BLOBS —
+      // the oracle recomputes them from the metadata formula with integer
+      // math, so a resize that didn't actually rewrite the bytes (or got
+      // the floor/aspect contract wrong) hash-mismatches
+      val spark = s
+      import spark.implicits._
+      Multimodal.resizeImages(
+          Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text"),
+          24, 24)
+        .filter(_.kind == "image")
+        .map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob))
+          (r.media_id, img.getWidth, img.getHeight)
+        }.toDF("media_id", "out_w", "out_h")
+    }),
+
     "q_media_features" -> ((s, dir) => { // rows-only: SQL cannot re-derive
       // the real JDK codec outputs (PNG pixel stats / WAV amplitudes / GIF
       // frame lumas); decode exactness is pinned by OpsSpec instead
@@ -691,6 +710,18 @@ object SparkEntry {
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |       CAST(16 + doc_id % 64 AS INT) AS width,
         |       CAST(16 + doc_id % 48 AS INT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id,
+        |  CAST(CASE WHEN w <= 24 AND h <= 24 THEN w
+        |    ELSE GREATEST(1, FLOOR(w * LEAST(24.0 / w, 24.0 / h))) END AS INT) AS out_w,
+        |  CAST(CASE WHEN w <= 24 AND h <= 24 THEN h
+        |    ELSE GREATEST(1, FLOOR(h * LEAST(24.0 / w, 24.0 / h))) END AS INT) AS out_h
+        |FROM m""".stripMargin
   )
 }

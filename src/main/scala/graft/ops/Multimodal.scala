@@ -263,6 +263,107 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Resize image blobs to fit within (maxW, maxH), aspect preserved,
+    * re-encoded as PNG — the training-pipeline thumbnail/normalize step,
+    * partition-parallel over the binary column. Images already inside the
+    * box, non-image rows, and undecodable blobs pass through unchanged.
+    * Target dims use floor(scale * dim) (min 1), so an oracle can compute
+    * them from the declared metadata with integer math.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { row =>
+      if (row.kind != "image") row
+      else {
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.blob))
+          if (img == null || (img.getWidth <= maxW && img.getHeight <= maxH)) row
+          else {
+            val scale = math.min(maxW.toDouble / img.getWidth,
+              maxH.toDouble / img.getHeight)
+            val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+            val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+            val tpe =
+              if (img.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+                java.awt.image.BufferedImage.TYPE_INT_RGB
+              else img.getType
+            val out = new java.awt.image.BufferedImage(w, h, tpe)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            row.copy(blob = bos.toByteArray, width = w, height = h)
+          }
+        } catch { case _: Exception => row }
+      }
+    }
+  }
+
+  /** Frame-sample video blobs into IMAGE rows: every `everyK`-th frame
+    * re-encoded as its own PNG — the keyframe-extraction step a video
+    * corpus runs before image-level dedup/embedding. Derived rows keep
+    * lineage as media_id = parent_id * 1000 + frame_index (documented
+    * convention; at most 1000 sampled frames per source). Non-video rows
+    * drop; undecodable blobs yield no rows. Partition-parallel flatMap,
+    * no shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val step = math.max(1, everyK)
+    media.filter(_.kind == "video").flatMap { row =>
+      try {
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.blob))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val out = Vector.newBuilder[MediaRow]
+          var f = 0
+          while (f < n && f < 1000) {
+            val img = reader.read(f)
+            // re-encode through a plain gray/RGB raster (the PNG writer
+            // does not take indexed GIF rasters' palette with it). Copy
+            // SAMPLES, not drawImage: Graphics2D converts sRGB → the gray
+            // type's linear color space, which gammas the values
+            val gray = img.getColorModel.getNumComponents == 1 ||
+              img.getType == java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+            val frame = new java.awt.image.BufferedImage(
+              img.getWidth, img.getHeight,
+              if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              else java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                if (gray) frame.getRaster.setSample(x, y, 0, rgb & 0xff)
+                else frame.setRGB(x, y, rgb)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(frame, "png", bos)
+            out += MediaRow(row.media_id * 1000L + f, "image",
+              bos.toByteArray, img.getWidth, img.getHeight)
+            f += step
+          }
+          out.result()
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      } catch { case _: Exception => Vector.empty }
+    }
+  }
+
   private def isGif(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 &&
       bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'

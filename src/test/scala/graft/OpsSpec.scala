@@ -392,6 +392,74 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideo(Array[Byte]('G', 'I', 'F', '8')).isEmpty)
   }
 
+  test("multimodal: resizeImages thumbnails real bytes; pass-through untouched") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(media, 24, 24).collect()
+      .map(r => r.media_id -> r).toMap
+    val original = media.collect().map(r => r.media_id -> r).toMap
+    assert(resized.keySet == original.keySet) // non-image rows pass through
+    original.values.filter(_.kind == "image").foreach { o =>
+      val r = resized(o.media_id)
+      if (o.width <= 24 && o.height <= 24) {
+        assert(r.blob.sameElements(o.blob), s"in-box image ${o.media_id} changed")
+      } else {
+        val scale = math.min(24.0 / o.width, 24.0 / o.height)
+        val ew = math.max(1, math.floor(o.width * scale).toInt)
+        val eh = math.max(1, math.floor(o.height * scale).toInt)
+        assert(r.width == ew && r.height == eh, s"declared dims ${o.media_id}")
+        // the BYTES really are a resized image: decode and measure
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.blob))
+        assert(img.getWidth == ew && img.getHeight == eh, s"decoded dims ${o.media_id}")
+      }
+    }
+    // a constant-color image resizes to the same constant (bilinear on a
+    // flat field is exact) — the content, not just the container, survives
+    val flat = {
+      val img = new java.awt.image.BufferedImage(40, 40,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(77, 77, 77)); g.fillRect(0, 0, 40, 40); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val sqlc = spark
+    import sqlc.implicits._
+    val one = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(1L, "image", flat, 40, 40)).toDS(), 10, 10).head()
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one.blob))
+    assert(dec.getWidth == 10 && dec.getHeight == 10)
+    for (y <- 0 until 10; x <- 0 until 10)
+      assert(dec.getRaster.getSample(x, y, 0) == 77, s"flat pixel ($x,$y)")
+  }
+
+  test("multimodal: sampleFrames extracts every k-th video frame pixel-exactly") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val id = 11L // kind(11 % 3 == 2) = video; 4 + 11%6 = 9 frames
+    val n = Multimodal.videoFrames(id)
+    val vid = Multimodal.MediaRow(id, "video",
+      Multimodal.encodeGifAnim(id, 12, 10, n), 12, 10)
+    val img = Multimodal.MediaRow(3L, "image", Multimodal.encodePng(3L, 8, 8), 8, 8)
+    val frames = Multimodal.sampleFrames(Seq(vid, img).toDS(), everyK = 2)
+      .collect().sortBy(_.media_id)
+    assert(frames.length == (n + 1) / 2, s"${frames.length} of $n frames")
+    assert(frames.forall(_.kind == "image"))
+    frames.foreach { fr =>
+      val f = (fr.media_id - id * 1000L).toInt
+      assert(f % 2 == 0, "every 2nd frame")
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.blob))
+      assert(dec.getWidth == 12 && dec.getHeight == 10)
+      // GIF gray frames re-encode losslessly: sampled PNG == synthesized
+      // (raw raster samples — getRGB would gamma-map gray to sRGB)
+      for (y <- 0 until 10; x <- 0 until 12)
+        assert(dec.getRaster.getSample(x, y, 0) == Multimodal.framePixel(id, f, x, y),
+          s"frame $f pixel ($x,$y)")
+    }
+  }
+
   test("PII scrub replaces emails/IPv4 with placeholders, leaves prose alone") {
     val rows = Seq(
       ("write a.b-c+1@sub.example.co.uk today", "write <EMAIL> today"),
