@@ -522,7 +522,9 @@ object PdfToSpans {
       num: Int): Option[String] = {
     def topLevelAt(from: Int): Option[String] = {
       val re = ("(?<![0-9])" + num + "\\s+\\d+\\s+obj").r
-      re.findFirstMatchIn(pdf.substring(from)).map { m =>
+      // LAST definition wins: an incremental update appends a replacement
+      // object at the end of the file (PDF 32000 §7.5.6)
+      re.findAllMatchIn(pdf.substring(from)).toSeq.lastOption.map { m =>
         val start = from + m.end
         val end = pdf.indexOf("endobj", start)
         pdf.substring(start, if (end < 0) pdf.length else end)

@@ -225,6 +225,21 @@ class PdfExtensionsSpec extends AnyFunSuite {
       texts.mkString("|"))
   }
 
+  test("PDF: incremental update replaces the info dict (last definition wins)") {
+    val base = PdfFixture.pdf(Seq(Seq(
+      Block(Seq("body paragraph under an updated title")),
+      Block(Seq("closing paragraph text")))), title = "Original Title")
+    // an incremental save appends a replacement object 3 + a new trailer
+    val updated = base +
+      "3 0 obj << /Title (Updated Title) >> endobj\n" +
+      "trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n"
+    assert(PdfToSpans.extract(base).title == "Original Title")
+    val d = PdfToSpans.extract(updated)
+    assert(d.title == "Updated Title", s"got '${d.title}'")
+    // text untouched by the update
+    assert(d.spans == PdfToSpans.extract(base).spans)
+  }
+
   test("PDF: marked-content dicts and stray '<' never swallow or fake text") {
     def hex(s: String): String = s.map(c => f"${c.toInt}%02X").mkString
     // tagged-PDF marked content: '/P <</MCID 0>> BDC' — the inner dict must
