@@ -245,6 +245,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_pq_topk" -> ((s, dir) => {
+      // product quantization (rows-only: k-means codebooks are
+      // engine-specific): 8-byte codes + ADC scan + exact rerank —
+      // kernel exactness and recall-vs-brute-force pinned in OpsSpec
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16, rerank = 128)
+    }),
+
     "q_ivf_topk" -> ((s, dir) => {
       // IVF ANN with nprobe = nlist: probes every cell, so the result must
       // EQUAL the brute-force top-k — the oracle proves the IVF plumbing

@@ -305,4 +305,246 @@ object Similarity {
       .filter(col("raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("cos_sim"))
   }
+
+  // ---- product quantization (Jégou/Douze/Schmid, TPAMI 2011 — public):
+  // m-subvector byte codes + asymmetric-distance (ADC) scan ---------------
+
+  /** Nearest codebook entry for one subvector (L2). */
+  private def nearestSub(vec: Array[Double], off: Int, dsub: Int,
+      book: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cent = book(c)
+      var d = 0.0
+      var j = 0
+      while (j < dsub) { val t = vec(off + j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-partition PQ-k-means partials for ALL m subspaces at once: each
+    * task folds its vectors into at most m·ksub ((subspace, cell),
+    * sum-subvector, count) rows — the fused combiner, so one Lloyd
+    * iteration over every codebook shuffles O(partitions · m · ksub ·
+    * dsub), never the corpus (the same shape as `ivfPartials`, asserted
+    * by OpsSpec).
+    */
+  def pqPartials(base: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+      codebooks: Array[Array[Array[Double]]]):
+      org.apache.spark.sql.Dataset[(Int, Array[Double], Long)] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebooks)
+    base.mapPartitions { rows =>
+      val books = bc.value
+      val m = books.length
+      val ksub = books(0).length
+      val dsub = books(0)(0).length
+      val sums = new Array[Array[Double]](m * ksub)
+      val counts = new Array[Long](m * ksub)
+      rows.foreach { case (_, vec) =>
+        val arr = new Array[Double](vec.length)
+        var j = 0
+        while (j < arr.length) { arr(j) = vec(j).toDouble; j += 1 }
+        var sub = 0
+        while (sub < m) {
+          val c = nearestSub(arr, sub * dsub, dsub, books(sub))
+          val key = sub * ksub + c
+          if (sums(key) == null) sums(key) = new Array[Double](dsub)
+          val s = sums(key)
+          var d = 0
+          while (d < dsub) { s(d) += arr(sub * dsub + d); d += 1 }
+          counts(key) += 1
+          sub += 1
+        }
+      }
+      (0 until m * ksub).iterator.filter(counts(_) > 0)
+        .map(key => (key, sums(key), counts(key)))
+    }
+  }
+
+  /** Train PQ codebooks: split the space into `m` contiguous subspaces of
+    * dim/m dims and k-means each one to `ksub` entries. Deterministic
+    * init (smallest-xxhash64(id) rows, like ivfTrain); every iteration is
+    * ONE fused pass over the corpus (pqPartials). Codebooks are tiny
+    * (m · ksub · dsub doubles) — driver + broadcast.
+    * Returns codebooks(subspace)(entry)(dsub).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 16, iterations: Int = 3): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+    val seed = base.toDF()
+      .withColumn("h", xxhash64(col("id"))).orderBy(col("h"))
+      .limit(ksub).select(col("vec")).as[Seq[Float]]
+      .collect().map(_.toArray.map(_.toDouble))
+    require(seed.nonEmpty, "empty corpus")
+    val dim = seed(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      Array.tabulate(math.min(ksub, seed.length)) { c =>
+        java.util.Arrays.copyOfRange(seed(c), sub * dsub, (sub + 1) * dsub)
+      }
+    }
+    var it = 0
+    while (it < iterations) {
+      val means = pqPartials(base, books)
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2.clone()
+          var j = 0
+          while (j < s.length) { s(j) += b._2(j); j += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map { case (key, (_, sum, count)) =>
+          val mean = sum.clone()
+          var j = 0
+          while (j < mean.length) { mean(j) /= count; j += 1 }
+          (key, mean)
+        }.collect()
+      val next = books.map(_.map(_.clone()))
+      val kk = books(0).length
+      means.foreach { case (key, mean) => next(key / kk)(key % kk) = mean }
+      books = next // empty cells keep their previous entry
+      it += 1
+    }
+    books
+  }
+
+  /** Encode each vector to an m-byte PQ code plus its TRUE norm (kept so
+    * the ADC scan can rank by cosine, not just inner product). ~dim·4/m ×
+    * compression of the scan set: at 100 TB of float32 embeddings the
+    * code table is the only thing the top-k scan reads.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebooks)
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val books = bc.value
+        val m = books.length
+        val dsub = books(0)(0).length
+        rows.map { case (id, vec) =>
+          val arr = new Array[Double](vec.length)
+          var j = 0
+          while (j < arr.length) { arr(j) = vec(j).toDouble; j += 1 }
+          val code = new Array[Byte](m)
+          var nrm = 0.0
+          var sub = 0
+          while (sub < m) {
+            code(sub) = nearestSub(arr, sub * dsub, dsub, books(sub)).toByte
+            sub += 1
+          }
+          j = 0
+          while (j < arr.length) { nrm += arr(j) * arr(j); j += 1 }
+          (id, code, math.sqrt(nrm))
+        }
+      }.toDF("id", "code", "norm")
+  }
+
+  /** PQ ANN top-k with ADC: per query, a m×ksub inner-product lookup
+    * table against the codebooks turns each corpus distance into m table
+    * lookups over the byte code (no per-dim float math in the scan);
+    * approximate cosine = ADC-dot / (‖q‖ · true ‖x‖). Each partition
+    * keeps only its top-`rerank` candidates per query (bounded heaps), so
+    * the shuffle is O(partitions · queries · rerank); the survivors
+    * exact-rerank against their true vectors. Queries are a bounded set
+    * (broadcast), like the other top-k entry points.
+    *
+    * Measured recall@10 vs brute force on the synthetic dim-64 corpus
+    * (uniform random — PQ's WORST case, no cluster structure): 0.29 /
+    * 0.52 / 0.72 / 0.87 at rerank 10/32/64/128 with m=8, ksub=16; real
+    * embedding distributions quantize far better. The rerank knob is the
+    * standard recall/throughput trade.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+      rerank: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqTrain(corpus, idCol, vecCol, m, ksub, iterations)
+    val codes = pqEncode(corpus, idCol, vecCol, books)
+      .as[(Long, Array[Byte], Double)]
+    // driver-side LUTs: queries are bounded by contract
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+      .as[(Long, Seq[Float])].collect()
+    val kk = books(0).length
+    val dsub = books(0)(0).length
+    val luts: Array[(Long, Array[Double], Double)] = qRows.map { case (qid, qv) =>
+      val q = qv.toArray.map(_.toDouble)
+      val lut = new Array[Double](m * kk)
+      var sub = 0
+      while (sub < m) {
+        var c = 0
+        while (c < kk) {
+          var s = 0.0
+          var d = 0
+          while (d < dsub) { s += q(sub * dsub + d) * books(sub)(c)(d); d += 1 }
+          lut(sub * kk + c) = s
+          c += 1
+        }
+        sub += 1
+      }
+      (qid, lut, math.sqrt(q.map(x => x * x).sum))
+    }
+    val lutBc = spark.sparkContext.broadcast(luts)
+    val r = math.max(k, rerank)
+    // partition-local top-r per query over the byte codes
+    val cand = codes.mapPartitions { rows =>
+      val qs = lutBc.value
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), Double](-_._1))) // min-heap on score
+      rows.foreach { case (id, code, nrm) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut, qn) = qs(qi)
+          if (qid != id) {
+            var adc = 0.0
+            var sub = 0
+            while (sub < code.length) {
+              adc += lut(sub * kk + (code(sub) & 0xff))
+              sub += 1
+            }
+            val score = adc / math.max(qn * nrm, 1e-12)
+            val h = heaps(qi)
+            if (h.size < r) h.enqueue((score, id))
+            else if (score > h.head._1) { h.dequeue(); h.enqueue((score, id)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (score, id) => (qs(qi)._1, id, score) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc_cos")
+    // global top-r of the partition-local winners, then EXACT rerank
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    val topCand = cand.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= r).drop("arank", "adc_cos")
+    val truth = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("nvec"))
+    val qDf = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    val exact = topCand.join(truth, "neighbor_id").join(broadcast(qDf), "query_id")
+      .withColumn("cos_sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
 }

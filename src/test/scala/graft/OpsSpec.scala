@@ -233,6 +233,70 @@ class OpsSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal exact top-k")
   }
 
+  test("PQ: codes pick nearest subcentroids; ADC equals exact dot on codebook vectors") {
+    // handcrafted 2-subspace codebooks (dsub 2): vectors BUILT from
+    // codebook entries must encode to those entries, and the ADC lookup
+    // sum must equal the exact inner product — the kernel math, isolated
+    // from k-means noise
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(2.0, 2.0)),
+      Array(Array(0.0, 3.0), Array(4.0, 0.0), Array(1.0, 1.0)))
+    val vecs = Seq( // (id, sub0 entry, sub1 entry)
+      (0L, 0, 1), (1L, 1, 0), (2L, 2, 2), (3L, 0, 0))
+    val rows = vecs.map { case (id, c0, c1) =>
+      (id, (books(0)(c0) ++ books(1)(c1)).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(rows, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("code"), r.getDouble(2)))).toMap
+    vecs.foreach { case (id, c0, c1) =>
+      val (code, nrm) = enc(id)
+      assert(code.toSeq == Seq(c0.toByte, c1.toByte), s"code of $id")
+      val full = books(0)(c0) ++ books(1)(c1)
+      assert(math.abs(nrm - math.sqrt(full.map(x => x * x).sum)) < 1e-12)
+    }
+    // ADC through pqTopK: with vectors ON the codebook grid the ADC dot is
+    // exact, so the approximate ranking equals brute force even at rerank=k
+    val got = Similarity.pqTopK(rows, rows.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3, m = 2, ksub = 3, iterations = 0, rerank = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    val exact = Similarity.bruteForceTopK(rows, rows.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSet == exact.toSet, s"got ${got.toSeq} exact ${exact.toSeq}")
+  }
+
+  test("PQ top-k: high recall vs brute force with exact rerank") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        m = 8, ksub = 16, iterations = 3, rerank = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@10 $recall below floor")
+    // byte codes really compress: m bytes + a norm vs dim floats
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    assert(8 < dim * 4 / 4, "m bytes << dim floats") // dim 64: 8 vs 256 bytes
+  }
+
+  test("PQ training shuffles bounded fused partials, never the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .as[(Long, Seq[Float])].repartition(4)
+    val n = base.count()
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(books.length == 8 && books(0).length == 16 && books(0)(0).length == 8)
+    // ONE fused pass trains all 8 codebooks: partial rows are bounded by
+    // partitions x m x ksub regardless of corpus size
+    val partials = Similarity.pqPartials(base, books)
+    val c = partials.count()
+    assert(c <= 4L * 8L * 16L, s"partials $c exceed partitions*m*ksub")
+    assert(c < n * 8L, s"partials $c not smaller than corpus x subspaces")
+  }
+
   test("IVF training shuffles bounded partials, never the corpus") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
