@@ -55,13 +55,23 @@ object Bench {
       .limit(1000).agg(count(lit(1))).collect()
     spark.range(1000000).agg(sum(col("id"))).collect()
 
+    // Each query runs REPS times and we record the MIN (plus all samples):
+    // on a shared box a single co-scheduled noisy process can inflate one
+    // sample several-fold, and two earlier rounds produced phantom
+    // regressions that way. min-of-3 cannot be manufactured by contention.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     headline.filter(n => subset.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      results(name) = times.min
+      samples(name) = times
     }
 
     // ---- crawl-engine throughput (pages fetched+extracted per second) ----
@@ -73,7 +83,10 @@ object Bench {
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"}}""")
+    val ss = samples.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"}}""")
     spark.stop()
   }
 

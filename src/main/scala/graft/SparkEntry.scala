@@ -356,10 +356,18 @@ object SparkEntry {
             "transform(filter(spans, x -> x.kind = 'TextBlock.Text'), x -> x.text)"))
             .as("text"))
         .withColumn("ord", substring(col("uri"), 7, 5).cast("long"))
-      Dedup.exactFirstWins(texts, "text", "ord")
+      val agg = Dedup.exactFirstWins(texts, "text", "ord")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_unique"),
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_words"))
+      // materialize the 1-row aggregate NOW so the fixture tree can be
+      // deleted before returning — repeated Verify/Bench runs were
+      // accumulating ~200 temp files per invocation
+      val rows = agg.collect().toSeq
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
     }),
 
     // ---- pipeline composition: dedup → export as ONE DAG ----------------

@@ -379,10 +379,13 @@ object Dedup {
         System.err.println(s"[trace] cc round $iter converged=$converged")
     }
     GraftColumnBridge.unpersistCheckpoint(edges)
-    if (!converged)
+    if (!converged) {
+      // the error path must not strand the final round's checkpoint blocks
+      GraftColumnBridge.unpersistCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations stitch rounds " +
         "(star-forest diameter beyond the doubling budget — raise maxIterations)")
+    }
     // only the returned labels checkpoint survives; callers that are done
     // with it can release it via Dedup.release
     labels.select($"id", $"cluster")

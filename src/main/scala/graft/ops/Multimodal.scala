@@ -31,6 +31,19 @@ object Multimodal {
       width: Int,
       height: Int)
 
+  /** A sampled video frame with explicit lineage: `parent_id` is the source
+    * video's media_id and `frame_idx` its 0-based frame number. Lineage as
+    * separate columns (not an arithmetic id-packing scheme) cannot collide
+    * with pre-existing media ids in a mixed corpus and has no overflow cap.
+    */
+  final case class FrameRow(
+      parent_id: Long,
+      frame_idx: Int,
+      kind: String,
+      blob: Array[Byte],
+      width: Int,
+      height: Int)
+
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -306,13 +319,14 @@ object Multimodal {
 
   /** Frame-sample video blobs into IMAGE rows: every `everyK`-th frame
     * re-encoded as its own PNG — the keyframe-extraction step a video
-    * corpus runs before image-level dedup/embedding. Derived rows keep
-    * lineage as media_id = parent_id * 1000 + frame_index (documented
-    * convention; at most 1000 sampled frames per source). Non-video rows
+    * corpus runs before image-level dedup/embedding. Derived rows carry
+    * lineage as explicit (parent_id, frame_idx) columns — no packed-id
+    * convention, so frames can never collide with original media ids and
+    * arbitrarily large parent ids / frame counts are safe. Non-video rows
     * drop; undecodable blobs yield no rows. Partition-parallel flatMap,
     * no shuffle.
     */
-  def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     val step = math.max(1, everyK)
@@ -324,9 +338,9 @@ object Multimodal {
         try {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          val out = Vector.newBuilder[MediaRow]
+          val out = Vector.newBuilder[FrameRow]
           var f = 0
-          while (f < n && f < 1000) {
+          while (f < n) {
             val img = reader.read(f)
             // re-encode through a plain gray/RGB raster (the PNG writer
             // does not take indexed GIF rasters' palette with it). Copy
@@ -351,7 +365,7 @@ object Multimodal {
             }
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(frame, "png", bos)
-            out += MediaRow(row.media_id * 1000L + f, "image",
+            out += FrameRow(row.media_id, f, "image",
               bos.toByteArray, img.getWidth, img.getHeight)
             f += step
           }

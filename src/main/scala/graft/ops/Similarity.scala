@@ -335,11 +335,12 @@ object Similarity {
     */
   def pqPartials(base: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
       codebooks: Array[Array[Array[Double]]]):
-      org.apache.spark.sql.Dataset[(Int, Array[Double], Long)] = {
+      org.apache.spark.sql.Dataset[(Int, Int, Array[Double], Long)] = {
     val spark = base.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(codebooks)
     base.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       val books = bc.value
       val m = books.length
       val ksub = books(0).length
@@ -363,7 +364,7 @@ object Similarity {
         }
       }
       (0 until m * ksub).iterator.filter(counts(_) > 0)
-        .map(key => (key, sums(key), counts(key)))
+        .map(key => (key, pid, sums(key), counts(key)))
     }
   }
 
@@ -380,8 +381,10 @@ object Similarity {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Float])]
+    // id as the secondary sort key makes the seed picks a total order even
+    // under (improbable) xxhash64 collisions — run-to-run determinism
     val seed = base.toDF()
-      .withColumn("h", xxhash64(col("id"))).orderBy(col("h"))
+      .withColumn("h", xxhash64(col("id"))).orderBy(col("h"), col("id"))
       .limit(ksub).select(col("vec")).as[Seq[Float]]
       .collect().map(_.toArray.map(_.toDouble))
     require(seed.nonEmpty, "empty corpus")
@@ -395,19 +398,23 @@ object Similarity {
     }
     var it = 0
     while (it < iterations) {
+      // fold the per-partition partials in PARTITION-ID order: float sums
+      // are order-sensitive, and reduceGroups' shuffle-arrival order would
+      // make the trained codebooks vary run to run
       val means = pqPartials(base, books)
         .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = a._2.clone()
+        .mapGroups { (key, it) =>
+          val parts = it.toArray.sortBy(_._2)
+          val sum = new Array[Double](parts(0)._3.length)
+          var count = 0L
+          parts.foreach { case (_, _, s, c) =>
+            var j = 0
+            while (j < sum.length) { sum(j) += s(j); j += 1 }
+            count += c
+          }
           var j = 0
-          while (j < s.length) { s(j) += b._2(j); j += 1 }
-          (a._1, s, a._3 + b._3)
-        }
-        .map { case (key, (_, sum, count)) =>
-          val mean = sum.clone()
-          var j = 0
-          while (j < mean.length) { mean(j) /= count; j += 1 }
-          (key, mean)
+          while (j < sum.length) { sum(j) /= count; j += 1 }
+          (key, sum)
         }.collect()
       val next = books.map(_.map(_.clone()))
       val kk = books(0).length

@@ -508,11 +508,12 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.encodeGifAnim(id, 12, 10, n), 12, 10)
     val img = Multimodal.MediaRow(3L, "image", Multimodal.encodePng(3L, 8, 8), 8, 8)
     val frames = Multimodal.sampleFrames(Seq(vid, img).toDS(), everyK = 2)
-      .collect().sortBy(_.media_id)
+      .collect().sortBy(_.frame_idx)
     assert(frames.length == (n + 1) / 2, s"${frames.length} of $n frames")
     assert(frames.forall(_.kind == "image"))
+    assert(frames.forall(_.parent_id == id), "explicit lineage to the video row")
     frames.foreach { fr =>
-      val f = (fr.media_id - id * 1000L).toInt
+      val f = fr.frame_idx
       assert(f % 2 == 0, "every 2nd frame")
       val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.blob))
       assert(dec.getWidth == 12 && dec.getHeight == 10)
