@@ -416,9 +416,11 @@ object SparkEntry {
         }
         // the corpus cycles through the real-world layouts — classic
         // uncompressed, /FlateDecode, PDF 1.5 (ObjStm + xref stream +
-        // indirect lengths), and an ASCII85+Flate filter chain; extraction
-        // must be identical across all of them
-        val body = (i % 4) match {
+        // indirect lengths), an ASCII85+Flate filter chain, an embedded
+        // SUBSET font (/ToUnicode CMap; glyph codes ≠ char codes — 1-byte
+        // and 2-byte CID variants), and a /Differences-remapped simple
+        // font; extraction must be identical across all of them
+        val body = (i % 6) match {
           case 0 => PdfFixture.pdf(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
           case 1 => PdfFixture.pdf(pages, title = s"Fixture $i",
@@ -426,8 +428,13 @@ object SparkEntry {
             compress = true)
           case 2 => PdfFixture.pdfModern(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
-          case _ => PdfFixture.pdfFiltered(pages, s"Fixture $i",
+          case 3 => PdfFixture.pdfFiltered(pages, s"Fixture $i",
             Seq("ASCII85Decode", "FlateDecode"),
+            header = "Shared Running Header", pageNumbers = true)
+          case 4 => PdfFixture.pdfSubsetFont(pages, title = s"Fixture $i",
+            header = "Shared Running Header", pageNumbers = true,
+            twoByte = i >= 8)
+          case _ => PdfFixture.pdfDifferencesFont(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
         }
         (s"pdf_$i", body)

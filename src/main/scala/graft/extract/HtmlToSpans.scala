@@ -14,7 +14,11 @@ final case class ExtractedDoc(
     title: String,
     spans: Vector[Span],
     outLinks: Vector[String],
-    noFollow: Boolean)
+    noFollow: Boolean,
+    // document-level provenance metadata (PDF /Info entries: Author,
+    // Subject, Keywords, Producer, ... — the reference copies every string
+    // entry of the info dictionary, `pdf/PdfDocumentConverter.cs:26-33`)
+    metadata: Map[String, String] = Map.empty)
 
 /** HTML tree -> span sequence, re-expressing the conversion rules of the
   * reference converter (`wordslab.webscraper/html/HtmlDocumentConverter.cs`)

@@ -20,11 +20,12 @@ object PdfFixture {
     */
   def pdf(pages: Seq[Seq[Block]], title: String = "",
       header: String = "", pageNumbers: Boolean = false,
-      compress: Boolean = false): String = {
+      compress: Boolean = false,
+      info: Map[String, String] = Map.empty): String = {
     val contents = pages.zipWithIndex.map { case (blocks, p) =>
       pageContent(blocks, p + 1, header, pageNumbers)
     }
-    assemble(contents, title, compress)
+    assemble(contents, title, compress, info)
   }
 
   /** Same document with an explicit content-stream /Filter chain, named in
@@ -81,11 +82,12 @@ object PdfFixture {
     * real-world incremental writers emit them.
     */
   def pdfModern(pages: Seq[Seq[Block]], title: String = "",
-      header: String = "", pageNumbers: Boolean = false): String = {
+      header: String = "", pageNumbers: Boolean = false,
+      info: Map[String, String] = Map.empty): String = {
     val contents = pages.zipWithIndex.map { case (blocks, p) =>
       pageContent(blocks, p + 1, header, pageNumbers)
     }
-    assembleModern(contents, title)
+    assembleModern(contents, title, info)
   }
 
   /** zlib-deflate a content stream, returned as its lossless ISO-8859-1
@@ -104,6 +106,20 @@ object PdfFixture {
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** Document-information dict body: /Title plus every `info` entry.
+    * Pure-ASCII values write as literal strings; anything else writes the
+    * spec's UTF-16BE hex form with the FE FF BOM (PDF 32000 §7.9.2.2).
+    */
+  private def infoDict(title: String, info: Map[String, String]): String = {
+    val entries =
+      (if (title.nonEmpty || info.isEmpty) Seq("Title" -> title) else Nil) ++
+        info.toSeq
+    "<< " + entries.map { case (k, v) =>
+      if (v.forall(c => c >= 0x20 && c < 0x7f)) s"/$k (${esc(v)})"
+      else s"/$k <FEFF${v.map(c => f"${c.toInt}%04X").mkString}>"
+    }.mkString(" ") + " >>"
+  }
 
   /** ASCII85 encoding (PDF §7.4.3): 4 bytes → 5 chars '!'..'u', partial
     * final group of n bytes → n+1 chars, '~>' terminator. (No 'z'
@@ -212,30 +228,170 @@ object PdfFixture {
   }
 
   private def pageContent(blocks: Seq[Block], pageNo: Int,
-      header: String, pageNumbers: Boolean): String = {
+      header: String, pageNumbers: Boolean,
+      enc: String => String = s => s"(${esc(s)})"): String = {
     val sb = new StringBuilder
     var y = 760.0
     if (header.nonEmpty) {
-      sb.append(s"BT /F1 8 Tf 72 792 Td (${esc(header)}) Tj ET\n")
+      sb.append(s"BT /F1 8 Tf 72 792 Td ${enc(header)} Tj ET\n")
     }
     blocks.foreach { b =>
       sb.append(f"BT /F1 ${b.fontSize}%.1f Tf 72 $y%.1f Td\n")
       sb.append(f"${b.fontSize * 1.2}%.1f TL\n")
       b.lines.zipWithIndex.foreach { case (line, i) =>
-        if (i == 0) sb.append(s"(${esc(line)}) Tj\n")
-        else sb.append(s"(${esc(line)}) '\n") // ' = next line + show
+        if (i == 0) sb.append(s"${enc(line)} Tj\n")
+        else sb.append(s"${enc(line)} '\n") // ' = next line + show
       }
       sb.append("ET\n")
       y -= b.fontSize * 1.2 * b.lines.size + b.fontSize * 3
     }
     if (pageNumbers) {
-      sb.append(s"BT /F1 8 Tf 300 24 Td (Page $pageNo) Tj ET\n")
+      sb.append(s"BT /F1 8 Tf 300 24 Td ${enc(s"Page $pageNo")} Tj ET\n")
     }
     sb.toString
   }
 
+  // --- subset-font fixtures: glyph codes ≠ character codes -----------------
+
+  /** All text a page set shows, for building the fixture glyph table. */
+  private def shownText(pages: Seq[Seq[Block]], header: String,
+      pageNumbers: Boolean): String =
+    (Seq(header).filter(_.nonEmpty) ++
+      pages.flatMap(_.flatMap(_.lines)) ++
+      (if (pageNumbers) (1 to pages.length).map(p => s"Page $p") else Nil))
+      .mkString
+
+  /** Same document, but shown through an embedded SUBSET font: glyph
+    * codes are arbitrary small integers assigned in character-sorted
+    * order, so a Latin-1 reading of the show strings is pure mojibake;
+    * the /ToUnicode CMap (Flate-compressed, with both bfrange runs and
+    * bfchar singles) is the only way back to the real text — the
+    * structure essentially every real-world PDF with embedded font
+    * subsets has. `twoByte` switches to a CID-style 2-byte codespace
+    * (/Subtype /Type0) with 4-hex-digit show codes.
+    */
+  def pdfSubsetFont(pages: Seq[Seq[Block]], title: String = "",
+      header: String = "", pageNumbers: Boolean = false,
+      twoByte: Boolean = false,
+      info: Map[String, String] = Map.empty): String = {
+    val chars = shownText(pages, header, pageNumbers).distinct.sorted
+    val base = if (twoByte) 0x0102 else 0x02 // ≠ char codes even for digits
+    require(chars.length <= (if (twoByte) 50000 else 250), "fixture alphabet")
+    val code: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (base + i) }.toMap
+    val hexW = if (twoByte) 4 else 2
+    def encStr(s: String): String =
+      "<" + s.map(c => ("%0" + hexW + "X").format(code(c))).mkString + ">"
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, header, pageNumbers, encStr)
+    }
+    val cmapData = deflate(cmapText(code, hexW))
+    val subtype = if (twoByte) "/Type0" else "/TrueType"
+    val fontObj = s"<< /Type /Font /Subtype $subtype /BaseFont /GRAFTX+Fixture " +
+      "/ToUnicode 5 0 R >>"
+    assembleWithFont(contents, title, info, fontObj,
+      Some(s"5 0 obj << /Length ${cmapData.length} /Filter /FlateDecode >> stream\n" +
+        cmapData + "\nendstream endobj\n"))
+  }
+
+  /** Same document through a simple font remapped with /Encoding
+    * /Differences glyph NAMES (no /ToUnicode at all) — the other way
+    * legacy Type1 subsets carry their meaning.
+    */
+  def pdfDifferencesFont(pages: Seq[Seq[Block]], title: String = "",
+      header: String = "", pageNumbers: Boolean = false): String = {
+    val nameOf: Map[Char, String] =
+      PdfToSpans.AglNames.map { case (n, c) => c -> n }
+    val chars = shownText(pages, header, pageNumbers).distinct.sorted
+    val unnamed = chars.filterNot(nameOf.contains)
+    require(unnamed.isEmpty, s"no AGL name for: $unnamed")
+    val code: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (0x21 + i) }.toMap
+    require(chars.length <= 0xDE, "fixture alphabet")
+    def encStr(s: String): String =
+      "<" + s.map(c => f"${code(c)}%02X").mkString + ">"
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, header, pageNumbers, encStr)
+    }
+    val diffs = s"${0x21} " + chars.map(c => "/" + nameOf(c)).mkString(" ")
+    val fontObj = "<< /Type /Font /Subtype /Type1 /BaseFont /GRAFTD+Fixture " +
+      s"/Encoding << /Type /Encoding /Differences [ $diffs ] >> >>"
+    assembleWithFont(contents, title, Map.empty, fontObj, None)
+  }
+
+  /** /ToUnicode CMap body: consecutive (code, unicode) runs as bfrange,
+    * the rest as bfchar — both section kinds exercised, ≤100 entries per
+    * section as §9.10.3 requires.
+    */
+  private def cmapText(code: Map[Char, Int], hexW: Int): String = {
+    def h(v: Int) = ("%0" + hexW + "X").format(v)
+    val sorted = code.toSeq.map { case (c, k) => (k, c.toInt) }.sortBy(_._1)
+    // group maximal runs where code and unicode advance together
+    val runs = sorted.foldLeft(Vector.empty[Vector[(Int, Int)]]) { (acc, e) =>
+      acc.lastOption match {
+        case Some(run) if run.last._1 + 1 == e._1 && run.last._2 + 1 == e._2 =>
+          acc.init :+ (run :+ e)
+        case _ => acc :+ Vector(e)
+      }
+    }
+    val (ranges, singles) = runs.partition(_.length >= 2)
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CMapName /GraftFixture def\n/CMapType 2 def\n")
+    sb.append(s"1 begincodespacerange\n<${"0" * hexW}> <${"F" * hexW}>\nendcodespacerange\n")
+    ranges.grouped(100).foreach { g =>
+      sb.append(s"${g.length} beginbfrange\n")
+      g.foreach { run =>
+        sb.append(s"<${h(run.head._1)}> <${h(run.last._1)}> <${"%04X".format(run.head._2)}>\n")
+      }
+      sb.append("endbfrange\n")
+    }
+    singles.flatten.grouped(100).foreach { g =>
+      sb.append(s"${g.length} beginbfchar\n")
+      g.foreach { case (k, u) =>
+        sb.append(s"<${h(k)}> <${"%04X".format(u)}>\n")
+      }
+      sb.append("endbfchar\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString
+  }
+
+  /** Classic-layout assembly with one shared font: 1 catalog, 2 pages,
+    * 3 info, 4 font, optional 5 CMap stream, then per page (page obj,
+    * Flate content obj) from id 6; every page binds /F1 → 4 0 R in its
+    * /Resources.
+    */
+  private def assembleWithFont(contents: Seq[String], title: String,
+      info: Map[String, String], fontObj: String,
+      cmapObj: Option[String]): String = {
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val n = contents.length
+    val kids = (0 until n).map(i => s"${6 + i * 2} 0 R").mkString(" ")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    sb.append(s"3 0 obj ${infoDict(title, info)} endobj\n")
+    sb.append(s"4 0 obj $fontObj endobj\n")
+    cmapObj.foreach(sb.append)
+    contents.zipWithIndex.foreach { case (c, i) =>
+      val pageId = 6 + i * 2
+      val contentId = pageId + 1
+      sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /Contents $contentId 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> " +
+        "/MediaBox [0 0 612 792] >> endobj\n")
+      val data = deflate(c)
+      sb.append(s"$contentId 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      sb.append(data)
+      sb.append("\nendstream endobj\n")
+    }
+    sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
+    sb.toString
+  }
+
   private def assemble(contents: Seq[String], title: String,
-      compress: Boolean = false): String = {
+      compress: Boolean = false,
+      info: Map[String, String] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
     val n = contents.length
@@ -243,7 +399,7 @@ object PdfFixture {
     val kids = (0 until n).map(i => s"${4 + i * 2} 0 R").mkString(" ")
     sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
-    sb.append(s"3 0 obj << /Title (${esc(title)}) >> endobj\n")
+    sb.append(s"3 0 obj ${infoDict(title, info)} endobj\n")
     contents.zipWithIndex.foreach { case (c, i) =>
       val pageId = 4 + i * 2
       val contentId = pageId + 1
@@ -259,7 +415,8 @@ object PdfFixture {
     sb.toString
   }
 
-  private def assembleModern(contents: Seq[String], title: String): String = {
+  private def assembleModern(contents: Seq[String], title: String,
+      info: Map[String, String] = Map.empty): String = {
     val n = contents.length
     // object ids: 1 = ObjStm; inside it: 2 catalog, 3 pages, 4 info,
     // 5..4+n page dicts; top level: per page (content stream, its length
@@ -270,7 +427,7 @@ object PdfFixture {
       Seq(
         2 -> "<< /Type /Catalog /Pages 3 0 R >>",
         3 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>",
-        4 -> s"<< /Title (${esc(title)}) >>") ++
+        4 -> infoDict(title, info)) ++
       (0 until n).map { i =>
         (5 + i) -> (s"<< /Type /Page /Parent 3 0 R /Contents ${5 + n + 2 * i} 0 R " +
           "/MediaBox [0 0 612 792] >>")

@@ -62,32 +62,91 @@ object PdfToSpans {
     // content extraction (this runs per document inside the extract
     // mapPartitions — a 10 MB PDF must not pay three full-file passes)
     val streams = rawStreams(pdf)
-    val title = docTitleIn(pdf, streams)
-    val pages = contentStreamsOf(streams).map(parsePage)
+    val cat = new Catalog(pdf, streams)
+    val info = docInfoIn(pdf, cat)
+    val (fontsByContent, globalFonts) = pageFontsOf(cat)
+    val pages = contentStreamPairsOf(streams).map { case (num, c) =>
+      parsePage(c, fontsByContent.getOrElse(num, globalFonts))
+    }
     val blocks = removeDecorations(pages).flatten
-    ExtractedDoc(title, buildSpans(blocks), Vector.empty, noFollow = true)
+    ExtractedDoc(info.getOrElse("Title", ""), buildSpans(blocks),
+      Vector.empty, noFollow = true, metadata = info - "Title")
   }
 
   // --- document info -----------------------------------------------------
 
   private val InfoRefRe = "/Info\\s+(\\d+)\\s+\\d+\\s+R".r
 
-  /** /Title (...) from the info dictionary. Resolution order: follow the
-    * trailer's `/Info N 0 R` reference through the object catalog (works
-    * when the info dict lives inside a PDF 1.5+ compressed object stream,
-    * where a raw byte scan sees nothing), then fall back to the classic
-    * raw scan for xref-free fixtures. Escapes \( \) \\ handled.
-    */
-  def docTitle(pdf: String): String = docTitleIn(pdf, rawStreams(pdf))
+  /** /Title from the info dictionary (see `docInfo`). */
+  def docTitle(pdf: String): String = docInfo(pdf).getOrElse("Title", "")
 
-  private def docTitleIn(pdf: String, streams: Vector[RawStream]): String = {
-    val resolved = for {
-      m <- InfoRefRe.findAllMatchIn(pdf).toSeq.lastOption // last trailer wins
-      body <- resolveObject(pdf, streams, m.group(1).toInt)
-      t = titleIn(body) if t.nonEmpty
-    } yield t
-    resolved.getOrElse(titleIn(pdf))
+  /** EVERY string entry of the document-information dictionary (Title,
+    * Author, Subject, Keywords, Producer, CreationDate, ...) — the
+    * reference copies them all into document metadata
+    * (`pdf/PdfDocumentConverter.cs:26-33`). Resolution order: follow the
+    * LAST trailer's `/Info N 0 R` reference through the object catalog
+    * (works when the info dict lives inside a PDF 1.5+ compressed object
+    * stream, where a raw byte scan sees nothing), then fall back to the
+    * classic raw /Title scan for xref-free fixtures. Values in literal
+    * (escapes + octal) or hex form; a UTF-16BE BOM switches the text
+    * decoding per PDF 32000 §7.9.2.2.
+    */
+  def docInfo(pdf: String): Map[String, String] = {
+    if (pdf == null || !pdf.startsWith("%PDF")) return Map.empty
+    docInfoIn(pdf, new Catalog(pdf, rawStreams(pdf)))
   }
+
+  private def docInfoIn(pdf: String, cat: Catalog): Map[String, String] = {
+    val resolved = InfoRefRe.findAllMatchIn(pdf).toSeq.lastOption // last trailer
+      .flatMap(m => cat.body(m.group(1).toInt))
+      .map(infoEntries).getOrElse(Map.empty)
+    if (resolved.get("Title").exists(_.nonEmpty)) resolved
+    else {
+      val t = titleIn(pdf)
+      if (t.nonEmpty) resolved + ("Title" -> t) else resolved
+    }
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '-' || c == '+'
+
+  /** `/Name (literal)` and `/Name <hex>` string entries of a dict body. */
+  private def infoEntries(body: String): Map[String, String] = {
+    val out = mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '/') {
+        var j = i + 1
+        while (j < body.length && isNameChar(body.charAt(j))) j += 1
+        val name = body.substring(i + 1, j)
+        var k = j
+        while (k < body.length && body.charAt(k).isWhitespace) k += 1
+        if (name.nonEmpty && k < body.length && body.charAt(k) == '(') {
+          val (s, next) = parseLiteralString(body, k)
+          out(name) = decodeTextString(s)
+          i = next
+        } else if (name.nonEmpty && k + 1 < body.length &&
+            body.charAt(k) == '<' && body.charAt(k + 1) != '<') {
+          parseHexString(body, k) match {
+            case Some((s, next)) => out(name) = decodeTextString(s); i = next
+            case None => i = k + 1
+          }
+        } else i = j max (i + 1)
+      } else i += 1
+    }
+    out.toMap
+  }
+
+  /** PDF text string: a leading FE FF BOM means UTF-16BE; otherwise the
+    * bytes read as PDFDocEncoding (≈ Latin-1 for the printable range).
+    */
+  private def decodeTextString(raw: String): String =
+    if (raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar) {
+      val bytes = new Array[Byte](raw.length - 2)
+      var i = 0
+      while (i < bytes.length) { bytes(i) = (raw.charAt(i + 2) & 0xff).toByte; i += 1 }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    } else raw
 
   private def titleIn(s: String): String = {
     val i = s.indexOf("/Title")
@@ -107,6 +166,19 @@ object PdfToSpans {
           s.charAt(i + 1) match {
             case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
             case 't' => sb.append('\t')
+            case '\n' => // line continuation: backslash-newline vanishes
+            case '\r' => // \<CR> or \<CR><LF>
+              if (i + 2 < s.length && s.charAt(i + 2) == '\n') i += 1
+            case d if d >= '0' && d <= '7' =>
+              // octal escape \d, \dd or \ddd (PDF 32000 §7.3.4.2) — how
+              // writers emit non-ASCII glyph codes in literal strings
+              var v = 0; var k = 0
+              while (k < 3 && i + 1 + k < s.length && {
+                  val c = s.charAt(i + 1 + k); c >= '0' && c <= '7' }) {
+                v = v * 8 + (s.charAt(i + 1 + k) - '0'); k += 1
+              }
+              sb.append((v & 0xff).toChar)
+              i += k - 1
             case c => sb.append(c)
           }
           i += 1
@@ -146,8 +218,20 @@ object PdfToSpans {
 
   /** One raw stream object: its governing dictionary text and the stream
     * data (both as lossless ISO-8859-1 char images of the bytes).
+    * `objNum` is the "N G obj" number preceding the dictionary (-1 when
+    * the stream is not introduced by an object header) — what lets a
+    * /ToUnicode or /Contents reference find ITS stream, and a content
+    * stream find ITS page's font resources.
     */
-  private final case class RawStream(dict: String, data: String)
+  private final case class RawStream(dict: String, data: String, objNum: Int = -1)
+
+  private val ObjHeaderRe = "(\\d+)\\s+\\d+\\s+obj\\s*$".r
+
+  /** Object number of the "N G obj" header immediately before `ds`. */
+  private def objNumBefore(pdf: String, ds: Int): Int =
+    if (ds <= 0) -1
+    else ObjHeaderRe.findFirstMatchIn(pdf.substring(math.max(0, ds - 48), ds))
+      .map(_.group(1).toInt).getOrElse(-1)
 
   // the (\s+\d+\s+R)? tail detects an INDIRECT length ("/Length 5 0 R" —
   // common in real PDFs, where the writer backfills the length after the
@@ -199,7 +283,7 @@ object PdfToSpans {
           if (e < 0) { done = true; b } else e
         }
         if (!done) {
-          out += RawStream(dict, pdf.substring(b, dataEnd))
+          out += RawStream(dict, pdf.substring(b, dataEnd), objNumBefore(pdf, ds))
           val endTok = pdf.indexOf("endstream", dataEnd)
           if (endTok < 0) done = true
           else i = endTok + "endstream".length
@@ -382,9 +466,16 @@ object PdfToSpans {
     contentStreamsOf(rawStreams(pdf))
 
   private def contentStreamsOf(streams: Vector[RawStream]): Vector[String] =
+    contentStreamPairsOf(streams).map(_._2)
+
+  /** (object number, decoded content) pairs — the number is what lets a
+    * page dict's /Contents reference bind ITS font resources to the page.
+    */
+  private def contentStreamPairsOf(
+      streams: Vector[RawStream]): Vector[(Int, String)] =
     streams
       .filterNot(st => st.dict.contains("/ObjStm") || st.dict.contains("/XRef"))
-      .flatMap(st => decodedData(st).filter(_.contains("BT")))
+      .flatMap(st => decodedData(st).filter(_.contains("BT")).map((st.objNum, _)))
 
   // --- PDF 1.5+ object catalog (xref streams + object streams) ------------
 
@@ -513,14 +604,21 @@ object PdfToSpans {
     rows.result()
   }
 
-  /** Body text of object `num`: the xref stream's entry when one exists
-    * (type 1 → parse at its byte offset; type 2 → the object-stream
-    * catalog), else a top-level "num gen obj" scan, else the ObjStm
-    * catalog (xref-free fixtures).
+  /** One-pass object-resolution context shared by title/metadata lookup,
+    * font resolution, and page binding: the xref-stream entries, ObjStm
+    * bodies, and stream-by-object-number index are each computed AT MOST
+    * once per document (extract runs per document inside the extract
+    * mapPartitions — a 10 MB PDF must not re-inflate its metadata streams
+    * for every font it declares).
     */
-  private def resolveObject(pdf: String, streams: Vector[RawStream],
-      num: Int): Option[String] = {
-    def topLevelAt(from: Int): Option[String] = {
+  private final class Catalog(pdf: String, streams: Vector[RawStream]) {
+    lazy val xref: Map[Int, (Int, Long, Long)] = xrefStreamEntriesOf(streams)
+    lazy val objStm: Map[Int, String] = objectStreamBodiesOf(streams)
+    lazy val streamByNum: Map[Int, RawStream] =
+      streams.filter(_.objNum >= 0).map(st => st.objNum -> st).toMap
+    private val fontCache = mutable.Map.empty[Int, Option[PdfFont]]
+
+    private def topLevelAt(from: Int, num: Int): Option[String] = {
       val re = ("(?<![0-9])" + num + "\\s+\\d+\\s+obj").r
       // LAST definition wins: an incremental update appends a replacement
       // object at the end of the file (PDF 32000 §7.5.6)
@@ -530,25 +628,372 @@ object PdfToSpans {
         pdf.substring(start, if (end < 0) pdf.length else end)
       }
     }
-    xrefStreamEntriesOf(streams).get(num) match {
-      case Some((1, off, _)) if off < pdf.length => topLevelAt(off.toInt)
-      case Some((2, _, _)) => objectStreamBodiesOf(streams).get(num)
-      case _ => topLevelAt(0).orElse(objectStreamBodiesOf(streams).get(num))
+
+    /** Body text of object `num`: the xref stream's entry when one exists
+      * (type 1 → parse at its byte offset; type 2 → the object-stream
+      * catalog), else a top-level "num gen obj" scan, else the ObjStm
+      * catalog (xref-free fixtures).
+      */
+    def body(num: Int): Option[String] = xref.get(num) match {
+      case Some((1, off, _)) if off < pdf.length => topLevelAt(off.toInt, num)
+      case Some((2, _, _)) => objStm.get(num)
+      case _ => topLevelAt(0, num).orElse(objStm.get(num))
     }
+
+    /** Decoded stream data of stream object `num`. */
+    def streamData(num: Int): Option[String] =
+      streamByNum.get(num).flatMap(decodedData)
+
+    /** Font decoder for font object `num` (memoized — pages share fonts). */
+    def font(num: Int): Option[PdfFont] =
+      fontCache.getOrElseUpdate(num, body(num).flatMap(b => buildFont(this, b)))
+
+    /** Every known non-stream object body: top-level definitions in file
+      * order (later incremental updates win) plus ObjStm-resident bodies.
+      * Top-level stream objects contribute only their dict text.
+      */
+    lazy val bodies: Map[Int, String] = {
+      val top = TopObjRe.findAllMatchIn(pdf).map { m =>
+        val start = m.end
+        val endObj = pdf.indexOf("endobj", start)
+        val streamKw = pdf.indexOf("stream", start)
+        val end =
+          if (endObj < 0) pdf.length
+          else if (streamKw >= 0 && streamKw < endObj) streamKw
+          else endObj
+        m.group(1).toInt -> pdf.substring(start, end)
+      }.toVector
+      (top ++ objStm.toVector).toMap
+    }
+  }
+
+  private val TopObjRe = "(?<![0-9])(\\d+)\\s+\\d+\\s+obj\\b".r
+
+  // --- fonts: /ToUnicode CMaps and /Encoding /Differences ------------------
+  //
+  // Real-world PDFs overwhelmingly embed SUBSET fonts whose glyph codes are
+  // not character codes — showing their strings as Latin-1 extracts
+  // mojibake. The reference gets correct text for free from PdfPig's letter
+  // extraction (`pdf/PdfDocumentConverter.cs:39-47`, `page.GetWords`); here
+  // the /ToUnicode CMap each embedding writer emits (it is what makes
+  // copy-paste work in viewers) maps codes back to Unicode, with simple-font
+  // /Encoding /Differences glyph names as the second source and Latin-1 as
+  // the declared fallback when a font carries neither.
+
+  /** Decoder for one font: `codeBytes` is the show-string code width (1 =
+    * simple font, 2 = CID/Type0 from the CMap's codespace), `map` the
+    * code → Unicode mapping. Unmapped 1-byte codes fall back to Latin-1
+    * (many writers only list the non-trivial part of the map); unmapped
+    * 2-byte codes have no meaningful fallback → U+FFFD.
+    */
+  final case class PdfFont(codeBytes: Int, map: Map[Int, String]) {
+    def decode(raw: String): String = {
+      val sb = new StringBuilder(raw.length)
+      if (codeBytes <= 1) {
+        var i = 0
+        while (i < raw.length) {
+          val code = raw.charAt(i) & 0xff
+          map.get(code) match {
+            case Some(s) => sb.append(s)
+            case None => sb.append(code.toChar)
+          }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i + 1 < raw.length) {
+          val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+          sb.append(map.getOrElse(code, "�"))
+          i += 2
+        }
+        if (i < raw.length) sb.append((raw.charAt(i) & 0xff).toChar) // odd tail
+      }
+      sb.toString
+    }
+  }
+
+  private val HexTokRe = "<([0-9A-Fa-f]+)>".r
+
+  /** `begin`..`end` section bodies in order (CMap operators). */
+  private def sections(s: String, begin: String, end: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var done = false
+    while (!done) {
+      val b = s.indexOf(begin, i)
+      if (b < 0) done = true
+      else {
+        val e = s.indexOf(end, b + begin.length)
+        if (e < 0) done = true
+        else { out += s.substring(b + begin.length, e); i = e + end.length }
+      }
+    }
+    out.result()
+  }
+
+  /** UTF-16BE hex (`<0041>`, `<00660066>` for ligature expansions) →
+    * string; a single byte pair reads as one char.
+    */
+  private def hexToUtf16(hex: String): String = {
+    val h = if (hex.length % 2 == 1) hex + "0" else hex
+    val bytes = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    if (bytes.length % 2 == 0 && bytes.length >= 2)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Parse a /ToUnicode CMap stream (PDF 32000 §9.10.3): the codespace
+    * range fixes the code byte width; `bfchar` maps single codes, `bfrange`
+    * maps runs — `<lo> <hi> <dstStart>` increments the LAST UTF-16 unit,
+    * `<lo> <hi> [<d0> <d1> ...]` lists each destination.
+    */
+  private[extract] def parseCMap(data: String): PdfFont = {
+    var codeBytes = 0
+    sections(data, "begincodespacerange", "endcodespacerange").foreach { sec =>
+      HexTokRe.findFirstMatchIn(sec).foreach(m =>
+        codeBytes = math.max(codeBytes, m.group(1).length / 2))
+    }
+    val map = mutable.Map.empty[Int, String]
+    sections(data, "beginbfchar", "endbfchar").foreach { sec =>
+      HexTokRe.findAllMatchIn(sec).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) =>
+          if (codeBytes == 0) codeBytes = src.length / 2
+          map(Integer.parseInt(src, 16)) = hexToUtf16(dst)
+        case _ =>
+      }
+    }
+    sections(data, "beginbfrange", "endbfrange").foreach { sec =>
+      // token scan: <hex>, '[', ']' — the array form lists destinations
+      var i = 0
+      val toks = mutable.ArrayBuffer.empty[String]
+      while (i < sec.length) {
+        sec.charAt(i) match {
+          case '<' =>
+            val e = sec.indexOf('>', i)
+            if (e < 0) i = sec.length
+            else { toks += sec.substring(i + 1, e); i = e + 1 }
+          case '[' => toks += "["; i += 1
+          case ']' => toks += "]"; i += 1
+          case _ => i += 1
+        }
+      }
+      var t = 0
+      while (t + 1 < toks.length) {
+        val lo = Integer.parseInt(toks(t), 16)
+        val hi = Integer.parseInt(toks(t + 1), 16)
+        if (codeBytes == 0) codeBytes = toks(t).length / 2
+        if (t + 2 < toks.length && toks(t + 2) == "[") {
+          var c = lo
+          var j = t + 3
+          while (j < toks.length && toks(j) != "]") {
+            if (c <= hi) map(c) = hexToUtf16(toks(j))
+            c += 1; j += 1
+          }
+          t = j + 1
+        } else if (t + 2 < toks.length) {
+          val dst = hexToUtf16(toks(t + 2))
+          var c = lo
+          while (c <= hi) {
+            // increment the last UTF-16 unit by the offset (§9.10.3 note:
+            // the last byte of a range destination must not overflow)
+            val off = c - lo
+            map(c) =
+              if (dst.isEmpty) ""
+              else dst.substring(0, dst.length - 1) +
+                (dst.charAt(dst.length - 1) + off).toChar
+            c += 1
+          }
+          t += 3
+        } else t = toks.length
+      }
+    }
+    PdfFont(math.max(1, codeBytes), map.toMap)
+  }
+
+  /** Adobe Glyph List subset covering the ASCII names /Differences arrays
+    * use for simple fonts, inverted for the fixture encoder. `uniXXXX` and
+    * `uXXXX` forms are handled in `glyphToChar`.
+    */
+  private[extract] val AglNames: Map[String, Char] = Map(
+    "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"', "numbersign" -> '#',
+    "dollar" -> '$', "percent" -> '%', "ampersand" -> '&',
+    "quotesingle" -> '\'', "parenleft" -> '(', "parenright" -> ')',
+    "asterisk" -> '*', "plus" -> '+', "comma" -> ',', "hyphen" -> '-',
+    "period" -> '.', "slash" -> '/', "zero" -> '0', "one" -> '1',
+    "two" -> '2', "three" -> '3', "four" -> '4', "five" -> '5',
+    "six" -> '6', "seven" -> '7', "eight" -> '8', "nine" -> '9',
+    "colon" -> ':', "semicolon" -> ';', "less" -> '<', "equal" -> '=',
+    "greater" -> '>', "question" -> '?', "at" -> '@',
+    "bracketleft" -> '[', "backslash" -> '\\', "bracketright" -> ']',
+    "asciicircum" -> '^', "underscore" -> '_', "grave" -> '`',
+    "braceleft" -> '{', "bar" -> '|', "braceright" -> '}',
+    "asciitilde" -> '~') ++
+    (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c).toMap
+
+  private def glyphToChar(name: String): Option[String] =
+    if (name.startsWith("uni") && name.length >= 7)
+      try Some(new String(Character.toChars(Integer.parseInt(name.substring(3, 7), 16))))
+      catch { case _: NumberFormatException => None }
+    else if (name.length >= 5 && name.charAt(0) == 'u' &&
+        name.substring(1).forall(c => Character.digit(c, 16) >= 0))
+      try Some(new String(Character.toChars(Integer.parseInt(name.substring(1), 16))))
+      catch { case _: Exception => None }
+    else AglNames.get(name).map(_.toString)
+
+  private val DifferencesRe = "/Differences\\s*\\[([^\\]]*)\\]".r
+
+  /** /Differences array: integers reposition the code counter, names
+    * assign consecutive codes (PDF 32000 §9.6.6.3).
+    */
+  private[extract] def parseDifferences(arr: String): Map[Int, String] = {
+    val map = mutable.Map.empty[Int, String]
+    var code = 0
+    arr.split("\\s+").filter(_.nonEmpty).foreach { t =>
+      if (t.startsWith("/")) {
+        glyphToChar(t.substring(1)).foreach(map(code) = _)
+        code += 1
+      } else t.toIntOption.foreach(code = _)
+    }
+    map.toMap
+  }
+
+  /** Balanced `<< ... >>` starting at `start` (index of the first '<'). */
+  private def balancedDict(s: String, start: Int): String = {
+    var i = start
+    var depth = 0
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      } else i += 1
+    }
+    s.substring(start)
+  }
+
+  private val ToUnicodeRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val FontTypeRe = "/Type\\s*/Font".r
+  private val PageTypeRe = "/Type\\s*/Page\\b".r
+  private val PagesTypeRe = "/Type\\s*/Pages\\b".r
+  private val RefNumRe = "(\\d+)\\s+\\d+\\s+R".r
+  private val ContentsRe = "/Contents\\s*(\\[[^\\]]*\\]|\\d+\\s+\\d+\\s+R)".r
+  private val ResourcesRe = "/Resources\\s*".r
+  private val EncodingRefRe = "/Encoding\\s+(\\d+)\\s+\\d+\\s+R".r
+
+  /** Build the decoder for one font dict body: /ToUnicode CMap first (the
+    * authoritative map the embedding writer emits), /Encoding /Differences
+    * (inline or referenced encoding dict) second, None → Latin-1 fallback.
+    */
+  private def buildFont(cat: Catalog, body: String): Option[PdfFont] = {
+    if (FontTypeRe.findFirstIn(body).isEmpty) return None
+    val fromCMap = ToUnicodeRe.findFirstMatchIn(body)
+      .flatMap(m => cat.streamData(m.group(1).toInt))
+      .flatMap(d => try Some(parseCMap(d)) catch { case _: Exception => None })
+      .filter(_.map.nonEmpty)
+    fromCMap.orElse {
+      val encBody =
+        EncodingRefRe.findFirstMatchIn(body).flatMap(m => cat.body(m.group(1).toInt))
+          .orElse {
+            val i = body.indexOf("/Encoding")
+            if (i < 0) None
+            else {
+              var k = i + "/Encoding".length
+              while (k < body.length && body.charAt(k).isWhitespace) k += 1
+              if (k + 1 < body.length && body.charAt(k) == '<' &&
+                  body.charAt(k + 1) == '<') Some(balancedDict(body, k))
+              else None
+            }
+          }
+      encBody.flatMap(e => DifferencesRe.findFirstMatchIn(e))
+        .map(m => parseDifferences(m.group(1)))
+        .filter(_.nonEmpty)
+        .map(d => PdfFont(1, d))
+    }
+  }
+
+  /** Resolve each page dict's /Resources /Font bindings: content-stream
+    * object number → (font name → decoder), plus the union of all pages'
+    * bindings as the fallback for content streams no page dict claims
+    * (xref-free fixtures whose pages the raw scan can miss).
+    */
+  private def pageFontsOf(
+      cat: Catalog): (Map[Int, Map[String, PdfFont]], Map[String, PdfFont]) = {
+    val perContent = mutable.Map.empty[Int, Map[String, PdfFont]]
+    val global = mutable.Map.empty[String, PdfFont]
+    cat.bodies.toVector.sortBy(_._1).foreach { case (_, body) =>
+      if (PageTypeRe.findFirstIn(body).isDefined &&
+          PagesTypeRe.findFirstIn(body).isEmpty) {
+        val res = ResourcesRe.findFirstMatchIn(body).flatMap { m =>
+          val k = m.end
+          if (k + 1 < body.length && body.charAt(k) == '<' &&
+              body.charAt(k + 1) == '<') Some(balancedDict(body, k))
+          else RefNumRe.findPrefixMatchOf(body.substring(k))
+            .flatMap(r => cat.body(r.group(1).toInt))
+        }
+        val fonts = res.map(fontBindingsIn(cat, _)).getOrElse(Map.empty)
+        if (fonts.nonEmpty) {
+          global ++= fonts
+          ContentsRe.findFirstMatchIn(body).toSeq.flatMap(m =>
+            RefNumRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
+            .foreach(c => perContent(c) = fonts)
+        }
+      }
+    }
+    (perContent.toMap, global.toMap)
+  }
+
+  /** `/F1 6 0 R` and inline `/F1 << ... >>` bindings of a /Font resource
+    * dict (reached from /Resources inline or by reference).
+    */
+  private def fontBindingsIn(cat: Catalog,
+      resources: String): Map[String, PdfFont] = {
+    val fi = resources.indexOf("/Font")
+    if (fi < 0) return Map.empty
+    var k = fi + "/Font".length
+    while (k < resources.length && resources.charAt(k).isWhitespace) k += 1
+    val fontDict =
+      if (k + 1 < resources.length && resources.charAt(k) == '<' &&
+          resources.charAt(k + 1) == '<') Some(balancedDict(resources, k))
+      else RefNumRe.findPrefixMatchOf(resources.substring(k))
+        .flatMap(r => cat.body(r.group(1).toInt))
+    fontDict.map { fd =>
+      val out = mutable.Map.empty[String, PdfFont]
+      "/([A-Za-z0-9_.+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fd)
+        .foreach(m => cat.font(m.group(2).toInt).foreach(out(m.group(1)) = _))
+      "/([A-Za-z0-9_.+-]+)\\s*<<".r.findAllMatchIn(fd).foreach { m =>
+        val d = balancedDict(fd, m.end - 2)
+        buildFont(cat, d).foreach(out(m.group(1)) = _)
+      }
+      out.toMap
+    }.getOrElse(Map.empty)
   }
 
   // --- page parsing: text operators → lines → blocks ----------------------
 
   /** Interpret the text operators of one content stream into layout blocks. */
-  def parsePage(content: String): Vector[Block] = {
+  def parsePage(content: String): Vector[Block] = parsePage(content, Map.empty)
+
+  /** As above with the page's font decoders: `Tf` selects the current font
+    * by resource name and every shown string's bytes map through its
+    * /ToUnicode CMap or /Differences table; strings shown with an unbound
+    * (or mapless) font keep the Latin-1 reading.
+    */
+  def parsePage(content: String, fonts: Map[String, PdfFont]): Vector[Block] = {
     val shows = mutable.ArrayBuffer.empty[TextLine]
     var tx = 0.0; var ty = 0.0
     var fontSize = 12.0
     var leading = 14.4
+    var curFont: Option[PdfFont] = None
     val toks = tokenize(content)
     var i = 0
     def num(j: Int): Double = toks(j).toDoubleOption.getOrElse(0.0)
-    def show(text: String): Unit =
+    def show(raw: String): Unit = {
+      val text = curFont.map(_.decode(raw)).getOrElse(raw)
       if (text.nonEmpty) {
         // consecutive shows on one baseline concatenate (glyph continuation)
         val at = shows.lastIndexWhere(l => l.y == ty)
@@ -556,9 +1001,13 @@ object PdfToSpans {
           shows(at) = shows(at).copy(text = shows(at).text + text)
         else shows += TextLine(tx, ty, fontSize, text)
       }
+    }
     while (i < toks.length) {
       toks(i) match {
-        case "Tf" if i >= 1 => fontSize = num(i - 1); leading = fontSize * 1.2
+        case "Tf" if i >= 1 =>
+          fontSize = num(i - 1); leading = fontSize * 1.2
+          if (i >= 2 && toks(i - 2).startsWith("/"))
+            curFont = fonts.get(toks(i - 2).substring(1))
         case "TL" if i >= 1 => leading = num(i - 1)
         case "Td" if i >= 2 => tx += num(i - 2); ty += num(i - 1)
         case "TD" if i >= 2 => leading = -num(i - 1); tx += num(i - 2); ty += num(i - 1)

@@ -277,6 +277,93 @@ class PdfExtensionsSpec extends AnyFunSuite {
       "second paragraph still extracted"), texts.mkString("|"))
   }
 
+  test("PDF: subset-font /ToUnicode CMap decodes remapped glyph codes") {
+    val pages = Seq(
+      Seq(
+        Block(Seq("Subset Chapter"), fontSize = 18),
+        Block(Seq("embedded subset font paragraph with words",
+          "second line of the same paragraph")),
+        Block(Seq("closing subset remarks, page one"))),
+      Seq(
+        Block(Seq("second page distinct body text")),
+        Block(Seq("closing remarks page two"))))
+    val plain = PdfFixture.pdf(pages, title = "Subset Twin",
+      header = "Subset Running Header", pageNumbers = true)
+    val subset = PdfFixture.pdfSubsetFont(pages, title = "Subset Twin",
+      header = "Subset Running Header", pageNumbers = true)
+    val dPlain = PdfToSpans.extract(plain)
+    val dSub = PdfToSpans.extract(subset)
+    assert(dSub.title == "Subset Twin")
+    assert(dSub.spans == dPlain.spans, "subset-font != plain spans")
+    assert(dSub.spans.exists(_.kind == "Section.Start"))
+    // the show strings really are mojibake without the CMap: a font-blind
+    // read of the content streams must NOT contain the page text
+    val blind = PdfToSpans.contentStreams(subset)
+      .flatMap(c => PdfToSpans.parsePage(c)).map(_.text)
+    assert(blind.nonEmpty)
+    assert(!blind.exists(_.contains("subset font paragraph")), blind.toString)
+  }
+
+  test("PDF: 2-byte CID codes decode through the Type0 /ToUnicode CMap") {
+    val pages = Seq(
+      Seq(
+        Block(Seq("CID Chapter"), fontSize = 18),
+        Block(Seq("two byte code paragraph body text",
+          "second line of the cid paragraph")),
+        Block(Seq("closing cid remarks one"))),
+      Seq(Block(Seq("second cid page body, distinct")),
+        Block(Seq("closing cid remarks two"))))
+    val plain = PdfFixture.pdf(pages, title = "CID Twin",
+      header = "CID Running Header", pageNumbers = true)
+    val cid = PdfFixture.pdfSubsetFont(pages, title = "CID Twin",
+      header = "CID Running Header", pageNumbers = true, twoByte = true)
+    assert(cid.contains("/Type0"))
+    val dPlain = PdfToSpans.extract(plain)
+    val dCid = PdfToSpans.extract(cid)
+    assert(dCid.title == "CID Twin")
+    assert(dCid.spans == dPlain.spans, "cid != plain spans")
+  }
+
+  test("PDF: /Encoding /Differences glyph names decode without /ToUnicode") {
+    val pages = Seq(
+      Seq(
+        Block(Seq("Diff Chapter"), fontSize = 18),
+        Block(Seq("glyph name remapped paragraph, with punctuation: semi;",
+          "and a second line (parenthetical) here")),
+        Block(Seq("closing diff remarks 123"))),
+      Seq(Block(Seq("second diff page body")),
+        Block(Seq("closing diff remarks two"))))
+    val plain = PdfFixture.pdf(pages, title = "Diff Twin",
+      header = "Diff Running Header", pageNumbers = true)
+    val diff = PdfFixture.pdfDifferencesFont(pages, title = "Diff Twin",
+      header = "Diff Running Header", pageNumbers = true)
+    assert(diff.contains("/Differences") && !diff.contains("/ToUnicode"))
+    val dPlain = PdfToSpans.extract(plain)
+    val dDiff = PdfToSpans.extract(diff)
+    assert(dDiff.title == "Diff Twin")
+    assert(dDiff.spans == dPlain.spans, "differences != plain spans")
+  }
+
+  test("PDF: /Info metadata — every string entry, classic and ObjStm-resident") {
+    val pages = Seq(Seq(
+      Block(Seq("metadata body paragraph with words")),
+      Block(Seq("closing metadata paragraph"))))
+    val info = Map(
+      "Author" -> "Ada Author", "Subject" -> "Graft Subjects",
+      "Keywords" -> "spark, pdf, graft", "Producer" -> "GraftWriter 1.0",
+      // non-ASCII exercises the UTF-16BE (BOM'd hex string) path
+      "Note" -> "résumé — café")
+    val classic = PdfFixture.pdf(pages, title = "Meta Doc", info = info)
+    val modern = PdfFixture.pdfModern(pages, title = "Meta Doc", info = info)
+    for ((body, which) <- Seq((classic, "classic"), (modern, "modern"))) {
+      val d = PdfToSpans.extract(body)
+      assert(d.title == "Meta Doc", which)
+      assert(d.metadata == info, s"$which: ${d.metadata}")
+    }
+    assert(PdfToSpans.docInfo(classic)("Title") == "Meta Doc")
+    assert(PdfToSpans.docInfo(modern)("Author") == "Ada Author")
+  }
+
   test("PDF end-to-end through the crawl engine and oracle, in parity") {
     import graft.crawl._
     import graft.core.ScopeFilter
