@@ -74,7 +74,10 @@ final class HttpFetcher(
         val bytes = if (raw.length > maxBodyBytes) raw.take(maxBodyBytes) else raw
         FetchResponse(status, mime, null,
           new String(bytes, StandardCharsets.ISO_8859_1))
-      } else if (status == 200 && HttpFetcher.isTextual(mime)) {
+      } else if (status == 200 &&
+          (HttpFetcher.isTextual(mime) || mime == "text/css")) {
+        // text/css rides the same textual path: stylesheet bodies feed the
+        // hidden-element evaluation (CssFetch), never the page converter
         // decompress FIRST, capping the DECOMPRESSED size: truncating the
         // compressed stream would make it undecodable, and the cap is meant
         // to bound what reaches the parser

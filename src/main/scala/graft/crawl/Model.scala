@@ -67,7 +67,10 @@ final case class FetchedPage(
     redirect_position: Int, // position along a 3xx chain (0 = not via redirect)
     error_class: String = null,   // transport exception class (status < 0)
     error_message: String = null, // transport exception message
-    error_stack: String = null)   // transport exception stack (first frames)
+    error_stack: String = null,   // transport exception stack (first frames)
+    // same-host <link rel=stylesheet> text fetched alongside the page,
+    // capped (CssFetch.MaxCssChars) — feeds the hidden-element filter
+    css: String = "")
 
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(

@@ -42,6 +42,7 @@ object SequentialOracle {
     val order = Vector.newBuilder[FrontierEntry]
     val errors = Vector.newBuilder[String]
     val robotsCache = mutable.Map.empty[String, CompiledRobots]
+    val cssCache = mutable.Map.empty[String, String]
 
     def robotsOf(host: String): CompiledRobots =
       robotsCache.getOrElseUpdate(host, CompiledRobots.of(site.robots.getOrElse(host, "")))
@@ -176,7 +177,15 @@ object SequentialOracle {
             () // other content types: counted, no doc, no links
           case Some(page) =>
             val dom = HtmlParser.parse(page.html)
-            val extracted = HtmlToSpans.extractDom(dom)
+            // same-host stylesheet evaluation, mirroring the engine's
+            // CssFetch path (the oracle "fetches" from the site map)
+            val css = CssFetch.cssFor(page.html, entry.url, entry.host,
+              u => site.pages.get(u) match {
+                case Some(p) => (p.status, p.content_type, p.html)
+                case None => (404, "", "")
+              }, cssCache)
+            val extracted = HtmlToSpans.extractDom(dom,
+              if (css.nonEmpty) Seq(css) else Nil)
             // first-wins text-block dedup across the whole crawl (D3)
             val items = DocAnalysis.analyzableItems(extracted.spans)
             var totalWords = 0L

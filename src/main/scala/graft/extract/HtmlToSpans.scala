@@ -46,8 +46,17 @@ object HtmlToSpans {
 
   def extract(html: String): ExtractedDoc = extractDom(HtmlParser.parse(html))
 
-  def extractDom(root: HElem): ExtractedDoc = {
-    val c = new Converter(root)
+  /** As `extract`, with fetched same-host external stylesheet text fed
+    * into the hidden-element evaluation (the crawl layer fetches
+    * `<link rel=stylesheet>` targets; see HttpFetcher).
+    */
+  def extract(html: String, extraCss: Seq[String]): ExtractedDoc =
+    extractDom(HtmlParser.parse(html), extraCss)
+
+  def extractDom(root: HElem): ExtractedDoc = extractDom(root, Nil)
+
+  def extractDom(root: HElem, extraCss: Seq[String]): ExtractedDoc = {
+    val c = new Converter(root, StyleSheet.fromDom(root, extraCss))
     c.run()
     ExtractedDoc(c.docTitle, c.result(), extractLinks(root), metaNoFollow(root))
   }
@@ -103,37 +112,196 @@ object HtmlToSpans {
     if (HeaderTags.contains(e.tag)) e.tag.substring(1).toInt
     else e.attr("aria-level").flatMap(v => v.toIntOption).getOrElse(1)
 
-  private def isHiddenElem(e: HElem): Boolean = {
+  private def isHiddenElem(e: HElem, css: StyleSheet): Boolean = {
     val cls = e.attr("class")
     val role = e.attr("role")
     (cls.exists(c => c.contains("hidden") || c.contains("invisible") ||
                      c.contains("login") || c.contains("search"))) ||
     role.exists(_.contains("search")) ||
     e.hasAttr("aria-hidden") ||
-    e.attr("style").exists(inlineStyleHides)
+    cssHides(e, css)
   }
 
   /** Inline-CSS hiding: `display:none` / `visibility:hidden|collapse` in
-    * the `style` attribute — the inline case of the reference's computed
-    * display/visibility evaluation (`html/HtmlDocumentConverter.cs:328-344`
-    * + `WebsiteTextExtractor.cs:189-205` FilterDisplayAndVisibilityOnly).
-    * Full stylesheet cascade stays out of scope (declared deviation); the
-    * inline attribute is cheap and common on real pages. Declarations are
-    * parsed properly (split on ';' then ':'), so `display: block` or
-    * `visibility: visible` never false-positive on substring grounds.
+    * the `style` attribute alone (kept as the zero-stylesheet entry point;
+    * the full evaluation including `<style>` blocks is `cssHides`).
     */
-  private[extract] def inlineStyleHides(style: String): Boolean =
-    style.split(';').exists { decl =>
-      val kv = decl.split(":", 2)
-      kv.length == 2 && {
-        val prop = kv(0).trim.toLowerCase
-        // a trailing !important (ubiquitous on real hidden elements) does
-        // not change the computed value — strip it before comparing
-        val value = kv(1).trim.toLowerCase.stripSuffix("!important").trim
-        (prop == "display" && value == "none") ||
-        (prop == "visibility" && (value == "hidden" || value == "collapse"))
+  private[extract] def inlineStyleHides(style: String): Boolean = {
+    val decls = parseDecls(style)
+    decls.exists { case (p, v, _) =>
+      (p == "display" && v == "none") ||
+      (p == "visibility" && (v == "hidden" || v == "collapse"))
+    }
+  }
+
+  /** Computed display/visibility hiding for one element: in-document
+    * `<style>` rules (simple selectors, specificity + source order +
+    * !important cascade) overridden by the inline `style` attribute
+    * (unless the sheet declaration is !important and the inline one is
+    * not — the CSS cascade). This is the reference's own scope: it
+    * deliberately evaluates ONLY these two properties
+    * (`WebsiteTextExtractor.cs:189-205` FilterDisplayAndVisibilityOnly,
+    * applied at `html/HtmlDocumentConverter.cs:328-344`). External
+    * stylesheets arrive through the fetch layer as extra sheet text.
+    */
+  private[extract] def cssHides(e: HElem, css: StyleSheet): Boolean = {
+    val inline = e.attr("style").map(parseDecls).getOrElse(Seq.empty)
+    def value(prop: String): Option[String] = {
+      val inl = inline.filter(_._1 == prop).lastOption
+      val sheet = css.effective(e, prop)
+      (inl, sheet) match {
+        case (Some((_, v, imp)), Some((sv, simp))) =>
+          if (simp && !imp) Some(sv) else Some(v)
+        case (Some((_, v, _)), None) => Some(v)
+        case (None, Some((sv, _))) => Some(sv)
+        case _ => None
       }
     }
+    value("display").contains("none") ||
+      value("visibility").exists(v => v == "hidden" || v == "collapse")
+  }
+
+  /** `"display:none; visibility:hidden !important"` →
+    * (prop, value, important) triples, lowercased and trimmed — shared by
+    * the inline and stylesheet paths so `display: block` or
+    * `visibility: visible` never false-positive on substring grounds.
+    */
+  private[extract] def parseDecls(s: String): Seq[(String, String, Boolean)] =
+    s.split(';').toSeq.flatMap { decl =>
+      val kv = decl.split(":", 2)
+      if (kv.length != 2) None
+      else {
+        val prop = kv(0).trim.toLowerCase
+        val rawV = kv(1).trim.toLowerCase
+        val imp = rawV.endsWith("!important")
+        val v = (if (imp) rawV.stripSuffix("!important") else rawV).trim
+        if (prop.isEmpty || v.isEmpty) None else Some((prop, v, imp))
+      }
+    }
+
+  /** One supported selector: optional leading tag plus any `.class` /
+    * `#id` parts (`div.menu.hidden`, `#banner`, `aside`). Anything with
+    * combinators, pseudo-classes, attributes or wildcards is unsupported
+    * and contributes no rule — an unsupported selector can only UNDER-hide
+    * (keep text the reference would drop), never over-hide.
+    */
+  private[extract] final case class SimpleSel(
+      tag: Option[String], classes: Set[String], ids: Set[String]) {
+    def matches(e: HElem): Boolean =
+      tag.forall(_ == e.tag) &&
+      ids.forall(i => e.attr("id").exists(_.trim == i)) &&
+      (classes.isEmpty || {
+        val cl = e.attr("class").map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
+        classes.subsetOf(cl)
+      })
+    /** CSS specificity on the supported subset: ids ≫ classes ≫ tag. */
+    def specificity: Int = ids.size * 100 + classes.size * 10 + tag.size
+  }
+
+  private val SelPartRe = "([a-zA-Z][a-zA-Z0-9-]*)|\\.([A-Za-z0-9_-]+)|#([A-Za-z0-9_-]+)".r
+
+  private[extract] def parseSimpleSel(sel: String): Option[SimpleSel] = {
+    if (sel.isEmpty || sel.exists(c => c.isWhitespace || "*>+~:[,".contains(c)))
+      return None
+    var tag: Option[String] = None
+    val classes = Set.newBuilder[String]
+    val ids = Set.newBuilder[String]
+    var consumed = 0
+    for (m <- SelPartRe.findAllMatchIn(sel)) {
+      if (m.start != consumed) return None // unparsed gap → unsupported
+      consumed = m.end
+      if (m.group(1) != null) {
+        if (m.start != 0) return None // a tag is only valid leading
+        tag = Some(m.group(1).toLowerCase)
+      } else if (m.group(2) != null) classes += m.group(2)
+      else ids += m.group(3)
+    }
+    if (consumed != sel.length) None
+    else Some(SimpleSel(tag, classes.result(), ids.result()))
+  }
+
+  /** The document's display/visibility rules in cascade order. */
+  private[extract] final class StyleSheet(
+      rules: Vector[(SimpleSel, String, String, Boolean)]) {
+    def isEmpty: Boolean = rules.isEmpty
+    /** Winning declaration for `prop` on `e`: !important beats normal,
+      * then specificity, then source order.
+      */
+    def effective(e: HElem, prop: String): Option[(String, Boolean)] = {
+      var best: (Boolean, Int, Int) = null
+      var bestVal: (String, Boolean) = null
+      var i = 0
+      while (i < rules.length) {
+        val (sel, p, v, imp) = rules(i)
+        if (p == prop && sel.matches(e)) {
+          val key = (imp, sel.specificity, i)
+          if (best == null || Ordering[(Boolean, Int, Int)].gt(key, best)) {
+            best = key
+            bestVal = (v, imp)
+          }
+        }
+        i += 1
+      }
+      Option(bestVal)
+    }
+  }
+
+  private[extract] object StyleSheet {
+    val empty = new StyleSheet(Vector.empty)
+
+    /** Parse the concatenated `<style>` text of a document (plus any
+      * fetched same-host external sheets). Comments stripped; @-rules
+      * (media queries etc.) are skipped whole — applying an
+      * `@media print` hide unconditionally would wrongly drop screen
+      * content, so conditioned rules conservatively don't hide.
+      */
+    def parse(cssText: String): StyleSheet = {
+      val css = cssText.replaceAll("(?s)/\\*.*?\\*/", " ")
+      val rules = Vector.newBuilder[(SimpleSel, String, String, Boolean)]
+      var i = 0
+      while (i < css.length) {
+        val ob = css.indexOf('{', i)
+        if (ob < 0) i = css.length
+        else {
+          val selText = css.substring(i, ob).trim
+          if (selText.startsWith("@")) {
+            var k = ob
+            var d = 0
+            var end = css.length
+            while (k < css.length && end == css.length) {
+              val c = css.charAt(k)
+              if (c == '{') d += 1
+              else if (c == '}') { d -= 1; if (d == 0) end = k }
+              k += 1
+            }
+            i = end + 1
+          } else {
+            val cb = css.indexOf('}', ob)
+            if (cb < 0) i = css.length
+            else {
+              val decls = parseDecls(css.substring(ob + 1, cb))
+                .filter(d => d._1 == "display" || d._1 == "visibility")
+              if (decls.nonEmpty)
+                selText.split(',').map(_.trim).filter(_.nonEmpty)
+                  .flatMap(parseSimpleSel).foreach { ss =>
+                    decls.foreach { case (p, v, imp) => rules += ((ss, p, v, imp)) }
+                  }
+              i = cb + 1
+            }
+          }
+        }
+      }
+      new StyleSheet(rules.result())
+    }
+
+    /** All in-document `<style>` blocks of a parsed page. */
+    def fromDom(root: HElem, extraCss: Seq[String] = Nil): StyleSheet = {
+      val blocks = root.descendants.filter(_.tag == "style").map(e =>
+        e.children.collect { case HText(t) => t }.mkString("\n")).toVector
+      if (blocks.isEmpty && extraCss.isEmpty) empty
+      else parse((blocks ++ extraCss).mkString("\n"))
+    }
+  }
 
   private final class TableCoords {
     var row = 1
@@ -143,7 +311,7 @@ object HtmlToSpans {
       rowSpanCells != null && rowSpanCells.exists(rc => rc._1 == row && rc._2 == col)
   }
 
-  private final class Converter(root: HElem) {
+  private final class Converter(root: HElem, css: StyleSheet) {
     // --- span builder state (NLPTextDocumentBuilder analog) ---
     private val spans = Vector.newBuilder[Span]
     private var spanCount = 0
@@ -295,7 +463,7 @@ object HtmlToSpans {
       parentNode.children.foreach {
         case text: HText => visitTextNode(text)
         case elem: HElem =>
-          if (!isHiddenElem(elem) && !SkippedTags.contains(elem.tag)) {
+          if (!isHiddenElem(elem, css) && !SkippedTags.contains(elem.tag)) {
             elem.tag match {
               case "title" => visitTitle(elem)
               case "html" => visitHtmlElem(elem)

@@ -205,4 +205,46 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(docsOf(io2) == docsOf(fullIo))
     assert(seenOf(io2) == seenOf(fullIo))
   }
+
+  test("external stylesheets hide elements identically in engine and oracle") {
+    val host = "css.example.com"
+    def u(p: String) = s"https://$host/$p"
+    val sheetLink = s"""<link rel="stylesheet" href="/style.css">"""
+    def page(name: String, extra: String, next: Option[String]) = {
+      val a = next.map(n => s"""<a href="/$n">next</a>""").getOrElse("")
+      u(name) -> SyntheticPage(u(name), host, 200, "text/html", null,
+        s"""<html><head>$sheetLink</head><body>
+           |<div class="promo-banner"><p>banner chrome $name</p></div>
+           |$extra
+           |<p>real content of $name</p>$a</body></html>""".stripMargin)
+    }
+    val pages = Map(
+      page("index.html", "", Some("a.html")),
+      page("a.html",
+        // inline display:block must override the sheet hide on THIS div
+        s"""<div class="promo-banner" style="display:block"><p>kept banner</p></div>""",
+        Some("b.html")),
+      page("b.html", "", None),
+      u("style.css") -> SyntheticPage(u("style.css"), host, 200, "text/css",
+        null, ".promo-banner { display: none }"))
+    val site = SyntheticWeb.Site(pages, Map.empty, Map.empty, u("index.html"))
+    val cfg = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain,
+      waveBudgetMs = 3000L, maxWaves = 10)
+    val wh = Files.createTempDirectory("graft-css-parity").toString
+    val io = new TableIO(wh, spark)
+    new CrawlEngine(spark, io, cfg,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4).run()
+    val engineDocs = docsOf(io)
+    val o = SequentialOracle.crawl(site, cfg)
+    assert(engineDocs.map(d => (d.doc_id, d.spans)) ==
+      o.documents.map(d => (d.doc_id, d.spans)))
+    // the sheet really applied: banner text gone everywhere, the inline
+    // display:block override survived on a.html
+    val allText = engineDocs.flatMap(_.spans.map(_.text))
+    assert(!allText.exists(_.contains("banner chrome")), allText.toString)
+    assert(allText.exists(_.contains("kept banner")))
+    assert(allText.count(_.startsWith("real content")) == 3)
+    // the stylesheet URL itself was never crawled as a page
+    assert(!engineDocs.exists(_.doc_id.contains("style.css")))
+  }
 }

@@ -127,6 +127,54 @@ class ExtractSpec extends AnyFunSuite {
       ("TextBlock.Text", "inline yes")))
   }
 
+  test("style-block CSS hides by class/id/tag; cascade + inline override") {
+    val html =
+      """<html><head><style>
+        |/* comment with .decoy{display:none} inside */
+        |.hid-cls { color: red; display: none; }
+        |#hid-id { visibility: hidden }
+        |aside { display: NONE }
+        |div.combo.two { display: none }
+        |.flip { display: none }
+        |.flip { display: block } /* later rule wins at equal specificity */
+        |p.spec { display: none }  /* beats .spec-only show below */
+        |.spec { display: block }
+        |.imp { display: none !important }
+        |@media print { .print-only-hide { display: none } }
+        |</style></head><body>
+        |<div class="hid-cls"><p>no</p></div>
+        |<div id="hid-id"><p>no</p></div>
+        |<aside><p>no</p></aside>
+        |<div class="combo two"><p>no</p></div>
+        |<div class="combo"><p>combo-one yes</p></div>
+        |<p class="flip">flip yes</p>
+        |<p class="spec">no</p>
+        |<div class="hid-cls" style="display:block"><p>inline-override yes</p></div>
+        |<div class="imp" style="display:block"><p>no</p></div>
+        |<p class="print-only-hide">print yes</p>
+        |<p>plain yes</p>
+        |</body></html>""".stripMargin
+    assert(ktext(spansOf(html)) == Seq(
+      ("TextBlock.Text", "combo-one yes"),
+      ("TextBlock.Text", "flip yes"),
+      ("TextBlock.Text", "inline-override yes"),
+      ("TextBlock.Text", "print yes"),
+      ("TextBlock.Text", "plain yes")))
+  }
+
+  test("external stylesheet text feeds the hidden-element evaluation") {
+    val html =
+      """<html><head><link rel="stylesheet" href="/site.css"></head><body>
+        |<div class="ext-aside"><p>no</p></div>
+        |<p>kept</p>
+        |</body></html>""".stripMargin
+    // without the sheet the div renders; with it, it hides
+    assert(ktext(HtmlToSpans.extract(html).spans.toSeq)
+      .contains(("TextBlock.Text", "no")))
+    val d = HtmlToSpans.extract(html, Seq(".ext-aside { display: none }"))
+    assert(ktext(d.spans.toSeq) == Seq(("TextBlock.Text", "kept")))
+  }
+
   test("inline_blocks: inline fragments join with single spaces, entities decode") {
     val html =
       """<html><body><div>one <span>two</span> three&nbsp;&amp; four<p>inner block</p>tail</div></body></html>"""

@@ -161,6 +161,53 @@ class HttpFetcherLoopbackSpec extends AnyFunSuite {
     }
   }
 
+  test("loopback: same-host stylesheet fetched once (cached), gated on text/css") {
+    val cssHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val html =
+      """<html><head><link rel="stylesheet" href="/site.css">
+        |<link rel="stylesheet" href="/wrong-type.css">
+        |<link rel="stylesheet" href="https://other.example.com/cross.css">
+        |</head><body><div class="side-rail"><p>chrome</p></div>
+        |<p>page text</p></body></html>""".stripMargin
+    withServer(Map(
+      "/page" -> { ex =>
+        respond(ex, 200, Seq("Content-Type" -> "text/html"),
+          html.getBytes(StandardCharsets.UTF_8))
+      },
+      "/site.css" -> { ex =>
+        cssHits.incrementAndGet()
+        respond(ex, 200, Seq("Content-Type" -> "text/css"),
+          ".side-rail { display: none }".getBytes(StandardCharsets.UTF_8))
+      },
+      "/wrong-type.css" -> { ex =>
+        respond(ex, 200, Seq("Content-Type" -> "application/octet-stream"),
+          "BINARY".getBytes(StandardCharsets.UTF_8))
+      })) { (h, p) =>
+      val f = fetcher()
+      val cache = scala.collection.mutable.Map.empty[String, String]
+      def fetchCss(pageUrl: String): String = {
+        val r = f.fetch(pageUrl)
+        // host is PORTLESS (UrlCanonicalizer.host semantics, what
+        // FrontierEntry.host carries in the engine)
+        graft.crawl.CssFetch.cssFor(r.body, pageUrl, h, { u =>
+          val fr = f.fetch(u)
+          (fr.status, fr.contentType, fr.body)
+        }, cache)
+      }
+      val css = fetchCss(s"http://$h:$p/page")
+      assert(css.contains(".side-rail"), css)
+      assert(!css.contains("BINARY"), "non-text/css sheet must be rejected")
+      // second page on the same host: the cache answers, no new request
+      fetchCss(s"http://$h:$p/page")
+      assert(cssHits.get() == 1, s"css fetched ${cssHits.get()} times")
+      // and the fetched sheet actually hides the element at extract time
+      val r = f.fetch(s"http://$h:$p/page")
+      val d = graft.extract.HtmlToSpans.extract(r.body, Seq(css))
+      val texts = d.spans.map(_.text)
+      assert(texts.contains("page text") && !texts.contains("chrome"), texts)
+    }
+  }
+
   test("loopback: per-host politeness pacing waits out the crawl delay") {
     withServer(Map("/a" -> { ex =>
       respond(ex, 200, Seq("Content-Type" -> "text/html"),
