@@ -254,6 +254,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, rerank = 128)
     }),
 
+    "q_ivfpq_topk" -> ((s, dir) => {
+      // IVF+PQ composition (rows-only: k-means codebooks are engine-
+      // specific): coarse cells prune the scan to nprobe/nlist of the
+      // corpus, residual-PQ codes make the probed scan m bytes per vector,
+      // exact rerank restores true cosines — the FAISS IVFPQ shape; recall
+      // floor + exact-rerank invariant pinned in OpsSpec
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4,
+        m = 8, ksub = 16, rerank = 128)
+    }),
+
     "q_ivf_topk" -> ((s, dir) => {
       // IVF ANN with nprobe = nlist: probes every cell, so the result must
       // EQUAL the brute-force top-k — the oracle proves the IVF plumbing

@@ -554,4 +554,170 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
   }
+
+  /** IVF+PQ composition — the FAISS IVFPQ shape, what a 100-TB vector
+    * corpus actually runs (Jégou et al. 2011 §IV):
+    *
+    *  1. coarse quantizer: k-means cells (`ivfTrain`), each corpus vector
+    *     assigned to its nearest cell;
+    *  2. ONE product quantizer trained on the RESIDUALS (vector − cell
+    *     centroid) — residuals concentrate near 0 so the same codebook
+    *     budget quantizes much finer than raw-vector PQ;
+    *  3. scan: each query probes its `nprobe` nearest cells; only codes in
+    *     probed cells reach the ADC loop (the `isin` filter also pushes
+    *     down to storage when the code table is persisted bucketed by
+    *     cell), scored as (dot(q, centroid) + Σ lut[code]) / (‖q‖·‖x‖)
+    *     with the TRUE vector norm carried per code — cosine ranking from
+    *     m byte lookups;
+    *  4. partition-local bounded heaps (shuffle O(partitions · Q ·
+    *     rerank)) then exact rerank via join, like `pqTopK`.
+    *
+    * vs `pqTopK`: the scan does nprobe/nlist of the ADC work per query.
+    * vs `ivfTopK`: probed cells are scanned as m-byte codes, not floats.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iterations: Int = 3, rerank: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, iterations)
+    val centBc = spark.sparkContext.broadcast(centroids)
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+    // PQ on residuals: one codebook set across all cells (FAISS IVFPQ)
+    val residuals = base.mapPartitions { rows =>
+      val cents = centBc.value
+      rows.map { case (id, vec) =>
+        val arr = vec.toArray.map(_.toDouble)
+        val cell = nearestCell(arr, cents)
+        val res = new Array[Float](arr.length)
+        var j = 0
+        while (j < arr.length) { res(j) = (arr(j) - cents(cell)(j)).toFloat; j += 1 }
+        (id, res.toSeq)
+      }
+    }.toDF("id", "vec")
+    val books = pqTrain(residuals, "id", "vec", m, ksub, iterations)
+    val bookBc = spark.sparkContext.broadcast(books)
+    val kk = books(0).length
+    val dsub = books(0)(0).length
+    // inverted-list code table: (cell, id, m-byte residual code, true norm)
+    val codes = base.mapPartitions { rows =>
+      val cents = centBc.value
+      val bks = bookBc.value
+      val ds = bks(0)(0).length
+      rows.map { case (id, vec) =>
+        val arr = new Array[Double](vec.length)
+        var j = 0
+        var nrm = 0.0
+        while (j < arr.length) {
+          arr(j) = vec(j).toDouble; nrm += arr(j) * arr(j); j += 1
+        }
+        val cell = nearestCell(arr, cents)
+        val res = new Array[Double](arr.length)
+        j = 0
+        while (j < arr.length) { res(j) = arr(j) - cents(cell)(j); j += 1 }
+        val code = new Array[Byte](bks.length)
+        var sub = 0
+        while (sub < bks.length) {
+          code(sub) = nearestSub(res, sub * ds, ds, bks(sub)).toByte
+          sub += 1
+        }
+        (cell, id, code, math.sqrt(nrm))
+      }
+    }.toDF("cell", "id", "code", "norm")
+    // driver-side query prep (bounded query sets by contract): residual
+    // LUT + probed cells with their dot(q, centroid) offsets
+    val np = math.min(nprobe, nlist)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+      .as[(Long, Seq[Float])].collect()
+    val qInfos: Array[(Long, Array[Double], Double, Array[(Int, Double)])] =
+      qRows.map { case (qid, qv) =>
+        val q = qv.toArray.map(_.toDouble)
+        val lut = new Array[Double](m * kk)
+        var sub = 0
+        while (sub < m) {
+          var c = 0
+          while (c < kk) {
+            var s = 0.0
+            var d = 0
+            while (d < dsub) { s += q(sub * dsub + d) * books(sub)(c)(d); d += 1 }
+            lut(sub * kk + c) = s
+            c += 1
+          }
+          sub += 1
+        }
+        val probed = centroids.indices.sortBy { ci =>
+          var dd = 0.0
+          var j = 0
+          val n = math.min(q.length, centroids(ci).length)
+          while (j < n) { val t = q(j) - centroids(ci)(j); dd += t * t; j += 1 }
+          dd
+        }.take(np).map { ci =>
+          var s = 0.0
+          var j = 0
+          val n = math.min(q.length, centroids(ci).length)
+          while (j < n) { s += q(j) * centroids(ci)(j); j += 1 }
+          (ci, s)
+        }.toArray
+        (qid, lut, math.sqrt(q.map(x => x * x).sum), probed)
+      }
+    val qBc = spark.sparkContext.broadcast(qInfos)
+    val probedCells = qInfos.flatMap(_._4.map(_._1)).distinct.toSeq
+    val r = math.max(k, rerank)
+    val cand = codes
+      .filter(col("cell").isin(probedCells: _*)) // cell pruning
+      .as[(Int, Long, Array[Byte], Double)]
+      .mapPartitions { rows =>
+        val qs = qBc.value
+        // cell → (query index, dot(q, centroid)) — only probing queries
+        // pay ADC for a code row
+        val byCell = scala.collection.mutable.Map
+          .empty[Int, List[(Int, Double)]].withDefaultValue(Nil)
+        qs.zipWithIndex.foreach { case ((_, _, _, probed), qi) =>
+          probed.foreach { case (cell, cd) => byCell(cell) = (qi, cd) :: byCell(cell) }
+        }
+        val heaps = qs.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.by[(Double, Long), Double](-_._1)))
+        rows.foreach { case (cell, id, code, nrm) =>
+          byCell(cell).foreach { case (qi, cellDot) =>
+            val (qid, lut, qn, _) = qs(qi)
+            if (qid != id) {
+              var adc = cellDot
+              var sub = 0
+              while (sub < code.length) {
+                adc += lut(sub * kk + (code(sub) & 0xff))
+                sub += 1
+              }
+              val score = adc / math.max(qn * nrm, 1e-12)
+              val h = heaps(qi)
+              if (h.size < r) h.enqueue((score, id))
+              else if (score > h.head._1) { h.dequeue(); h.enqueue((score, id)) }
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (score, id) => (qs(qi)._1, id, score) }
+        }
+      }.toDF("query_id", "neighbor_id", "adc_cos")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    val topCand = cand.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= r).drop("arank", "adc_cos")
+    val truth = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("nvec"))
+    val qDf = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    val exact = topCand.join(truth, "neighbor_id").join(broadcast(qDf), "query_id")
+      .withColumn("cos_sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
 }

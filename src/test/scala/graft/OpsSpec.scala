@@ -233,6 +233,38 @@ class OpsSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal exact top-k")
   }
 
+  test("IVFPQ: cell-pruned residual-ADC scan with exact rerank") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 64)
+    val rows = approx.collect()
+    val approxSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approxSet).size.toDouble / exact.size
+    // uniform corpus is PQ's worst case AND nprobe halves the scan —
+    // floor is deliberately conservative; real embeddings do far better
+    assert(recall >= 0.4, s"IVFPQ recall@5 $recall too low at nprobe/nlist=4/8")
+    // exact-rerank invariant: every RETURNED score is the true cosine
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    rows.foreach { r =>
+      val (q, n, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (a, b) = (vecs(q), vecs(n))
+      val cos = a.zip(b).map(t => t._1 * t._2).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - s) < 1e-5, s"returned score not the true cosine: $s vs $cos")
+    }
+    // probing every cell with a corpus-wide rerank budget reproduces the
+    // exact top-k — pruning and quantization are the ONLY approximations
+    val n = emb.count().toInt
+    val full = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, rerank = n)
+    val fullSet = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullSet == exact, "nprobe=nlist + full rerank must equal exact top-k")
+  }
+
   test("PQ: codes pick nearest subcentroids; ADC equals exact dot on codebook vectors") {
     // handcrafted 2-subspace codebooks (dsub 2): vectors BUILT from
     // codebook entries must encode to those entries, and the ADC lookup
