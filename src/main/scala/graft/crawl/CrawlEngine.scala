@@ -120,28 +120,15 @@ final class CrawlEngine(
     */
   private[graft] var lastRobotsBroadcastSize: Int = -1
 
-  /** Size of the last wave's driver-side politeness-delay map (test hook:
-    * asserts driver host state is O(wave hosts), not O(crawl age) — the
-    * hosts TABLE is the authoritative store, read back per wave for just
-    * the wave's frontier hosts; no cumulative driver map anywhere).
+  /** Size of the last wave's driver-side politeness host state (test
+    * hook). Since the cap/allowance computation moved into joins against
+    * the hosts / host_counts tables, the ONLY per-host data the driver
+    * touches is the wave's newly-discovered hosts (their robots must be
+    * fetched and staged) — O(new hosts), which goes to zero on late
+    * waves; caps themselves are columns, so this is O(1) politeness
+    * state with respect to both wave size and crawl age.
     */
   private[graft] var lastWaveDelayMapSize: Int = -1
-
-  /** Crawl delays for exactly `hosts`, read from the authoritative hosts
-    * table — the same scoped-read shape as `compiledRobotsFor`: an `isin`
-    * pushdown for modest sets, a (broadcast) join past that, so the big
-    * hosts table never shuffles and the driver only ever holds this
-    * wave's delays.
-    */
-  private def delaysFor(hosts: Seq[String]): Map[String, Long] = {
-    if (hosts.isEmpty) return Map.empty
-    val tbl = io.readAll("hosts", TableIO.HostsSchema)
-    val filtered =
-      if (hosts.length <= 1024) tbl.filter(col("host").isin(hosts: _*))
-      else tbl.join(spark.createDataset(hosts.toSeq).toDF("host"), "host")
-    filtered.select(col("host"), col("crawl_delay_ms")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
 
   /** Compiled robots rules for exactly `hosts`: freshly-fetched states
     * first (not yet staged to the hosts table), the rest read back from
@@ -178,7 +165,6 @@ final class CrawlEngine(
   private var seenRowsTotal = 1L // root hash seeds the set at bootstrap
   private var excludedPrefixes = Vector.empty[String]
   private var window10 = Vector.empty[(String, Double)] // (url, pct), seq order
-  private var crawledByHost = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
   var stopReason: Option[String] = None
 
   /** Bloom negative-cache over seen url_hashes, PARTITION-LOCAL: one filter
@@ -243,10 +229,8 @@ final class CrawlEngine(
       window10 = io.readWave("window10", cw, TableIO.Window10Schema)
         .collect().sortBy(_.getInt(2)).map(r => (r.getString(0), r.getDouble(1))).toVector
     }
-    if (config.maxPagesPerDomain > 0 && cw >= 0) {
-      io.readWave("host_counts", cw, TableIO.HostCountsSchema)
-        .collect().foreach(r => crawledByHost(r.getString(0)) = r.getLong(1))
-    }
+    // per-domain crawled counts need no driver state: the committed
+    // host_counts wave table joins in as the allowance column directly
   }
 
   /** Run (or resume) the crawl to completion or a stop condition; returns
@@ -327,13 +311,15 @@ final class CrawlEngine(
     // ---- 1. robots for hosts newly appearing in the frontier -------------
     val fetcherL = fetcher
     val cfg = config
-    val frontierHosts = timed(wave, "hosts")(
-      frontier.select($"host").distinct().as[String].collect())
-    // per-wave politeness state from the hosts TABLE — nothing on the
-    // driver outlives the wave, so driver memory is O(wave hosts) at any
-    // crawl age (a 10^7-host crawl history costs the driver nothing)
-    val knownDelays = timed(wave, "delays")(delaysFor(frontierHosts.toSeq))
-    val newHostNames = frontierHosts.filterNot(knownDelays.contains)
+    val hostsTbl = io.readAll("hosts", TableIO.HostsSchema)
+    // NEW hosts via distributed anti-join against the authoritative hosts
+    // table: the driver collects only hosts whose robots must be fetched
+    // and staged this wave — O(newly discovered hosts), which goes to ZERO
+    // on late waves; never O(wave hosts), never O(crawl age)
+    val newHostNames = timed(wave, "hosts")(
+      frontier.select($"host").distinct()
+        .join(hostsTbl.select($"host"), Seq("host"), "left_anti")
+        .as[String].collect())
     // few new hosts → fetch robots on the driver; many → distribute
     val newHostStates: Seq[HostState] = timed(wave, "robots")(
       if (newHostNames.length <= 64) {
@@ -352,31 +338,44 @@ final class CrawlEngine(
             }
           }.collect().toSeq
       })
-    val delayOf: Map[String, Long] =
-      knownDelays ++ newHostStates.map(h => h.host -> h.crawl_delay_ms)
-    lastWaveDelayMapSize = delayOf.size
-    // politeness caps for THIS WAVE's frontier hosts only
-    val capByHost: Map[String, Int] = frontierHosts.map { h =>
-      val delay = delayOf.getOrElse(h, config.effectiveDelayMs(0))
-      h -> math.max(1L, config.waveBudgetMs / math.max(1L, delay)).toInt
-    }.toMap
-    val capBc = spark.sparkContext.broadcast(capByHost)
+    lastWaveDelayMapSize = newHostStates.size
 
     // ---- 2. politeness split: per-host cap in seq order, rest carries;
-    //         per-domain budget DROPS entries beyond the allowance (O3) ----
+    //         per-domain budget DROPS entries beyond the allowance (O3).
+    // Caps and allowances are COLUMNS computed by joining the frontier
+    // against the hosts / host_counts TABLES — the budget filter runs
+    // distributed and the driver holds no per-host politeness state at
+    // any frontier scale (a wave touching 10^7 hosts costs it nothing).
+    val freshDelays = newHostStates.map(h => (h.host, h.crawl_delay_ms))
+      .toDF("host", "crawl_delay_ms")
+    val delayCols = hostsTbl.select($"host", $"crawl_delay_ms")
+      .union(freshDelays) // fresh hosts have no table row yet, so no dupes
+    val defaultDelay = config.effectiveDelayMs(0)
+    val waveBudget = config.waveBudgetMs
     val hostRank = Window.partitionBy($"host").orderBy($"seq")
     val ranked0 = frontier.withColumn("host_rank", row_number().over(hostRank))
-    val capOf = udf((host: String) => capBc.value.getOrElse(host, 1))
+      .join(delayCols, Seq("host"), "left")
+      .withColumn("__cap", greatest(lit(1L),
+        floor(lit(waveBudget) /
+          greatest(lit(1L), coalesce($"crawl_delay_ms", lit(defaultDelay))))))
+      .drop("crawl_delay_ms")
     val ranked =
       if (config.maxPagesPerDomain > 0) {
-        val crawledBc = spark.sparkContext.broadcast(crawledByHost.toMap)
+        val counts =
+          if (io.waveExists("host_counts", wave - 1))
+            io.readWave("host_counts", wave - 1, TableIO.HostCountsSchema)
+          else Seq.empty[(String, Long)].toDF("host", "pages")
         val maxPerDomain = config.maxPagesPerDomain
-        val allowanceOf = udf((host: String) =>
-          math.max(0L, maxPerDomain - crawledBc.value.getOrElse(host, 0L)))
-        ranked0.filter($"host_rank" <= allowanceOf($"host"))
+        ranked0.join(counts.select($"host", $"pages".as("__crawled")),
+            Seq("host"), "left")
+          .filter($"host_rank" <=
+            greatest(lit(0L), lit(maxPerDomain) - coalesce($"__crawled", lit(0L))))
+          .drop("__crawled")
       } else ranked0
-    val dueByHost = ranked.filter($"host_rank" <= capOf($"host")).drop("host_rank")
-    val carry = ranked.filter($"host_rank" > capOf($"host")).drop("host_rank")
+    val dueByHost = ranked.filter($"host_rank" <= $"__cap")
+      .drop("host_rank", "__cap")
+    val carry = ranked.filter($"host_rank" > $"__cap")
+      .drop("host_rank", "__cap")
       .withColumn("wave", lit(wave + 1))
     // global page budget truncates in deterministic seq order (wave-level
     // MaxPagesToCrawl; overflow entries are dropped, matching the oracle)
@@ -598,10 +597,6 @@ final class CrawlEngine(
     pagesTotal += pagesFetched
     errorsTotal += errorsWave
     contentCharsTotal += contentCharsWave
-    if (config.maxPagesPerDomain > 0) {
-      results.groupBy($"host").agg(count(lit(1)).as("n")).collect()
-        .foreach(r => crawledByHost(r.getString(0)) += r.getLong(1))
-    }
     var newExclude: Option[String] = None
     if (config.minUniquePct > 0) {
       // only the LAST 10 html rows of the wave can survive takeRight(10):
@@ -715,7 +710,17 @@ final class CrawlEngine(
       }
     }
     if (config.maxPagesPerDomain > 0) {
-      val hostCountsDf = crawledByHost.toSeq.toDF("host", "pages")
+      // cumulative counts, fully distributed: previous committed counts
+      // union this wave's per-host page counts, summed — the driver never
+      // holds a hosts-ever map (the one remaining crawl-age-proportional
+      // driver structure, retired)
+      val prevCounts =
+        if (io.waveExists("host_counts", wave - 1))
+          io.readWave("host_counts", wave - 1, TableIO.HostCountsSchema)
+        else Seq.empty[(String, Long)].toDF("host", "pages")
+      val hostCountsDf = prevCounts
+        .union(results.groupBy($"host").agg(count(lit(1)).as("pages")))
+        .groupBy($"host").agg(sum($"pages").as("pages"))
       staged("stage:hostcounts")(io.stage("host_counts", wave, hostCountsDf))
     }
     if (useBloom) {

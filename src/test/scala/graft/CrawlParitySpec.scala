@@ -173,12 +173,16 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sizes.forall(_ <= totalHosts))
     assert(sizes.last < totalHosts,
       s"final-wave broadcast ${sizes.last} not scoped below $totalHosts hosts")
-    // driver politeness state is per-wave too: late tree waves touch few
-    // hosts, so the delay map must SHRINK with them, not accumulate every
-    // host ever seen (the retired delayByHost design)
+    // driver politeness state is O(NEW hosts) only: caps/allowances are
+    // join columns now, so once every host is discovered the driver holds
+    // ZERO per-host politeness state (the retired cap-map design held
+    // O(wave hosts) per wave)
     assert(delaySizes.forall(_ <= totalHosts))
-    assert(delaySizes.last < totalHosts,
-      s"final-wave delay map ${delaySizes.last} not O(wave hosts)")
+    assert(delaySizes.last == 0,
+      s"final wave fetched ${delaySizes.last} robots — driver politeness " +
+        "state must be empty once all hosts are known")
+    assert(delaySizes.sum <= totalHosts,
+      s"robots fetched ${delaySizes.sum} times for $totalHosts hosts")
     // parity is unaffected by the scoping
     assert(seenOf(io) == sOracle.seen)
     assert(io.readAll("documents", TableIO.DocumentsSchema).count() ==
