@@ -23,17 +23,21 @@ final case class HostCounts(pages: Long, errors: Long)
   * (`KeyValueGroupedDataset.mapGroupsWithState`) where the semantics need
   * crawl-lifetime accumulation.
   *
-  * DELIVERY SEMANTICS: at-least-once across crash-resume boundaries. The
-  * file source lists raw staged files, not the manifest's committed
-  * window, so rows of a wave staged by a killed run and re-staged on
-  * resume (different part-file names under the same `wN/`) can be
-  * observed twice by a monitor that straddled the crash; in steady state
-  * (stage→commit seconds apart, no crash) counts are exact, and
-  * `ignoreMissingFiles` below keeps the overwrite window from killing
-  * the query. Monitoring tolerates transient over-count; anything
-  * needing the exact committed contract reads the BATCH surfaces
-  * (`Graft.metrics` / `Graft.fetchLog` / `Graft.errorLog`), which
-  * consult the manifest.
+  * DELIVERY SEMANTICS, two tiers:
+  *  - the file-source streams below are at-least-once across crash-resume
+  *    boundaries: they list raw staged files, not the manifest's
+  *    committed window, so rows of a wave staged by a killed run and
+  *    re-staged on resume (different part-file names under the same
+  *    `wN/`) can be observed twice by a monitor that straddled the
+  *    crash; in steady state counts are exact, and `ignoreMissingFiles`
+  *    keeps the overwrite window from killing the query — the lowest-
+  *    latency view (rows appear at STAGE time);
+  *  - [[CommittedWaveTailer]] is EXACTLY-ONCE: it advances only on the
+  *    manifest's atomic committed-wave pointer, reading each committed
+  *    wave as one micro-batch — a wave staged by a killed run is never
+  *    observed (its files are overwritten on resume BEFORE the commit
+  *    that makes them visible), so monitor totals equal the batch
+  *    surfaces (`Graft.metrics` / `Graft.fetchLog`) at every drain.
   */
 object CrawlMonitor {
 
@@ -92,6 +96,79 @@ object CrawlMonitor {
     * crawl-lifetime by definition (a crawl that needs expiry can wrap the
     * call with a watermark + timeout variant).
     */
+  /** Exactly-once committed-wave micro-batching over one warehouse table —
+    * the manifest-aware monitor tier. The crawl's atomic wave commits
+    * already define a totally-ordered micro-batch sequence (the committed-
+    * wave pointer is the stream OFFSET), so the tailer needs no file
+    * listing and no streaming-engine state:
+    *
+    *  - `processAvailable` drains every committed-but-unprocessed wave,
+    *    invoking `onBatch(wave, df)` with the wave's rows as an ordinary
+    *    (distributed, lazily-read) DataFrame — the `Trigger.AvailableNow`
+    *    shape;
+    *  - a wave staged by a killed run is INVISIBLE until its resume
+    *    re-stages (overwriting the same `wN/` dir) and commits — the
+    *    tailer reads only post-commit files, so each wave's rows are
+    *    observed exactly once with their final content, and totals match
+    *    the batch surfaces (`Graft.metrics`) at every drain;
+    *  - the processed offset persists (atomic tmp+move) under
+    *    `checkpointDir`, so a restarted monitor resumes without
+    *    re-observing waves. The checkpoint is monitor-local state — it
+    *    lives wherever the monitor runs, independent of the warehouse.
+    *
+    * Scale: one `readWave` per wave per drain — partition-pruned parquet
+    * reads of exactly the new data; driver holds a single Int.
+    */
+  final class CommittedWaveTailer(
+      spark: SparkSession, warehouse: String, table: String,
+      schemaDdl: String, checkpointDir: Option[String] = None) {
+
+    private val io = new TableIO(warehouse, spark)
+    private var last: Int = readCheckpoint().getOrElse(-2)
+
+    private def ckFile = checkpointDir.map(d =>
+      java.nio.file.Paths.get(d, s"$table.offset"))
+
+    private def readCheckpoint(): Option[Int] = ckFile.flatMap { p =>
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+      else None
+    }
+
+    private def writeCheckpoint(w: Int): Unit = ckFile.foreach { p =>
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, w.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** Highest wave already processed (-2 = nothing yet). */
+    def processedThroughWave: Int = last
+
+    /** Drain all committed-but-unprocessed waves in order; returns how
+      * many micro-batches ran. Tables staged only when rows exist (e.g.
+      * `errors`) skip silently on waves without a partition.
+      */
+    def processAvailable(onBatch: (Int, DataFrame) => Unit): Int = {
+      val target = io.committedWave
+      var n = 0
+      while (last < target) {
+        val w = last + 1
+        if (io.waveExists(table, w)) {
+          onBatch(w, io.readWave(table, w, schemaDdl))
+          n += 1
+        }
+        last = w
+        writeCheckpoint(w)
+      }
+      n
+    }
+  }
+
   def hostHealth(fetchLog: DataFrame, minPages: Long = 10L,
       maxErrorRate: Double = 0.5): Dataset[HostHealth] = {
     val spark = fetchLog.sparkSession

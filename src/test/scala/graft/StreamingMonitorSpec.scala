@@ -96,6 +96,60 @@ class StreamingMonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CommittedWaveTailer: exact totals across a kill between stage and commit") {
+    import graft.crawl._
+    import graft.core.ScopeFilter
+    val site = SyntheticWeb.generate(
+      SyntheticWeb.Spec(hosts = 2, pagesPerHost = 6, hotHostFactor = 1, fanout = 3))
+    val wh = Files.createTempDirectory("graft-tailer").toString
+    val ck = Files.createTempDirectory("graft-tailer-ck").toString
+    val config = CrawlConfig(rootUrl = site.rootUrl, scope = ScopeFilter.Domain)
+    def engine() = new CrawlEngine(spark, new TableIO(wh, spark), config,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 2)
+    engine().run(maxWavesThisRun = 2)
+    val io = new TableIO(wh, spark)
+    val committed = io.committedWave
+
+    var pagesSeen = 0L
+    var wavesSeen = Vector.empty[Int]
+    def drain(t: CrawlMonitor.CommittedWaveTailer): Int =
+      t.processAvailable { (w, df) =>
+        wavesSeen :+= w
+        pagesSeen += df.agg(sum($"pages")).head().getLong(0)
+      }
+    val tailer = new CrawlMonitor.CommittedWaveTailer(
+      spark, wh, "metrics", TableIO.MetricsSchema, Some(ck))
+    assert(drain(tailer) > 0)
+    val pagesAfterTwo = pagesSeen
+
+    // simulate a crawl KILLED between stage and commit: a staged-but-
+    // uncommitted metrics partition appears on disk with poison content
+    // (a monitor that listed raw files would add 1e9 pages here)
+    Seq((committed + 1, 0, 1000000000L, 0L, 0L, 0.0, 0.0))
+      .toDF("wave", "partition_id", "pages", "errors", "words",
+        "fetch_ms", "extract_ms")
+      .write.mode("overwrite").parquet(s"$wh/metrics/w${committed + 1}")
+    assert(drain(tailer) == 0, "uncommitted staged wave must be invisible")
+    assert(pagesSeen == pagesAfterTwo)
+
+    // resume: the engine re-stages (overwriting the poison) and commits
+    engine().run()
+    drain(tailer)
+    val batchTotal = Graft.metrics(spark, wh).agg(sum($"pages")).head().getLong(0)
+    assert(pagesSeen == batchTotal,
+      s"tailer saw $pagesSeen pages, batch surface has $batchTotal")
+    assert(pagesSeen < 1000000L, "poison rows leaked into the monitor")
+    assert(wavesSeen == wavesSeen.sorted && wavesSeen.distinct == wavesSeen,
+      "waves must arrive in order, exactly once")
+
+    // a RESTARTED monitor resumes from the checkpoint: nothing re-observed
+    val tailer2 = new CrawlMonitor.CommittedWaveTailer(
+      spark, wh, "metrics", TableIO.MetricsSchema, Some(ck))
+    assert(tailer2.processedThroughWave == tailer.processedThroughWave)
+    assert(drain(tailer2) == 0, "restart must not re-deliver committed waves")
+    assert(pagesSeen == batchTotal)
+  }
+
   test("hostHealth runs against a REAL crawl's fetch_log warehouse") {
     import graft.crawl._
     import graft.core.ScopeFilter
