@@ -65,13 +65,20 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     headline.filter(n => subset.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
+      // a FAILED rep must not enter the min — an exception thrown after
+      // 0.3s would otherwise report a phantom speedup. Failed reps record
+      // as negative elapsed in the samples (visible, parseable) and are
+      // excluded from the min; all-reps-failed records -1.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -sec
       }
-      results(name) = times.min
+      val succeeded = times.filter(_ >= 0)
+      results(name) = if (succeeded.nonEmpty) succeeded.min else -1.0
       samples(name) = times
     }
 

@@ -376,9 +376,10 @@ object SparkEntry {
       // deleted before returning — repeated Verify/Bench runs were
       // accumulating ~200 temp files per invocation
       val rows = agg.collect().toSeq
-      val root = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory fds
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
     }),
 

@@ -34,6 +34,20 @@ object CssFetch {
   private val HrefRe =
     "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))".r
 
+  /** Allocation-free case-insensitive substring test — the pre-gate must
+    * match the case-insensitive link regexes (`REL="Stylesheet"` is legal
+    * HTML) without lowercasing a 100 KB body per page.
+    */
+  private def containsIgnoreCase(s: String, needle: String): Boolean = {
+    val n = needle.length
+    var i = 0
+    while (i <= s.length - n) {
+      if (s.regionMatches(true, i, needle, 0, n)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Resolved same-host stylesheet URLs of a page, document order, deduped. */
   def stylesheetUrls(html: String, pageUrl: String, host: String): Vector[String] = {
     val out = mutable.LinkedHashSet.empty[String]
@@ -60,7 +74,7 @@ object CssFetch {
   def cssFor(html: String, pageUrl: String, host: String,
       fetch: String => (Int, String, String),
       cache: mutable.Map[String, String]): String = {
-    if (!html.contains("stylesheet")) return "" // cheap pre-gate
+    if (!containsIgnoreCase(html, "stylesheet")) return "" // cheap pre-gate
     val sb = new StringBuilder
     stylesheetUrls(html, pageUrl, host).foreach { u =>
       if (sb.length < MaxCssChars) {

@@ -179,8 +179,11 @@ object SequentialOracle {
             val dom = HtmlParser.parse(page.html)
             // same-host stylesheet evaluation, mirroring the engine's
             // CssFetch path (the oracle "fetches" from the site map)
+            // CSS fetches are single-shot (attempt 0, no retry loop) in
+            // the engine, so a fail_first sheet is a 503 to BOTH sides
             val css = CssFetch.cssFor(page.html, entry.url, entry.host,
               u => site.pages.get(u) match {
+                case Some(p) if p.fail_first > 0 => (503, "text/html", "")
                 case Some(p) => (p.status, p.content_type, p.html)
                 case None => (404, "", "")
               }, cssCache)

@@ -145,10 +145,19 @@ object HtmlToSpans {
     * stylesheets arrive through the fetch layer as extra sheet text.
     */
   private[extract] def cssHides(e: HElem, css: StyleSheet): Boolean = {
-    val inline = e.attr("style").map(parseDecls).getOrElse(Seq.empty)
+    val inline =
+      if (css.isEmpty && !e.hasAttr("style")) return false
+      else e.attr("style").map(parseDecls).getOrElse(Seq.empty)
+    // element facts computed ONCE (the matchers run per rule otherwise)
+    val classes = e.attr("class").map(_.split("\\s+").toSet)
+      .getOrElse(Set.empty[String])
+    val id = e.attr("id").map(_.trim)
     def value(prop: String): Option[String] = {
-      val inl = inline.filter(_._1 == prop).lastOption
-      val sheet = css.effective(e, prop)
+      // within the inline declarations, an !important one beats any later
+      // normal one (same-origin cascade); otherwise last wins
+      val decls = inline.filter(_._1 == prop)
+      val inl = decls.filter(_._3).lastOption.orElse(decls.lastOption)
+      val sheet = css.effective(e.tag, id, classes, prop)
       (inl, sheet) match {
         case (Some((_, v, imp)), Some((sv, simp))) =>
           if (simp && !imp) Some(sv) else Some(v)
@@ -187,13 +196,14 @@ object HtmlToSpans {
     */
   private[extract] final case class SimpleSel(
       tag: Option[String], classes: Set[String], ids: Set[String]) {
-    def matches(e: HElem): Boolean =
-      tag.forall(_ == e.tag) &&
-      ids.forall(i => e.attr("id").exists(_.trim == i)) &&
-      (classes.isEmpty || {
-        val cl = e.attr("class").map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
-        classes.subsetOf(cl)
-      })
+    /** Match against precomputed element facts — the caller extracts
+      * tag/id/classes ONCE per element, not once per rule.
+      */
+    def matches(eTag: String, eId: Option[String],
+        eClasses: Set[String]): Boolean =
+      tag.forall(_ == eTag) &&
+      ids.forall(i => eId.contains(i)) &&
+      classes.subsetOf(eClasses)
     /** CSS specificity on the supported subset: ids ≫ classes ≫ tag. */
     def specificity: Int = ids.size * 100 + classes.size * 10 + tag.size
   }
@@ -220,21 +230,29 @@ object HtmlToSpans {
     else Some(SimpleSel(tag, classes.result(), ids.result()))
   }
 
-  /** The document's display/visibility rules in cascade order. */
+  /** The document's display/visibility rules in cascade order, indexed by
+    * property so each lookup scans only that property's rules.
+    */
   private[extract] final class StyleSheet(
       rules: Vector[(SimpleSel, String, String, Boolean)]) {
     def isEmpty: Boolean = rules.isEmpty
-    /** Winning declaration for `prop` on `e`: !important beats normal,
-      * then specificity, then source order.
+    private val byProp: Map[String, Vector[(SimpleSel, String, Boolean, Int)]] =
+      rules.zipWithIndex
+        .map { case ((sel, p, v, imp), i) => (p, (sel, v, imp, i)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    /** Winning declaration for `prop` on an element given its precomputed
+      * facts: !important beats normal, then specificity, then source order.
       */
-    def effective(e: HElem, prop: String): Option[(String, Boolean)] = {
+    def effective(eTag: String, eId: Option[String], eClasses: Set[String],
+        prop: String): Option[(String, Boolean)] = {
+      val cands = byProp.getOrElse(prop, Vector.empty)
       var best: (Boolean, Int, Int) = null
       var bestVal: (String, Boolean) = null
       var i = 0
-      while (i < rules.length) {
-        val (sel, p, v, imp) = rules(i)
-        if (p == prop && sel.matches(e)) {
-          val key = (imp, sel.specificity, i)
+      while (i < cands.length) {
+        val (sel, v, imp, ord) = cands(i)
+        if (sel.matches(eTag, eId, eClasses)) {
+          val key = (imp, sel.specificity, ord)
           if (best == null || Ordering[(Boolean, Int, Int)].gt(key, best)) {
             best = key
             bestVal = (v, imp)
@@ -257,6 +275,11 @@ object HtmlToSpans {
       */
     def parse(cssText: String): StyleSheet = {
       val css = cssText.replaceAll("(?s)/\\*.*?\\*/", " ")
+        // brace-less at-statements (@charset "x"; @import url(...);
+        // @namespace ...;) end at ';' — left in place they'd glue onto the
+        // NEXT rule's selector text and make it look like an at-rule,
+        // silently discarding that rule (real sheets open with @charset)
+        .replaceAll("@(charset|import|namespace)[^;{]*;", " ")
       val rules = Vector.newBuilder[(SimpleSel, String, String, Boolean)]
       var i = 0
       while (i < css.length) {

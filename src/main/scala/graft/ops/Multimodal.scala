@@ -324,9 +324,12 @@ object Multimodal {
     * convention, so frames can never collide with original media ids and
     * arbitrarily large parent ids / frame counts are safe. Non-video rows
     * drop; undecodable blobs yield no rows. Partition-parallel flatMap,
-    * no shuffle.
+    * no shuffle. `maxFrames` bounds per-row task memory: the sampled PNGs
+    * of ONE video buffer in a single flatMap call, so a pathological
+    * 200k-frame input must cap, not OOM the executor.
     */
-  def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[FrameRow] = {
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int,
+      maxFrames: Int = 1000): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     val step = math.max(1, everyK)
@@ -339,8 +342,9 @@ object Multimodal {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           val out = Vector.newBuilder[FrameRow]
+          var emitted = 0
           var f = 0
-          while (f < n) {
+          while (f < n && emitted < maxFrames) {
             val img = reader.read(f)
             // re-encode through a plain gray/RGB raster (the PNG writer
             // does not take indexed GIF rasters' palette with it). Copy
@@ -367,6 +371,7 @@ object Multimodal {
             javax.imageio.ImageIO.write(frame, "png", bos)
             out += FrameRow(row.media_id, f, "image",
               bos.toByteArray, img.getWidth, img.getHeight)
+            emitted += 1
             f += step
           }
           out.result()

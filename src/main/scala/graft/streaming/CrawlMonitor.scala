@@ -32,12 +32,15 @@ final case class HostCounts(pages: Long, errors: Long)
   *    crash; in steady state counts are exact, and `ignoreMissingFiles`
   *    keeps the overwrite window from killing the query — the lowest-
   *    latency view (rows appear at STAGE time);
-  *  - [[CommittedWaveTailer]] is EXACTLY-ONCE: it advances only on the
-  *    manifest's atomic committed-wave pointer, reading each committed
-  *    wave as one micro-batch — a wave staged by a killed run is never
-  *    observed (its files are overwritten on resume BEFORE the commit
-  *    that makes them visible), so monitor totals equal the batch
-  *    surfaces (`Graft.metrics` / `Graft.fetchLog`) at every drain.
+  *  - [[CommittedWaveTailer]] advances only on the manifest's atomic
+  *    committed-wave pointer, reading each committed wave as one
+  *    micro-batch — a wave staged by a killed CRAWL is never observed
+  *    (its files are overwritten on resume BEFORE the commit that makes
+  *    them visible), so monitor totals equal the batch surfaces
+  *    (`Graft.metrics` / `Graft.fetchLog`) at every drain; exactly-once
+  *    with respect to crawl crashes, at-least-once across a crash of the
+  *    monitor process itself (see the class doc for the idempotent-sink
+  *    contract that closes that window).
   */
 object CrawlMonitor {
 
@@ -108,13 +111,18 @@ object CrawlMonitor {
     *    shape;
     *  - a wave staged by a killed run is INVISIBLE until its resume
     *    re-stages (overwriting the same `wN/` dir) and commits — the
-    *    tailer reads only post-commit files, so each wave's rows are
-    *    observed exactly once with their final content, and totals match
-    *    the batch surfaces (`Graft.metrics`) at every drain;
+    *    tailer reads only post-commit files, so CRAWL crashes can never
+    *    cause duplicate or partial observation, and totals match the
+    *    batch surfaces (`Graft.metrics`) at every drain;
     *  - the processed offset persists (atomic tmp+move) under
-    *    `checkpointDir`, so a restarted monitor resumes without
-    *    re-observing waves. The checkpoint is monitor-local state — it
-    *    lives wherever the monitor runs, independent of the warehouse.
+    *    `checkpointDir` AFTER `onBatch` returns, so a restarted monitor
+    *    resumes without re-observing completed batches. Across a crash
+    *    of the MONITOR ITSELF the guarantee is at-least-once: a kill
+    *    between `onBatch` and the offset write re-delivers that one
+    *    wave. `onBatch` receives the wave number precisely so a sink
+    *    needing end-to-end exactly-once can commit its output keyed (and
+    *    deduped) by wave — the standard idempotent-sink contract. The
+    *    checkpoint is monitor-local state, independent of the warehouse.
     *
     * Scale: one `readWave` per wave per drain — partition-pruned parquet
     * reads of exactly the new data; driver holds a single Int.

@@ -130,6 +130,7 @@ class ExtractSpec extends AnyFunSuite {
   test("style-block CSS hides by class/id/tag; cascade + inline override") {
     val html =
       """<html><head><style>
+        |@charset "utf-8";
         |/* comment with .decoy{display:none} inside */
         |.hid-cls { color: red; display: none; }
         |#hid-id { visibility: hidden }
@@ -152,8 +153,11 @@ class ExtractSpec extends AnyFunSuite {
         |<div class="hid-cls" style="display:block"><p>inline-override yes</p></div>
         |<div class="imp" style="display:block"><p>no</p></div>
         |<p class="print-only-hide">print yes</p>
+        |<p style="display:none !important; display:block">no</p>
         |<p>plain yes</p>
         |</body></html>""".stripMargin
+    // the @charset statement must not swallow the first rule (.hid-cls);
+    // inline important beats a LATER normal inline declaration
     assert(ktext(spansOf(html)) == Seq(
       ("TextBlock.Text", "combo-one yes"),
       ("TextBlock.Text", "flip yes"),

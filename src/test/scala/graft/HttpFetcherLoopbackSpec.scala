@@ -164,7 +164,7 @@ class HttpFetcherLoopbackSpec extends AnyFunSuite {
   test("loopback: same-host stylesheet fetched once (cached), gated on text/css") {
     val cssHits = new java.util.concurrent.atomic.AtomicInteger(0)
     val html =
-      """<html><head><link rel="stylesheet" href="/site.css">
+      """<html><head><LINK REL="Stylesheet" HREF="/site.css">
         |<link rel="stylesheet" href="/wrong-type.css">
         |<link rel="stylesheet" href="https://other.example.com/cross.css">
         |</head><body><div class="side-rail"><p>chrome</p></div>
