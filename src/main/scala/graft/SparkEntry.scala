@@ -188,6 +188,18 @@ object SparkEntry {
         .select(col("doc_id"), col("is_canonical"))
     }),
 
+    "q_decontam" -> ((s, dir) => {
+      // benchmark decontamination: docs 480+ stand in for an eval suite;
+      // any training doc sharing an 8-word shingle with them is flagged.
+      // Spark joins on xxhash64(shingle), the oracle on the shingle string
+      // — identical counts (collisions ~|sh|²/2^64)
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFlags(docs, "doc_id", "text",
+          docs.filter(col("doc_id") >= 480), "text", n = 8, minHits = 1)
+        .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_jaccard_pairs" -> ((s, dir) => {
       // maxDocFreq = 64 frequency-caps the blocking join (hot shingles are
       // quadratic); jaccard is over the capped sets on both sides — the
@@ -603,6 +615,24 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    ORDER BY doc_id) AS rn
         |  FROM documents)""".stripMargin,
+
+    "q_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |doc_sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(words[i:i+7], ' ') FOR i IN range(1, len(words) - 6)])) AS sh
+        |  FROM w),
+        |bench_sh AS (
+        |  SELECT DISTINCT sh FROM doc_sh WHERE doc_id >= 480),
+        |hits AS (
+        |  SELECT d.doc_id, count(*) AS n_hits
+        |  FROM doc_sh d JOIN bench_sh b USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH sh_all AS (

@@ -93,6 +93,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark-decontamination flags — the train/eval overlap gate every
+    * LLM data pipeline runs before training (cf. Brown et al. 2020 App. C;
+    * Lee et al. 2022): a document is contaminated when at least `minHits`
+    * of its DISTINCT word n-gram shingles occur anywhere in the benchmark
+    * corpus. Returns every doc row as (id, n_hits, contaminated).
+    *
+    * Scale shape: candidate generation is an equi-join on the 64-bit
+    * shingle hash against the distinct benchmark shingle set. Eval suites
+    * are MB-scale against a 100-TB corpus, so the benchmark side
+    * broadcasts by default (`broadcastBenchmark = false` falls back to a
+    * shuffle equi-join for corpus-scale benchmark sets); the docs side
+    * streams through untouched — no self-join, nothing quadratic.
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 8, minHits: Int = 1,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val docSh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+    val benchSh0 = benchmark
+      .select(explode(shingles(col(benchTextCol), n)).as("sh_str"))
+      .select(xxhash64(col("sh_str")).as("sh")).distinct()
+    val benchSh = if (broadcastBenchmark) broadcast(benchSh0) else benchSh0
+    // shingles() is per-doc distinct, so the join-then-count is the count
+    // of distinct shared shingles per document
+    val hits = docSh.join(benchSh, "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   /** MinHash signatures: k hash functions of the universal family
     * (a_i * h + b_i) over xxhash64(shingle), min per function. Returned as
     * an array column "minhash".

@@ -216,6 +216,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: benchmark n-gram overlap flags exactly the planted docs") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val vocab = Vector("red", "blue", "green", "tall", "short", "wide",
+      "stone", "river", "cloud", "ember", "quill", "vale")
+    def soup(seed: Int): String =
+      (0 until 20).map(i => vocab((seed * 7 + i * 3) % vocab.length)).mkString(" ")
+    val docs = Seq(
+      // quote contamination: an 8-gram of the benchmark inside other text
+      (0L, s"${soup(1)} alpha beta gamma delta epsilon zeta eta theta ${soup(2)}"),
+      // verbatim inclusion
+      (1L, benchText),
+      // 7-word overlap only — BELOW the 8-gram window, must pass clean
+      (2L, s"${soup(3)} alpha beta gamma delta epsilon zeta eta ${soup(4)}"),
+      (3L, soup(5)),
+      (4L, soup(6))).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("bench_id", "text")
+    val flags = Dedup.contaminationFlags(docs, "doc_id", "text",
+        bench, "text", n = 8, minHits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flags(0L)._2 && flags(0L)._1 >= 1, s"quote contamination missed: $flags")
+    assert(flags(1L)._2 && flags(1L)._1 == 2, // 9 words = two distinct 8-grams
+      s"verbatim doc: ${flags(1L)}")
+    assert(!flags(2L)._2 && flags(2L)._1 == 0, "7-word overlap must pass clean")
+    assert(!flags(3L)._2 && !flags(4L)._2, "clean docs flagged")
+    assert(flags.size == 5, "every doc row present in the output")
+    // minHits gate: requiring 2 shared shingles clears the single-quote doc
+    val strict = Dedup.contaminationFlags(docs, "doc_id", "text",
+        bench, "text", n = 8, minHits = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!strict(0L) && strict(1L))
+  }
+
   test("IVF ANN: recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
