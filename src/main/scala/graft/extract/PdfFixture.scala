@@ -319,6 +319,108 @@ object PdfFixture {
     assembleWithFont(contents, title, Map.empty, fontObj, None)
   }
 
+  /** PDF 1.5 layout WITH a subset font: catalog, page tree, info AND the
+    * font dictionary all live inside the Flate-compressed /ObjStm (how
+    * real 1.5+ writers emit non-stream objects), the /ToUnicode CMap is a
+    * top-level Flate stream referenced from inside the object stream, and
+    * every show string uses remapped 1-byte glyph codes — the hardest
+    * combination the reader supports, exercised as one document.
+    */
+  def pdfModernSubsetFont(pages: Seq[Seq[Block]], title: String = "",
+      header: String = "", pageNumbers: Boolean = false): String = {
+    val chars = shownText(pages, header, pageNumbers).distinct.sorted
+    require(chars.length <= 250, "fixture alphabet")
+    val code: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (0x02 + i) }.toMap
+    def encStr(s: String): String =
+      "<" + s.map(c => f"${code(c)}%02X").mkString + ">"
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, header, pageNumbers, encStr)
+    }
+    val cmapData = deflate(cmapText(code, 2))
+    val n = contents.length
+    // ids — embedded in ObjStm 1: 2 catalog, 3 pages, 4 info, 5 font,
+    // 6..5+n page dicts; top level: per page content/length at
+    // 6+n+2i / 7+n+2i, the CMap stream, then the XRef stream
+    val cmapId = 6 + 3 * n
+    val xrefId = 7 + 3 * n
+    val kids = (0 until n).map(i => s"${6 + i} 0 R").mkString(" ")
+    val embedded: Seq[(Int, String)] =
+      Seq(
+        2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>",
+        4 -> infoDict(title, Map.empty),
+        5 -> ("<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTM+Fixture " +
+          s"/ToUnicode $cmapId 0 R >>")) ++
+      (0 until n).map { i =>
+        (6 + i) -> (s"<< /Type /Page /Parent 3 0 R /Contents ${6 + n + 2 * i} 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> /MediaBox [0 0 612 792] >>")
+      }
+    val bodies = embedded.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length)
+    val head = embedded.zip(offsets).map { case ((id, _), off) => s"$id $off" }
+      .mkString(" ") + "\n"
+    val objStmData = deflate(head + bodies.mkString)
+
+    val sb = new StringBuilder
+    val objOffsets = scala.collection.mutable.Map.empty[Int, Int]
+    sb.append("%PDF-1.5\n")
+    objOffsets(1) = sb.length
+    sb.append(s"1 0 obj << /Type /ObjStm /N ${embedded.length} /First ${head.length} " +
+      s"/Length ${objStmData.length} /Filter /FlateDecode >> stream\n")
+    sb.append(objStmData)
+    sb.append("\nendstream endobj\n")
+    contents.zipWithIndex.foreach { case (c, i) =>
+      val contentId = 6 + n + 2 * i
+      val lenId = contentId + 1
+      val data = deflate(c)
+      objOffsets(contentId) = sb.length
+      sb.append(s"$contentId 0 obj << /Length $lenId 0 R /Filter /FlateDecode >> stream\n")
+      sb.append(data)
+      sb.append("\nendstream endobj\n")
+      objOffsets(lenId) = sb.length
+      sb.append(s"$lenId 0 obj ${data.length} endobj\n")
+    }
+    objOffsets(cmapId) = sb.length
+    sb.append(s"$cmapId 0 obj << /Length ${cmapData.length} /Filter /FlateDecode >> stream\n")
+    sb.append(cmapData)
+    sb.append("\nendstream endobj\n")
+    val xrefOffset = sb.length
+    objOffsets(xrefId) = xrefOffset
+    val entries: Seq[(Int, Long, Long)] =
+      Seq((0, 0L, 65535L), (1, objOffsets(1).toLong, 0L)) ++
+      embedded.zipWithIndex.map { case (_, i) => (2, 1L, i.toLong) } ++
+      (0 until n).flatMap { i =>
+        val cid = 6 + n + 2 * i
+        Seq((1, objOffsets(cid).toLong, 0L), (1, objOffsets(cid + 1).toLong, 0L))
+      } ++
+      Seq((1, objOffsets(cmapId).toLong, 0L), (1, xrefOffset.toLong, 0L))
+    val rowW = 7
+    val raw = entries.map { case (t, f2, f3) =>
+      Array[Int](t,
+        ((f2 >> 24) & 0xff).toInt, ((f2 >> 16) & 0xff).toInt,
+        ((f2 >> 8) & 0xff).toInt, (f2 & 0xff).toInt,
+        ((f3 >> 8) & 0xff).toInt, (f3 & 0xff).toInt)
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Int](rowW)
+    raw.foreach { row =>
+      filtered.write(2)
+      (0 until rowW).foreach(j => filtered.write((row(j) - prev(j)) & 0xff))
+      prev = row
+    }
+    val xrefData = deflate(new String(filtered.toByteArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    sb.append(s"$xrefId 0 obj << /Type /XRef /Size ${xrefId + 1} /W [1 4 2] " +
+      s"/Index [0 ${xrefId + 1}] /Root 2 0 R /Info 4 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowW >> " +
+      s"/Length ${xrefData.length} >> stream\n")
+    sb.append(xrefData)
+    sb.append("\nendstream endobj\n")
+    sb.append(s"startxref\n$xrefOffset\n%%EOF\n")
+    sb.toString
+  }
+
   /** /ToUnicode CMap body: consecutive (code, unicode) runs as bfrange,
     * the rest as bfchar — both section kinds exercised, ≤100 entries per
     * section as §9.10.3 requires.

@@ -344,6 +344,33 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(dDiff.spans == dPlain.spans, "differences != plain spans")
   }
 
+  test("PDF 1.5 + subset font: font dict inside the ObjStm, CMap top-level") {
+    val pages = Seq(
+      Seq(
+        Block(Seq("Modern Subset Chapter"), fontSize = 18),
+        Block(Seq("object stream resident font paragraph",
+          "with a continuation line of words")),
+        Block(Seq("closing modern subset remarks"))),
+      Seq(Block(Seq("second page distinct modern body")),
+        Block(Seq("closing remarks of page two"))))
+    val plain = PdfFixture.pdf(pages, title = "Modern Subset Twin",
+      header = "Modern Subset Header", pageNumbers = true)
+    val modern = PdfFixture.pdfModernSubsetFont(pages, title = "Modern Subset Twin",
+      header = "Modern Subset Header", pageNumbers = true)
+    // the layout really hides everything: no raw /Title, no raw font dict
+    assert(!modern.substring(modern.indexOf('\n')).contains("/Title ("))
+    assert(!modern.contains("/BaseFont /GRAFTM+Fixture\n"))
+    assert(modern.contains("/ObjStm") && modern.contains("/XRef"))
+    val dPlain = PdfToSpans.extract(plain)
+    val dModern = PdfToSpans.extract(modern)
+    assert(dModern.title == "Modern Subset Twin", s"title='${dModern.title}'")
+    assert(dModern.spans == dPlain.spans, "modern subset != plain spans")
+    assert(dModern.spans.exists(_.kind == "Section.Start"))
+    // decorations removed through the font decode as well
+    assert(!dModern.spans.exists(s => s.text.contains("Subset Header") ||
+      s.text.startsWith("Page ")))
+  }
+
   test("PDF: /Info metadata — every string entry, classic and ObjStm-resident") {
     val pages = Seq(Seq(
       Block(Seq("metadata body paragraph with words")),
