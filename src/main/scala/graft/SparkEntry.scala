@@ -188,6 +188,25 @@ object SparkEntry {
         .select(col("doc_id"), col("is_canonical"))
     }),
 
+    "q_normalize_text" -> ((s, dir) => {
+      // Unicode canonicalization via the native UnicodeNormalize
+      // Expression (codegen, no UDF): the synthetic corpus is ASCII, so a
+      // deterministic multi-form suffix — composed é, DECOMPOSED
+      // e+U+0301, U+212B (an NFC singleton → Å), ï, ñ — exercises real
+      // normalization; the oracle runs DuckDB's utf8proc twins
+      // (nfc_normalize / strip_accents)
+      import graft.functions.UnicodeNormalize.{nfc, foldAccents}
+      val raw = concat(col("text"),
+        lit(" résumé Å naïve piñata"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(raw).as("n_raw"),
+          nfc(raw).as("norm_text"),
+          length(nfc(raw)).as("n_norm"),
+          foldAccents(nfc(raw)).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_decontam" -> ((s, dir) => {
       // benchmark decontamination: docs 480+ stand in for an eval suite;
       // any training doc sharing an 8-word shingle with them is flagged.
@@ -615,6 +634,22 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    ORDER BY doc_id) AS rn
         |  FROM documents)""".stripMargin,
+
+    "q_normalize_text" ->
+      // suffix built with chr() so the oracle is encoding-proof: composed
+      // é (233), decomposed e+combining-acute (769), angstrom sign (8491,
+      // an NFC singleton -> Å), ï (239), ñ (241)
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' r' || chr(233) || 'sume' || chr(769) || ' ' || chr(8491)
+        |         || ' na' || chr(239) || 've pi' || chr(241) || 'ata' AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(r) AS INT) AS n_raw,
+        |  nfc_normalize(r) AS norm_text,
+        |  CAST(length(nfc_normalize(r)) AS INT) AS n_norm,
+        |  strip_accents(nfc_normalize(r)) AS folded
+        |FROM raw ORDER BY doc_id""".stripMargin,
 
     "q_decontam" ->
       """WITH w AS (

@@ -55,6 +55,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == graft.core.TextStats.textHash(text))
   }
 
+  test("UnicodeNormalize: known vectors, composed==decomposed, codegen, SQL") {
+    import graft.functions.UnicodeNormalize
+    val composed = "caf\u00e9"      // e-acute as one codepoint
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val df = Seq((1, composed), (2, decomposed), (3, "\u212B"), (4, "\uFB01"))
+      .toDF("id", "t")
+      .select(col("id"),
+        UnicodeNormalize.nfc(col("t")).as("nfc"),
+        UnicodeNormalize.nfd(col("t")).as("nfd"),
+        UnicodeNormalize.nfkc(col("t")).as("nfkc"),
+        UnicodeNormalize.foldAccents(col("t")).as("folded"))
+    val byId = df.collect().map(r => r.getInt(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    // composed and decomposed converge under both canonical forms
+    assert(byId(1)._1 == byId(2)._1 && byId(1)._1 == composed)
+    assert(byId(1)._2 == byId(2)._2 && byId(1)._2 == decomposed)
+    // NFC singleton: angstrom sign (U+212B) -> A-with-ring (U+00C5)
+    assert(byId(3)._1 == "\u00c5", byId(3).toString)
+    // compatibility form expands the fi ligature; canonical does not
+    assert(byId(4)._3 == "fi" && byId(4)._1 == "\uFB01")
+    assert(byId(1)._4 == "cafe" && byId(2)._4 == "cafe")
+    // null propagation
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(UnicodeNormalize.nfc(col("t"))).head()
+    assert(n.isNullAt(0))
+    // SQL registration with a literal form
+    UnicodeNormalize.register(spark)
+    assert(spark.sql("SELECT unicode_normalize('cafe\u0301', 'NFC') = 'caf\u00e9'")
+      .head().getBoolean(0))
+  }
+
+  test("UnicodeNormalize stays inside whole-stage codegen") {
+    import graft.functions.UnicodeNormalize
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n", UnicodeNormalize.nfc(col("text")))
+      .filter(length(col("n")) > 0)
+      .select(col("doc_id"), col("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      s"expression fell out of codegen:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("dataset export: language filter, site gate, deterministic split dirs") {
     val docs = (0 until 300).map { i =>
       val site = if (i % 3 == 0) "a.com" else if (i % 3 == 1) "b.com" else "tiny.com"
