@@ -24,7 +24,7 @@ object Bench {
     "q_first_wins", "q_anti_join", "q_semi_join", "q_join_agg",
     "q_topk_per_group", "q_global_topk", "q_hourly_events",
     "q_lang_histogram", "q_split_assign", "q_doc_stats", "q_quality",
-    "q_pii_scrub", "q_repetition", "q_normalize_text",
+    "q_pii_scrub", "q_repetition", "q_normalize_text", "q_bpe_tokens",
     "q_lang_guess", "q_dedup_exact", "q_decontam", "q_jaccard_pairs",
     "q_minhash_lsh",
     "q_simhash_pairs", "q_dedup_clusters", "q_winnow_pairs",

@@ -188,6 +188,19 @@ object SparkEntry {
         .select(col("doc_id"), col("is_canonical"))
     }),
 
+    "q_bpe_tokens" -> ((s, dir) => {
+      // model-token budgeting (rows-only: merge tables are engine-
+      // specific; the canonical merge-sequence and segmentation oracles
+      // live in OpsSpec): train 256 merges on a deterministic 64-doc
+      // sample, count BPE tokens per document distributed
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.train(docs, "text",
+        numMerges = 256, sampleDocs = 64)
+      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_normalize_text" -> ((s, dir) => {
       // Unicode canonicalization via the native UnicodeNormalize
       // Expression (codegen, no UDF): the synthetic corpus is ASCII, so a

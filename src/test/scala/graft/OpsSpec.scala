@@ -216,6 +216,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE: canonical merge sequence, segmentation, corpus token counts") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // the classic Sennrich corpus: merge order is hand-derivable
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainMerges(freq, 5)
+    assert(merges == Vector(
+      ("e", "s"), ("es", "t"), ("est", Bpe.Eow), ("l", "o"), ("lo", "w")),
+      merges.toString)
+    val ranks = merges.zipWithIndex.toMap
+    // an UNSEEN word segments with the learned subwords
+    assert(Bpe.tokenizeWord("lowest", ranks) == Vector("low", "est" + Bpe.Eow))
+    assert(Bpe.tokenizeWord("low", ranks) == Vector("low", Bpe.Eow))
+    assert(Bpe.tokenizeWord("widest", ranks) ==
+      Vector("w", "i", "d", "est" + Bpe.Eow))
+    assert(Bpe.tokenizeWord("", ranks) == Vector.empty)
+    // distributed application: counts + invariants over a small corpus
+    val docs = Seq(
+      (0L, "low lowest newest"),
+      (1L, "the newest widest lowest low"),
+      (2L, "")).toDF("doc_id", "text")
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0: low(2) + lowest(2) + newest: n,e,w,est</w> = 4 -> 8 tokens
+    assert(counts(0L) == ((3L, 8L)), counts.toString)
+    assert(counts(2L) == ((0L, 0L)))
+    // every word is at least one token; never more than chars+1
+    val (w1, t1) = counts(1L)
+    assert(t1 >= w1 && t1 <= "the newest widest lowest low".length + w1)
+    // deterministic end-to-end: sample-train twice on the same corpus
+    val m1 = Bpe.train(docs, "text", numMerges = 8)
+    val m2 = Bpe.train(docs, "text", numMerges = 8)
+    assert(m1 == m2)
+  }
+
   test("decontamination: benchmark n-gram overlap flags exactly the planted docs") {
     val sqlc = spark
     import sqlc.implicits._
