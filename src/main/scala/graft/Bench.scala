@@ -89,7 +89,10 @@ object Bench {
     if (!skipCrawl) results("crawl") = crawlSec
     val pagesPerSec = if (crawlSec > 0) pages / crawlSec else 0.0
 
-    val total = results.values.sum
+    // -1 sentinels (all reps failed) must not subtract from the headline
+    // total — a fully-failing query invalidates comparability, it doesn't
+    // make the run faster
+    val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val ss = samples.map { case (k, vs) =>

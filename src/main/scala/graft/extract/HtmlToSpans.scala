@@ -122,18 +122,6 @@ object HtmlToSpans {
     cssHides(e, css)
   }
 
-  /** Inline-CSS hiding: `display:none` / `visibility:hidden|collapse` in
-    * the `style` attribute alone (kept as the zero-stylesheet entry point;
-    * the full evaluation including `<style>` blocks is `cssHides`).
-    */
-  private[extract] def inlineStyleHides(style: String): Boolean = {
-    val decls = parseDecls(style)
-    decls.exists { case (p, v, _) =>
-      (p == "display" && v == "none") ||
-      (p == "visibility" && (v == "hidden" || v == "collapse"))
-    }
-  }
-
   /** Computed display/visibility hiding for one element: in-document
     * `<style>` rules (simple selectors, specificity + source order +
     * !important cascade) overridden by the inline `style` attribute
@@ -279,7 +267,7 @@ object HtmlToSpans {
         // @namespace ...;) end at ';' — left in place they'd glue onto the
         // NEXT rule's selector text and make it look like an at-rule,
         // silently discarding that rule (real sheets open with @charset)
-        .replaceAll("@(charset|import|namespace)[^;{]*;", " ")
+        .replaceAll("@(charset|import|namespace)[^;{}]*;", " ")
       val rules = Vector.newBuilder[(SimpleSel, String, String, Boolean)]
       var i = 0
       while (i < css.length) {

@@ -356,69 +356,9 @@ object PdfFixture {
         (6 + i) -> (s"<< /Type /Page /Parent 3 0 R /Contents ${6 + n + 2 * i} 0 R " +
           "/Resources << /Font << /F1 5 0 R >> >> /MediaBox [0 0 612 792] >>")
       }
-    val bodies = embedded.map(_._2 + "\n")
-    val offsets = bodies.scanLeft(0)(_ + _.length)
-    val head = embedded.zip(offsets).map { case ((id, _), off) => s"$id $off" }
-      .mkString(" ") + "\n"
-    val objStmData = deflate(head + bodies.mkString)
-
-    val sb = new StringBuilder
-    val objOffsets = scala.collection.mutable.Map.empty[Int, Int]
-    sb.append("%PDF-1.5\n")
-    objOffsets(1) = sb.length
-    sb.append(s"1 0 obj << /Type /ObjStm /N ${embedded.length} /First ${head.length} " +
-      s"/Length ${objStmData.length} /Filter /FlateDecode >> stream\n")
-    sb.append(objStmData)
-    sb.append("\nendstream endobj\n")
-    contents.zipWithIndex.foreach { case (c, i) =>
-      val contentId = 6 + n + 2 * i
-      val lenId = contentId + 1
-      val data = deflate(c)
-      objOffsets(contentId) = sb.length
-      sb.append(s"$contentId 0 obj << /Length $lenId 0 R /Filter /FlateDecode >> stream\n")
-      sb.append(data)
-      sb.append("\nendstream endobj\n")
-      objOffsets(lenId) = sb.length
-      sb.append(s"$lenId 0 obj ${data.length} endobj\n")
-    }
-    objOffsets(cmapId) = sb.length
-    sb.append(s"$cmapId 0 obj << /Length ${cmapData.length} /Filter /FlateDecode >> stream\n")
-    sb.append(cmapData)
-    sb.append("\nendstream endobj\n")
-    val xrefOffset = sb.length
-    objOffsets(xrefId) = xrefOffset
-    val entries: Seq[(Int, Long, Long)] =
-      Seq((0, 0L, 65535L), (1, objOffsets(1).toLong, 0L)) ++
-      embedded.zipWithIndex.map { case (_, i) => (2, 1L, i.toLong) } ++
-      (0 until n).flatMap { i =>
-        val cid = 6 + n + 2 * i
-        Seq((1, objOffsets(cid).toLong, 0L), (1, objOffsets(cid + 1).toLong, 0L))
-      } ++
-      Seq((1, objOffsets(cmapId).toLong, 0L), (1, xrefOffset.toLong, 0L))
-    val rowW = 7
-    val raw = entries.map { case (t, f2, f3) =>
-      Array[Int](t,
-        ((f2 >> 24) & 0xff).toInt, ((f2 >> 16) & 0xff).toInt,
-        ((f2 >> 8) & 0xff).toInt, (f2 & 0xff).toInt,
-        ((f3 >> 8) & 0xff).toInt, (f3 & 0xff).toInt)
-    }
-    val filtered = new java.io.ByteArrayOutputStream()
-    var prev = new Array[Int](rowW)
-    raw.foreach { row =>
-      filtered.write(2)
-      (0 until rowW).foreach(j => filtered.write((row(j) - prev(j)) & 0xff))
-      prev = row
-    }
-    val xrefData = deflate(new String(filtered.toByteArray,
-      java.nio.charset.StandardCharsets.ISO_8859_1))
-    sb.append(s"$xrefId 0 obj << /Type /XRef /Size ${xrefId + 1} /W [1 4 2] " +
-      s"/Index [0 ${xrefId + 1}] /Root 2 0 R /Info 4 0 R " +
-      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowW >> " +
-      s"/Length ${xrefData.length} >> stream\n")
-    sb.append(xrefData)
-    sb.append("\nendstream endobj\n")
-    sb.append(s"startxref\n$xrefOffset\n%%EOF\n")
-    sb.toString
+    assembleModernLayout(embedded,
+      contents.zipWithIndex.map { case (c, i) => (6 + n + 2 * i, c) },
+      Seq(cmapId -> cmapData), xrefId)
   }
 
   /** /ToUnicode CMap body: consecutive (code, unicode) runs as bfrange,
@@ -520,10 +460,10 @@ object PdfFixture {
   private def assembleModern(contents: Seq[String], title: String,
       info: Map[String, String] = Map.empty): String = {
     val n = contents.length
-    // object ids: 1 = ObjStm; inside it: 2 catalog, 3 pages, 4 info,
+    // ids: 1 = ObjStm; inside it: 2 catalog, 3 pages, 4 info,
     // 5..4+n page dicts; top level: per page (content stream, its length
     // object) at 5+n+2i / 6+n+2i; last = the XRef stream itself
-    val xrefId = 5 + n + 2 * n
+    val xrefId = 5 + 3 * n
     val kids = (0 until n).map(i => s"${5 + i} 0 R").mkString(" ")
     val embedded: Seq[(Int, String)] =
       Seq(
@@ -534,12 +474,28 @@ object PdfFixture {
         (5 + i) -> (s"<< /Type /Page /Parent 3 0 R /Contents ${5 + n + 2 * i} 0 R " +
           "/MediaBox [0 0 612 792] >>")
       }
+    assembleModernLayout(embedded,
+      contents.zipWithIndex.map { case (c, i) => (5 + n + 2 * i, c) },
+      Nil, xrefId)
+  }
+
+  /** Shared PDF 1.5 assembler (both modern fixture layouts): `embedded`
+    * objects live in the Flate /ObjStm (object 1); `contents` are
+    * top-level Flate content streams declaring their /Length as an
+    * INDIRECT reference (length object at id+1, the way real incremental
+    * writers emit them); `extraStreams` are top-level Flate streams with a
+    * direct /Length (e.g. a /ToUnicode CMap); the /XRef stream (/W [1 4 2],
+    * PNG Up row predictor) indexes ids 0..`xrefId` contiguously. /Root is
+    * object 2 and /Info object 4 by both callers' convention.
+    */
+  private def assembleModernLayout(embedded: Seq[(Int, String)],
+      contents: Seq[(Int, String)], extraStreams: Seq[(Int, String)],
+      xrefId: Int): String = {
     val bodies = embedded.map(_._2 + "\n")
     val offsets = bodies.scanLeft(0)(_ + _.length)
     val head = embedded.zip(offsets).map { case ((id, _), off) => s"$id $off" }
       .mkString(" ") + "\n"
-    val objStmPlain = head + bodies.mkString
-    val objStmData = deflate(objStmPlain)
+    val objStmData = deflate(head + bodies.mkString)
 
     val sb = new StringBuilder
     val objOffsets = scala.collection.mutable.Map.empty[Int, Int]
@@ -549,31 +505,32 @@ object PdfFixture {
       s"/Length ${objStmData.length} /Filter /FlateDecode >> stream\n")
     sb.append(objStmData)
     sb.append("\nendstream endobj\n")
-    contents.zipWithIndex.foreach { case (c, i) =>
-      val contentId = 5 + n + 2 * i
+    contents.foreach { case (contentId, c) =>
       val lenId = contentId + 1
       val data = deflate(c)
       objOffsets(contentId) = sb.length
-      // indirect /Length: the byte count lives in a SEPARATE object after
-      // the stream (how streaming writers emit it — they know the length
-      // only once the data is out)
       sb.append(s"$contentId 0 obj << /Length $lenId 0 R /Filter /FlateDecode >> stream\n")
       sb.append(data)
       sb.append("\nendstream endobj\n")
       objOffsets(lenId) = sb.length
       sb.append(s"$lenId 0 obj ${data.length} endobj\n")
     }
-    // ---- the /XRef cross-reference stream: /W [1 2 2], PNG Up predictor
+    extraStreams.foreach { case (id, data) =>
+      objOffsets(id) = sb.length
+      sb.append(s"$id 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      sb.append(data)
+      sb.append("\nendstream endobj\n")
+    }
     val xrefOffset = sb.length
     objOffsets(xrefId) = xrefOffset
-    val entries: Seq[(Int, Long, Long)] =
-      Seq((0, 0L, 65535L), (1, objOffsets(1).toLong, 0L)) ++
-      embedded.zipWithIndex.map { case ((_, _), i) => (2, 1L, i.toLong) } ++
-      (0 until n).flatMap { i =>
-        val cid = 5 + n + 2 * i
-        Seq((1, objOffsets(cid).toLong, 0L), (1, objOffsets(cid + 1).toLong, 0L))
-      } ++
-      Seq((1, xrefOffset.toLong, 0L))
+    val embIdx = embedded.map(_._1).zipWithIndex.toMap
+    val entries: Seq[(Int, Long, Long)] = (0 to xrefId).map { id =>
+      if (id == 0) (0, 0L, 65535L)
+      else embIdx.get(id) match {
+        case Some(i) => (2, 1L, i.toLong) // i-th object inside ObjStm 1
+        case None => (1, objOffsets(id).toLong, 0L)
+      }
+    }
     val rowW = 7 // /W [1 4 2]: 4-byte offsets — 2 bytes would silently
     // truncate offsets in documents past 64 KB
     val raw = entries.map { case (t, f2, f3) =>

@@ -24,14 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[UnicodeNormalize].getCanonicalName, "unicode_normalize"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          val form = exprs(1) match {
-            case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-              String.valueOf(lit.value)
-            case other => throw new IllegalArgumentException(
-              s"unicode_normalize form must be a string literal, got $other")
-          }
-          UnicodeNormalize(exprs.head, form)
-        }))
+        UnicodeNormalize.sqlBuilder))
   }
 }

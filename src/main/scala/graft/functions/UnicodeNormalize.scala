@@ -72,19 +72,28 @@ object UnicodeNormalize {
   def foldAccents(c: Column): Column =
     org.apache.spark.sql.functions.regexp_replace(nfd(c), "\\p{M}", "")
 
+  /** SQL expression builder — ONE definition shared by `register` and
+    * `GraftExtensions.injectFunction`, with an arity check (a bare
+    * exprs(1) would surface as IndexOutOfBounds on 1-arg calls).
+    */
+  def sqlBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"unicode_normalize expects (string, form literal), got ${exprs.length} argument(s)")
+    val form = exprs(1) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        String.valueOf(lit.value)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal, got $other")
+    }
+    UnicodeNormalize(exprs.head, form)
+  }
+
   /** Register as SQL `unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD')`
     * (the form must be a literal).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_normalize", exprs => {
-        val form = exprs(1) match {
-          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-            String.valueOf(lit.value)
-          case other =>
-            throw new IllegalArgumentException(
-              s"unicode_normalize form must be a string literal, got $other")
-        }
-        UnicodeNormalize(exprs.head, form)
-      }, "scala_udf")
+      "unicode_normalize", sqlBuilder, "scala_udf")
 }

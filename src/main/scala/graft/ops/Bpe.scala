@@ -132,7 +132,11 @@ object Bpe {
         val r = bc.value
         val memo = mutable.Map.empty[String, Int]
         rows.map { case (id, t) =>
-          val words = Option(t).getOrElse("").trim.toLowerCase
+          // Locale.ROOT: train() lowercases via Spark's locale-independent
+          // lower(); a default-locale toLowerCase would disagree on e.g.
+          // Turkish-locale JVMs (I -> dotless ı) and miss every rank
+          val words = Option(t).getOrElse("").trim
+            .toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
           var tokens = 0L
           words.foreach { w =>
