@@ -73,6 +73,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination joins the broadcast benchmark shingle set, no cartesian") {
+    val p = plan("q_decontam")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the benchmark side is explicitly broadcast (eval suites are tiny
+    // next to a training corpus) — the doc side must stream, not shuffle
+    // against itself
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+  }
+
   test("q_ann_lsh task binaries stay small: no giant per-dim expression trees") {
     // the round-1 formulation compiled ~2k expression nodes per row and the
     // plan string itself was megabytes; the kernel form stays compact
