@@ -221,13 +221,15 @@ object SparkEntry {
     }),
 
     "q_decontam" -> ((s, dir) => {
-      // benchmark decontamination: docs 480+ stand in for an eval suite;
-      // any training doc sharing an 8-word shingle with them is flagged.
-      // Spark joins on xxhash64(shingle), the oracle on the shingle string
-      // — identical counts (collisions ~|sh|²/2^64)
+      // benchmark decontamination: the first 20 docs stand in for an eval
+      // suite (a FIXED-size benchmark at every SF — eval suites do not
+      // grow with the training corpus); any training doc sharing an
+      // 8-word shingle with them is flagged. Spark joins on
+      // xxhash64(shingle), the oracle on the shingle string — identical
+      // counts (collisions ~|sh|²/2^64)
       val docs = t(s, dir, "documents")
       Dedup.contaminationFlags(docs, "doc_id", "text",
-          docs.filter(col("doc_id") >= 480), "text", n = 8, minHits = 1)
+          docs.filter(col("doc_id") < 20), "text", n = 8, minHits = 1)
         .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
         .orderBy(col("doc_id"))
     }),
@@ -673,7 +675,7 @@ object SparkEntry {
         |    [array_to_string(words[i:i+7], ' ') FOR i IN range(1, len(words) - 6)])) AS sh
         |  FROM w),
         |bench_sh AS (
-        |  SELECT DISTINCT sh FROM doc_sh WHERE doc_id >= 480),
+        |  SELECT DISTINCT sh FROM doc_sh WHERE doc_id < 20),
         |hits AS (
         |  SELECT d.doc_id, count(*) AS n_hits
         |  FROM doc_sh d JOIN bench_sh b USING (sh) GROUP BY 1)
