@@ -28,7 +28,7 @@ object Bench {
     "q_lang_guess", "q_dedup_exact", "q_decontam", "q_jaccard_pairs",
     "q_minhash_lsh",
     "q_simhash_pairs", "q_dedup_clusters", "q_winnow_pairs",
-    "q_neardup_export", "q_cosine_topk",
+    "q_neardup_export", "q_pipeline_stats", "q_cosine_topk",
     "q_embedding_neardup", "q_ann_lsh", "q_ivf_topk", "q_pq_topk",
     "q_ivfpq_topk",
     "q_media_meta", "q_media_features", "q_media_resize")

@@ -188,6 +188,31 @@ object SparkEntry {
         .select(col("doc_id"), col("is_canonical"))
     }),
 
+    "q_pipeline_stats" -> ((s, dir) => {
+      // the END-TO-END training-data preparation pipeline as ONE
+      // oracle-checked DAG: decontaminate (vs the fixed 20-doc eval
+      // stand-in) → exact first-wins dedup → quality gate → corpus
+      // budget stats — the sequence a user runs before export, each
+      // stage already individually oracled (q_decontam / q_dedup_exact /
+      // q_quality), here composed so the STAGE WIRING is verified too
+      val docs = t(s, dir, "documents")
+      val flags = Dedup.contaminationFlags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text", n = 8, minHits = 1)
+      val clean = docs.join(
+        flags.filter(!col("contaminated")).select(col("id").as("doc_id")),
+        "doc_id")
+      val deduped = Dedup.exactFirstWins(clean, "text", "doc_id")
+      val gated = TextOps.withQuality(deduped, "text")
+      gated.agg(
+        count(lit(1)).as("n_clean"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("is_canonical") && col("quality_ok"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("is_canonical") && col("quality_ok"),
+          TextOps.wordCount(col("text")).cast("long"))
+          .otherwise(0L)).as("kept_words"))
+    }),
+
     "q_bpe_tokens" -> ((s, dir) => {
       // model-token budgeting (rows-only: merge tables are engine-
       // specific; the canonical merge-sequence and segmentation oracles
@@ -665,6 +690,47 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(r)) AS INT) AS n_norm,
         |  strip_accents(nfc_normalize(r)) AS folded
         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |doc_sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(words[i:i+7], ' ') FOR i IN range(1, len(words) - 6)])) AS sh
+        |  FROM w),
+        |bench_sh AS (SELECT DISTINCT sh FROM doc_sh WHERE doc_id < 20),
+        |contaminated AS (
+        |  SELECT DISTINCT d.doc_id FROM doc_sh d JOIN bench_sh b USING (sh)),
+        |clean AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ranked AS (
+        |  SELECT doc_id, text, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) = 1 AS is_canonical
+        |  FROM clean),
+        |q AS (
+        |  SELECT is_canonical,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('the','a','of','to','and','in','is','it'))) AS stop_hits
+        |  FROM ranked),
+        |g AS (
+        |  SELECT is_canonical, n_words,
+        |    (n_words BETWEEN 5 AND 100000)
+        |      AND (CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END < 0.3)
+        |      AND (CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END > 0.0)
+        |      AS quality_ok
+        |  FROM q)
+        |SELECT CAST(count(*) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN is_canonical AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN is_canonical AND quality_ok THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+        |FROM g""".stripMargin,
 
     "q_decontam" ->
       """WITH w AS (

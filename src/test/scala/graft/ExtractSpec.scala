@@ -270,6 +270,25 @@ class ExtractSpec extends AnyFunSuite {
     }
     assert(checked > 10)
   }
+  test("fuzz: malformed <style> CSS and external sheets never throw or hang") {
+    val rnd = new java.util.Random(4321)
+    val atoms = Vector("{", "}", ";", ":", ",", "@media", "@import x", "@charset",
+      "display", "none", "visibility", "hidden", ".cls", "#id", "div", "*",
+      ">", "!important", "/*", "*/", "url(\"a{b\")", "\"", "'", " ", "é")
+    (0 until 150).foreach { i =>
+      val css = (0 until rnd.nextInt(60))
+        .map(_ => atoms(rnd.nextInt(atoms.size))).mkString(" ")
+      val html = s"<html><head><style>$css</style></head>" +
+        "<body><div class=\"cls\" id=\"id\"><p>body text</p></div></body></html>"
+      val d = HtmlToSpans.extract(html) // must not throw
+      assert(SpanTree.validate(d.spans).isEmpty, s"fuzz css $i: $css")
+      // and via the external-sheet path too
+      val d2 = HtmlToSpans.extract(
+        "<html><body><p>kept text</p></body></html>", Seq(css))
+      assert(d2.spans.exists(_.text == "kept text"), s"fuzz css $i hid unrelated text")
+    }
+  }
+
   test("fuzz: extractors never throw and always emit valid span trees on " +
       "malformed input (crawler robustness)") {
     val rnd = new java.util.Random(1234)

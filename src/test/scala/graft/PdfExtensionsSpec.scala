@@ -371,6 +371,33 @@ class PdfExtensionsSpec extends AnyFunSuite {
       s.text.startsWith("Page ")))
   }
 
+  test("PDF: corrupt /ToUnicode CMaps degrade to Latin-1, never crash") {
+    val pages = Seq(Seq(
+      Block(Seq("resilience body paragraph words")),
+      Block(Seq("closing paragraph"))))
+    val good = PdfFixture.pdfSubsetFont(pages, title = "Corrupt CMap")
+    // corrupt the CMap payload in several ways: truncated Flate, garbage
+    // bytes, and a stream stripped of its bfchar/bfrange sections
+    val variants = Seq(
+      good.replaceFirst("(?s)(/ToUnicode 5 0 R)", "/ToUnicode 99 0 R"), // dangling ref
+      { val i = good.indexOf("5 0 obj"); // truncate the CMap stream bytes
+        if (i >= 0) good.substring(0, i + 60) + "X" * 20 + good.substring(i + 80)
+        else good })
+    variants.zipWithIndex.foreach { case (v, i) =>
+      val d = PdfToSpans.extract(v) // must not throw
+      // the text decodes as raw codes (mojibake) or partially — but the
+      // structural pipeline (blocks, spans, validation) must survive
+      assert(graft.core.SpanTree.validate(d.spans).isEmpty, s"variant $i")
+    }
+    // random bytes in place of the whole document never crash either
+    val rnd = new java.util.Random(9)
+    (0 until 50).foreach { _ =>
+      val junk = "%PDF-1.4\n" + (0 until 400)
+        .map(_ => rnd.nextInt(256).toChar).mkString
+      PdfToSpans.extract(junk)
+    }
+  }
+
   test("PDF: /Info metadata — every string entry, classic and ObjStm-resident") {
     val pages = Seq(Seq(
       Block(Seq("metadata body paragraph with words")),
