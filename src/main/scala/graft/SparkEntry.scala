@@ -208,8 +208,9 @@ object SparkEntry {
         sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_unique"),
         sum(when(col("is_canonical") && col("quality_ok"), 1L)
           .otherwise(0L)).as("n_kept"),
+        // n_words is withQuality's own column — ONE word-count definition
         sum(when(col("is_canonical") && col("quality_ok"),
-          TextOps.wordCount(col("text")).cast("long"))
+          col("n_words").cast("long"))
           .otherwise(0L)).as("kept_words"))
     }),
 
@@ -619,9 +620,11 @@ object SparkEntry {
         |       CASE WHEN length(text) > 0 THEN round(CAST(punct AS DOUBLE) / length(text), 4) ELSE 0.0 END AS punct_ratio,
         |       CASE WHEN length(text) > 0 THEN round(CAST(digits AS DOUBLE) / length(text), 4) ELSE 0.0 END AS digit_ratio,
         |       CASE WHEN n_words > 0 THEN round(CAST(stop_hits AS DOUBLE) / n_words, 4) ELSE 0.0 END AS stopword_ratio,
+        |       -- the gate reads the 4-dp ROUNDED ratios (the Spark side
+        |       -- gates on its reported punct_ratio/stopword_ratio columns)
         |       (n_words BETWEEN 5 AND 100000)
-        |         AND (CASE WHEN length(text) > 0 THEN CAST(punct AS DOUBLE) / length(text) ELSE 0.0 END < 0.3)
-        |         AND (CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END > 0.0) AS quality_ok
+        |         AND (CASE WHEN length(text) > 0 THEN round(CAST(punct AS DOUBLE) / length(text), 4) ELSE 0.0 END < 0.3)
+        |         AND (CASE WHEN n_words > 0 THEN round(CAST(stop_hits AS DOUBLE) / n_words, 4) ELSE 0.0 END > 0.0) AS quality_ok
         |FROM (
         |  SELECT doc_id, text,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
@@ -722,8 +725,8 @@ object SparkEntry {
         |g AS (
         |  SELECT is_canonical, n_words,
         |    (n_words BETWEEN 5 AND 100000)
-        |      AND (CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END < 0.3)
-        |      AND (CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END > 0.0)
+        |      AND (CASE WHEN n_chars > 0 THEN round(CAST(punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END < 0.3)
+        |      AND (CASE WHEN n_words > 0 THEN round(CAST(stop_hits AS DOUBLE) / n_words, 4) ELSE 0.0 END > 0.0)
         |      AS quality_ok
         |  FROM q)
         |SELECT CAST(count(*) AS BIGINT) AS n_clean,

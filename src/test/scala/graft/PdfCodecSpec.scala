@@ -61,4 +61,17 @@ class PdfCodecSpec extends AnyFunSuite {
       assert(P.asciiHexDecode(F.hexEncode(d)).contains(d), s"hex seed=$seed n=$n")
     }
   }
+  test("parseCMap: section-less, unterminated, and empty inputs yield empty maps") {
+    // a structurally valid CMap with NO mapping sections -> empty map
+    // (buildFont then falls back to Latin-1), never a crash
+    assert(P.parseCMap("/CIDInit /ProcSet findresource begin endcmap end").map.isEmpty)
+    assert(P.parseCMap("2 beginbfchar <01>\n").map.isEmpty) // unterminated section
+    assert(P.parseCMap("").map.isEmpty)
+    // garbage between valid sections is skipped, valid entries survive
+    val mixed = P.parseCMap(
+      "1 begincodespacerange <00> <FF> endcodespacerange junk !! " +
+      "1 beginbfchar <41> <0042> endbfchar trailing ((")
+    assert(mixed.codeBytes == 1 && mixed.map == Map(0x41 -> "B"), mixed.toString)
+  }
+
 }

@@ -376,8 +376,10 @@ class PdfExtensionsSpec extends AnyFunSuite {
       Block(Seq("resilience body paragraph words")),
       Block(Seq("closing paragraph"))))
     val good = PdfFixture.pdfSubsetFont(pages, title = "Corrupt CMap")
-    // corrupt the CMap payload in several ways: truncated Flate, garbage
-    // bytes, and a stream stripped of its bfchar/bfrange sections
+    // (section-less / truncated CMap payloads are unit-covered in
+    // PdfCodecSpec, which can reach the private[extract] parser)
+    // corrupt the document-level CMap: a dangling /ToUnicode reference and
+    // truncated Flate stream bytes
     val variants = Seq(
       good.replaceFirst("(?s)(/ToUnicode 5 0 R)", "/ToUnicode 99 0 R"), // dangling ref
       { val i = good.indexOf("5 0 obj"); // truncate the CMap stream bytes
