@@ -97,10 +97,11 @@ private final class BroadcastSyntheticFetcher(
   *    broadcast at frontier scale; AQE picks sort-merge vs shuffled-hash);
   *  - dense seq assignment is sort + zipWithIndex — two linear passes, no
   *    single-partition window bottleneck (W3);
-  *  - per-host state: only the crawl-delay map (a long per host) lives on
-  *    the driver; the robots corpus stays in the `hosts` table and each
-  *    wave broadcasts compiled rules for JUST that wave's candidate hosts,
-  *    so driver memory and broadcast size track wave width, not crawl age.
+  *  - per-host state NEVER lives on the driver: crawl delays, per-domain
+  *    allowances AND robots rules are all columns joined in from the
+  *    `hosts` / `host_counts` tables; the only per-host driver collect is
+  *    the wave's newly-discovered hosts (their robots must be fetched),
+  *    which is O(new hosts) and zero on late waves.
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -115,45 +116,16 @@ final class CrawlEngine(
   private val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
     .getOrElse(throw new IllegalArgumentException(s"bad root url: ${config.rootUrl}"))
 
-  /** Size of the last wave's compiled-robots broadcast (test hook: asserts
-    * the broadcast is scoped to the wave's candidate hosts).
-    */
-  private[graft] var lastRobotsBroadcastSize: Int = -1
-
-  /** Size of the last wave's driver-side politeness host state (test
-    * hook). Since the cap/allowance computation moved into joins against
-    * the hosts / host_counts tables, the ONLY per-host data the driver
-    * touches is the wave's newly-discovered hosts (their robots must be
-    * fetched and staged) — O(new hosts), which goes to zero on late
-    * waves; caps themselves are columns, so this is O(1) politeness
-    * state with respect to both wave size and crawl age.
+  /** Size of the last wave's driver-side per-host state (test hook) —
+    * the ONLY per-host data the driver ever touches: the wave's
+    * newly-discovered hosts, whose robots must be fetched and staged.
+    * O(new hosts), which goes to zero on late waves. Caps, allowances
+    * AND robots rules are all join columns (hosts / host_counts tables),
+    * so driver memory is O(1) with respect to wave width (candidate
+    * hosts), frontier size, and crawl age — there is no robots broadcast
+    * and no per-candidate-host driver structure at any scale.
     */
   private[graft] var lastWaveDelayMapSize: Int = -1
-
-  /** Compiled robots rules for exactly `hosts`: freshly-fetched states
-    * first (not yet staged to the hosts table), the rest read back from
-    * the authoritative table — filtered, so the driver only ever holds
-    * this wave's rules.
-    */
-  private def compiledRobotsFor(hosts: Seq[String],
-      fresh: Seq[HostState]): Map[String, CompiledRobots] = {
-    val hostSet = hosts.toSet // Set lookups: driver work stays O(hosts)
-    val freshTxt = fresh.map(h => h.host -> h.robots_txt).toMap
-    val need = hosts.filterNot(freshTxt.contains)
-    val fromTable: Map[String, String] =
-      if (need.isEmpty) Map.empty
-      else {
-        val tbl = io.readAll("hosts", TableIO.HostsSchema)
-        // isin pushes down for modest host sets; a join scales past that
-        val filtered =
-          if (need.length <= 1024) tbl.filter(col("host").isin(need: _*))
-          else tbl.join(spark.createDataset(need.toSeq).toDF("host"), "host")
-        filtered.select(col("host"), col("robots_txt")).collect()
-          .map(r => r.getString(0) -> r.getString(1)).toMap
-      }
-    (freshTxt.view.filterKeys(hostSet.contains).toMap ++ fromTable)
-      .map { case (h, txt) => h -> CompiledRobots.of(txt) }
-  }
 
   // --- stop-condition / budget state (wave-synchronous contract shared
   // with SequentialOracle; all fields recoverable from tables/stats) ------
@@ -515,43 +487,47 @@ final class CrawlEngine(
     // every evaluated candidate becomes known — pass or fail (AddKnownUri)
     val seenAdds = notSeen.select($"url_hash")
 
-    // ONE job serves three needs: per-host candidate counts give (a) the
-    // wave's seen-added total (sum → the bloom engage threshold stat),
-    // (b) the wave's distinct candidate hosts scoping the robots
-    // broadcast, and (c) materialization of the persisted notSeen for
-    // downstream reuse. The collect is bounded by distinct hosts in the
-    // wave's link targets — the same order as frontierHosts, never URLs.
-    val candHostCounts = timed(wave, "cand-hosts")(
-      notSeen.groupBy($"host").agg(count(lit(1)).as("n"))
-        .as[(String, Long)].collect())
-    val seenAddedWave = candHostCounts.map(_._2).sum
+    // the wave's seen-added total is a scalar agg — it also materializes
+    // the persisted notSeen for downstream reuse. (The retired design
+    // collect()ed per-host candidate counts here to scope a robots
+    // broadcast — O(wave candidate hosts) through the driver, the last
+    // crawl structure that grew with wave width. Gone: robots rules are
+    // a join column now, below.)
+    val seenAddedWave = timed(wave, "cand-count")(notSeen.count())
 
-    // robots rules are needed only by the candidate-link filter below, so
-    // the broadcast is scoped to THIS WAVE'S candidate hosts. Hosts never
-    // seen before simply have no row in the hosts table, drop out of the
-    // scoped read, and pass as Empty (their robots are fetched when they
-    // become frontier — reference semantics); known hosts' robots come
-    // from the hosts TABLE, so neither the driver nor the broadcast ever
-    // holds the full robots corpus.
-    val robotsRules =
-      compiledRobotsFor(candHostCounts.map(_._1).toSeq, newHostStates)
-    lastRobotsBroadcastSize = robotsRules.size
-    val robotsBc = spark.sparkContext.broadcast(robotsRules)
+    // robots matching is a JOIN of candidates against the hosts TABLE on
+    // `host` (plus this wave's freshly-fetched states, not yet committed),
+    // with the pure matcher evaluated per row on the robots_txt column
+    // riding the join — fully distributed. Hosts never seen before have
+    // no table row, read null → Empty → pass (their robots are fetched
+    // when they become frontier — reference semantics). Neither the
+    // driver nor any broadcast ever holds the robots corpus or even this
+    // wave's slice of it; at a 10^7-candidate-host wave this stage costs
+    // the driver nothing. RobotsCache amortizes the per-row parse to once
+    // per distinct robots body per executor thread (same-host rows are
+    // contiguous after the join shuffle, so the memo hit rate is ~100%).
+    val freshRobots = newHostStates.map(h => (h.host, h.robots_txt))
+      .toDF("host", "robots_txt")
+    val robotsCols = hostsTbl.select($"host", $"robots_txt")
+      .unionByName(freshRobots) // fresh hosts have no table row yet: no dupes
 
     val scope = config.scope
     val root = rootCanon
     val maxDepth = config.maxDepth
     val userAgent = config.userAgent
     val excludesBc = spark.sparkContext.broadcast(excludedPrefixes)
-    val passesFilters = udf((url: String, host: String, parentDepth: Int) => {
+    val passesFilters = udf((url: String, robotsTxt: String, parentDepth: Int) => {
       parentDepth + 1 <= maxDepth &&
       ScopeFilter.shouldCrawl(scope, url, root) &&
-      robotsBc.value.getOrElse(host, CompiledRobots.Empty)
+      RobotsCache.compiled(robotsTxt)
         .allowed(UrlCanonicalizer.pathAndQuery(url), userAgent) &&
       !excludesBc.value.exists(url.startsWith)
     })
     val perPage = Window.partitionBy($"parent_seq").orderBy($"link_index")
-    val passing = notSeen.filter(passesFilters($"url", $"host", $"parent_depth"))
+    val passing = notSeen
+      .join(robotsCols, Seq("host"), "left")
+      .filter(passesFilters($"url", coalesce($"robots_txt", lit("")), $"parent_depth"))
+      .drop("robots_txt")
       .filter($"redirect_position" <= config.maxRedirects) // chain bound
       .withColumn("page_rank", row_number().over(perPage))
       .filter($"page_rank" <= config.maxLinksPerPage).drop("page_rank")

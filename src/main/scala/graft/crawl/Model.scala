@@ -240,6 +240,38 @@ object CompiledRobots {
     if (content == null || content.isEmpty) Empty else CompiledRobots(RobotsTxt.parse(content))
 }
 
+/** Executor-side compiled-robots memo for the per-row candidate filter:
+  * robots matching is a JOIN of candidates against the hosts table on
+  * `host` (the robots_txt column rides the join), so the pure matcher
+  * runs per candidate row — this memo makes the parse amortize to once
+  * per distinct robots body per thread. Keyed by the robots TEXT (never
+  * the host) so a host whose robots change across crawls in one JVM can
+  * never be served stale rules, and thread-local so 32 concurrent tasks
+  * share nothing (no lock on the hot path). Bounded LRU: memory is
+  * O(256 parsed rule sets) per thread regardless of crawl age.
+  */
+object RobotsCache {
+  private val local =
+    new ThreadLocal[java.util.LinkedHashMap[String, RobotsTxt.Parsed]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, RobotsTxt.Parsed](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, RobotsTxt.Parsed]): Boolean =
+            size() > 256
+        }
+    }
+
+  def compiled(txt: String): RobotsTxt.Parsed = {
+    if (txt == null || txt.isEmpty) RobotsTxt.Empty
+    else {
+      val m = local.get()
+      var p = m.get(txt)
+      if (p == null) { p = RobotsTxt.parse(txt); m.put(txt, p) }
+      p
+    }
+  }
+}
+
 /** CrawlConfig ↔ JSON for warehouse persistence — the reference's
   * `_wordslab/config.txt` round-trip (`WebsiteExtractorParams.cs:139-199`):
   * a resumed crawl re-reads its persisted parameters and re-applies any

@@ -144,10 +144,13 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(seenOf(io) == seenOf(fullIo))
   }
 
-  test("robots broadcast is scoped to the wave's candidate hosts, not crawl age") {
-    // many hosts, narrow tree links: late waves only touch a few hosts, so
-    // a wave-scoped broadcast must be SMALLER than the known-host set there
-    // (the unscoped design re-broadcast every host ever seen, every wave)
+  test("driver per-host state is O(new hosts): no robots broadcast, no candidate-host collect") {
+    // many hosts, narrow tree links: late waves only touch a few hosts.
+    // Since round 6, robots rules are a JOIN column (candidates ⋈ hosts
+    // table) and the seen-added total is a scalar agg, so the ONLY
+    // per-host driver structure left is the newly-discovered-host robots
+    // fetch list — which must sum to exactly one fetch per host ever and
+    // hit zero on late waves.
     val sSite = SyntheticWeb.generate(SyntheticWeb.Spec(
       hosts = 6, pagesPerHost = 5, hotHostFactor = 1, fanout = 2,
       treeLinks = true, sharedDomain = true))
@@ -158,35 +161,69 @@ class CrawlParitySpec extends AnyFunSuite {
     val io = new TableIO(wh, spark)
     val engine = new CrawlEngine(spark, io, sConfig,
       new SyntheticFetcher(sSite.pages, sSite.robots), numPartitions = 4)
-    val sizes = scala.collection.mutable.Buffer.empty[Int]
     val delaySizes = scala.collection.mutable.Buffer.empty[Int]
     var hadWork = true
     var wave = 0
     while (hadWork && wave < 40) {
       hadWork = engine.run(maxWavesThisRun = 1) > 0
-      if (hadWork) { sizes += engine.lastRobotsBroadcastSize
-        delaySizes += engine.lastWaveDelayMapSize }
+      if (hadWork) delaySizes += engine.lastWaveDelayMapSize
       wave += 1
     }
     val totalHosts = sSite.pages.values.map(_.host).toSet.size
     assert(totalHosts >= 6)
-    assert(sizes.forall(_ <= totalHosts))
-    assert(sizes.last < totalHosts,
-      s"final-wave broadcast ${sizes.last} not scoped below $totalHosts hosts")
-    // driver politeness state is O(NEW hosts) only: caps/allowances are
-    // join columns now, so once every host is discovered the driver holds
-    // ZERO per-host politeness state (the retired cap-map design held
-    // O(wave hosts) per wave)
     assert(delaySizes.forall(_ <= totalHosts))
     assert(delaySizes.last == 0,
-      s"final wave fetched ${delaySizes.last} robots — driver politeness " +
+      s"final wave fetched ${delaySizes.last} robots — driver per-host " +
         "state must be empty once all hosts are known")
     assert(delaySizes.sum <= totalHosts,
       s"robots fetched ${delaySizes.sum} times for $totalHosts hosts")
-    // parity is unaffected by the scoping
+    // parity is unaffected: robots STILL filter candidates identically
+    // (the site generator plants disallow rules — seen-set equality below
+    // fails if the joined matcher diverges from the oracle's)
     assert(seenOf(io) == sOracle.seen)
     assert(io.readAll("documents", TableIO.DocumentsSchema).count() ==
       sOracle.documents.size)
+  }
+
+  test("a wave with thousands of distinct candidate hosts keeps driver state O(new hosts)") {
+    // one root page fanning out to 2000 pages on 2000 DISTINCT hosts: the
+    // retired design collected per-host candidate counts + a compiled-
+    // robots map for every candidate host before the wave could filter
+    // links (2000 driver entries here; 10^7 at a real frontier). The join
+    // design collects nothing at candidate scale — wave 0 discovers ONE
+    // host (the root's), so the driver per-host list is exactly 1 even
+    // though 2000 candidate hosts flow through the robots filter.
+    val n = 2000
+    val hostOf = (i: Int) => s"h$i.wide.example.com"
+    val leafUrl = (i: Int) => s"https://${hostOf(i)}/p"
+    val rootUrl = "https://wide.example.com/"
+    val links = (0 until n).map(i => s"""<a href="${leafUrl(i)}">l$i</a>""").mkString
+    val rootPage = SyntheticPage(rootUrl, "wide.example.com", 200, "text/html",
+      null, s"<html><head><title>w</title></head><body><p>root fan</p>$links</body></html>")
+    val leafPages = (0 until n).map { i =>
+      leafUrl(i) -> SyntheticPage(leafUrl(i), hostOf(i), 200, "text/html", null,
+        s"<html><head><title>l$i</title></head><body><p>leaf $i text</p></body></html>")
+    }.toMap
+    val wideSite = SyntheticWeb.Site(
+      leafPages + (rootUrl -> rootPage), Map.empty, Map.empty, rootUrl)
+    // disallow robots on half the hosts AFTER they are discovered is not
+    // possible (no robots rows exist until a host reaches the frontier),
+    // so candidate-time filtering must pass all — reference semantics.
+    val wideConfig = CrawlConfig(rootUrl = rootUrl, scope = ScopeFilter.Domain,
+      waveBudgetMs = 600000L, maxWaves = 4, maxLinksPerPage = n + 1)
+    val wOracle = SequentialOracle.crawl(wideSite, wideConfig)
+    val wh = Files.createTempDirectory("graft-wide-hosts").toString
+    val io = new TableIO(wh, spark)
+    val engine = new CrawlEngine(spark, io, wideConfig,
+      new SyntheticFetcher(wideSite.pages, wideSite.robots), numPartitions = 4)
+    engine.run(maxWavesThisRun = 1) // wave 0: root fetch, n candidate hosts
+    assert(engine.lastWaveDelayMapSize == 1,
+      s"wave 0 must collect only the root host, got ${engine.lastWaveDelayMapSize}")
+    engine.run() // finish; wave 1 discovers the n leaf hosts (robots fetch)
+    assert(engine.lastWaveDelayMapSize <= n)
+    assert(seenOf(io) == wOracle.seen)
+    assert(io.readAll("documents", TableIO.DocumentsSchema).count() ==
+      wOracle.documents.size)
   }
 
   test("legacy warehouse resume: frontier staged without retry/redirect columns") {
