@@ -64,6 +64,7 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.filter(n => subset.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       // a FAILED rep must not enter the min — an exception thrown after
@@ -79,7 +80,11 @@ object Bench {
         if (ok) sec else -sec
       }
       val succeeded = times.filter(_ >= 0)
-      results(name) = if (succeeded.nonEmpty) succeeded.min else -1.0
+      // an all-reps-failed query is recorded as JSON null in the per-query
+      // map plus an explicit "failed" list — never a numeric sentinel that
+      // downstream sums/diffs could silently absorb
+      if (succeeded.nonEmpty) results(name) = succeeded.min
+      else failed += name
       samples(name) = times
     }
 
@@ -89,16 +94,18 @@ object Bench {
     if (!skipCrawl) results("crawl") = crawlSec
     val pagesPerSec = if (crawlSec > 0) pages / crawlSec else 0.0
 
-    // -1 sentinels (all reps failed) must not subtract from the headline
-    // total — a fully-failing query invalidates comparability, it doesn't
-    // make the run faster
-    val total = results.values.filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // failed queries are absent from `results`, so the headline total only
+    // sums real timings — a fully-failing query invalidates comparability,
+    // it doesn't make the run faster
+    val total = results.values.sum
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" } ++
+        failed.map(k => "\"" + k + "\":null"))
       .mkString("{", ",", "}")
     val ss = samples.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"}}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"}}""")
     spark.stop()
   }
 

@@ -173,6 +173,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
   }
 
+  /** Exact n-gram Jaccard for GIVEN candidate pairs — the verification
+    * stage a near-dup pipeline runs after approximate candidate generation
+    * (MinHash-LSH emits candidates; survivors are decided by the exact
+    * measure — Leskovec et al., MMDS §3.4, public material). Each side's
+    * distinct shingle set joins in by id and matches count per pair, so
+    * cost is linear in the pair members' shingle counts — never
+    * corpus-quadratic — and the math is fully oracle-expressible in SQL.
+    * Returns (id_a, id_b, jaccard) for EVERY input pair (no threshold:
+    * callers filter).
+    */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    val sizes = sets.select(col("id"), size(col("shs")).as("n_sh"))
+    val ex = sets.select(col("id"), explode(col("shs")).as("sh"))
+    val inter = pairs
+      .join(ex.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))), 6)
+          .as("jaccard"))
+  }
+
   /** Plain-Scala SimHash kernel (Charikar, STOC 2002 — public): sign-sum of
     * per-token hash bits, tokens = lowercased whitespace words, token hash =
     * XXH64(UTF-8, seed 42) — the same family as Spark's builtin xxhash64.

@@ -58,6 +58,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardForPairs: exact n-gram jaccard for given pairs, hand oracle") {
+    // trigram sets: doc 1 {a b c, b c d}, doc 2 {a b c, b c e} → inter 1,
+    // union 3; doc 3 shares nothing with doc 1 → jaccard 0 (left-join
+    // coalesce path); doc 4 == doc 1 → jaccard 1
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.size == 3)
+    assert(out((1L, 2L)) == 0.333333)
+    assert(out((1L, 3L)) == 0.0)
+    assert(out((1L, 4L)) == 1.0)
+  }
+
+  test("pq/ivfpq exactness configs equal brute force on the sf corpus") {
+    // the q_pq_exact / q_ivfpq_exact driver configurations (rerank =
+    // corpus; nprobe = nlist) must EQUAL bruteForceTopK row-for-row —
+    // this is what licenses sharing the q_cosine_topk DuckDB oracle
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5))
+    val pq = rows(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, rerank = Int.MaxValue))
+    val ivfpq = rows(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, iterations = 2,
+      rerank = Int.MaxValue))
+    assert(pq == brute, "pq at rerank=corpus diverges from brute force")
+    assert(ivfpq == brute, "ivfpq at nprobe=nlist+rerank=corpus diverges")
+  }
+
   test("simhash: identical texts → hamming 0; near-dups close; random far") {
     assert(Dedup.simHash64("hello world foo") == Dedup.simHash64("hello world foo"))
     val a = (0 until 40).map(i => s"tok$i").mkString(" ")
