@@ -324,4 +324,47 @@ class LangIdSpec extends AnyFunSuite {
     assert(LangId.detect("zzz qqq xxx") == "?")
     assert(LangId.detect("word") == "?")
   }
+
+  // held-out sentences — none appear in LangId's training corpora; the
+  // n-gram model must beat the retired stopword heuristic on them
+  // (VERDICT_r05 next-round #3 "measurably better accuracy" criterion)
+  private val heldOut = Seq(
+    "en" -> "He walked slowly across the bridge because the river below was frozen.",
+    "en" -> "Our team will present the results of the experiment next week.",
+    "en" -> "Several players left the field early after the heavy rain started.",
+    "fr" -> "Nous avons mangé du pain et du fromage avant de partir en vacances.",
+    "fr" -> "La bibliothèque ferme ses portes à dix-huit heures tous les soirs.",
+    "fr" -> "Son frère travaille depuis longtemps dans une petite usine du nord.",
+    "de" -> "Der Zug fährt morgen früh um sieben Uhr vom Hauptbahnhof ab.",
+    "de" -> "Meine Schwester wohnt seit drei Jahren in einer kleinen Stadt am See.",
+    "de" -> "Wir haben gestern Abend zusammen gekocht und lange geredet.",
+    "es" -> "Los estudiantes terminaron sus tareas antes de salir al parque.",
+    "es" -> "Mañana vamos a visitar a nuestros abuelos en el pueblo.",
+    "es" -> "La lluvia cayó durante toda la noche sobre los tejados viejos.",
+    "it" -> "Domani andremo al mercato per comprare frutta e verdura fresca.",
+    "it" -> "Il treno parte alle otto e arriva a Roma nel pomeriggio.",
+    "pt" -> "Amanhã vamos ao mercado comprar frutas e legumes frescos.",
+    "pt" -> "O comboio parte às oito e chega ao Porto durante a tarde.",
+    "nl" -> "Morgen gaan we naar de markt om vers fruit en groente te kopen.",
+    "nl" -> "De trein vertrekt om acht uur en komt in de middag in Amsterdam aan.")
+
+  test("n-gram model beats the stopword heuristic on held-out sentences") {
+    val ct = heldOut.count { case (want, txt) => LangId.detect(txt) == want }
+    val sw = heldOut.count { case (want, txt) => LangId.stopwordHeuristic(txt) == want }
+    assert(ct > sw, s"Cavnar-Trenkle $ct/${heldOut.size} not better than stopwords $sw")
+    assert(ct >= heldOut.size - 1, s"n-gram accuracy $ct/${heldOut.size} below floor")
+  }
+
+  test("non-Latin scripts map deterministically") {
+    assert(LangId.detect("Поезд отправляется завтра утром в семь часов.") == "ru")
+    assert(LangId.detect("明天早上七点火车从主要车站出发。") == "zh")
+    assert(LangId.detect("΄Ολοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι.") == "el")
+    assert(LangId.detect("كل الناس يولدون أحرارا ومتساوين في الكرامة والحقوق.") == "ar")
+    assert(LangId.detect("すべての人間は生まれながらにして自由である。") == "ja")
+    assert(LangId.detect("모든 인간은 태어날 때부터 자유롭다.") == "ko")
+  }
+
+  test("random-keyboard gibberish abstains") {
+    assert(LangId.detect("qwrtp zxcvb mnbvc lkjhg") == "?")
+  }
 }
