@@ -656,7 +656,8 @@ final class CrawlEngine(
         $"content_type", $"no_follow", $"is_error", $"retry_count",
         size($"out_links").as("n_links"), size($"spans").as("n_spans"),
         $"total_words", round($"fetch_ms", 3).as("fetch_ms"),
-        round($"extract_ms", 3).as("extract_ms"))
+        round($"extract_ms", 3).as("extract_ms"),
+        round($"css_ms", 3).as("css_ms"))
       staged("stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
     }
     if (errorsWave > 0) {
@@ -797,8 +798,11 @@ object CrawlEngine {
       cssCache: scala.collection.mutable.Map[String, String] = null): FetchedPage = {
     val t0 = System.nanoTime()
     val resp = fetcher.fetch(e.url, e.retry_count)
+    val t1 = System.nanoTime()
     // same-host stylesheets fetched in the SAME paced partition (CssFetch:
-    // the per-partition cache makes this one request per sheet per task)
+    // the per-partition cache makes this one request per sheet per task);
+    // timed SEPARATELY so fetch_ms stays the page-fetch latency and crawl
+    // pages-per-sec remains comparable with pre-CSS rounds (ADVICE r05)
     val css =
       if (cssCache != null && resp.status == 200 &&
           resp.contentType == "text/html" && resp.body.nonEmpty)
@@ -807,11 +811,11 @@ object CrawlEngine {
           (r.status, r.contentType, r.body)
         }, cssCache)
       else ""
-    val t1 = System.nanoTime()
+    val t2 = System.nanoTime()
     FetchedPage(e.url, e.url_hash, e.host, e.parent_url, e.seq, e.depth, e.wave,
       resp.status, resp.contentType, resp.redirectTo, resp.body, (t1 - t0) / 1e6,
       e.retry_count, resp.retryAfterSec, e.redirect_position,
-      resp.errorClass, resp.errorMessage, resp.errorStack, css)
+      resp.errorClass, resp.errorMessage, resp.errorStack, css, (t2 - t1) / 1e6)
   }
 
   /** Extract one fetched page — the CPU-bound unit of work run in the
@@ -873,7 +877,8 @@ object CrawlEngine {
       p.status, p.content_type, title, spans, outLinks, noFollow,
       p.fetch_ms, (t2 - t1) / 1e6, partitionId, totalWords, lang, isError,
       p.parent_url, p.retry_count, p.retry_after_sec, p.redirect_position,
-      if (p.body == null) 0 else p.body.length, errClass, errMsg, errStack)
+      if (p.body == null) 0 else p.body.length, p.css_ms,
+      errClass, errMsg, errStack)
   }
 
   /** Bucket of a url_hash for partition-local seen-cache filters. */

@@ -14,8 +14,9 @@ import scala.collection.mutable
   * Guard rails for a 10^10-URL crawl:
   *  - SAME-HOST only (cross-origin sheets are someone else's crawl budget
   *    and someone else's politeness);
-  *  - content-type gated to `text/css` (an empty type is tolerated for
-  *    test fetchers that don't model headers);
+  *  - content-type gated to `text/css` (a MISSING type is tolerated only
+  *    when the URL path ends in .css, so header-less test fetchers work
+  *    but an arbitrary typeless 200 is never evaluated as CSS);
   *  - at most `MaxSheetsPerPage` sheets, `MaxCssChars` total text per page
   *    (the text rides the fetch→extract shuffle — it must stay bounded);
   *  - a PER-PARTITION cache, so a host's shared sheet is fetched once per
@@ -81,7 +82,12 @@ object CssFetch {
         val css = cache.getOrElseUpdate(u, {
           val (status, contentType, body) = fetch(u)
           val mime = HttpFetcher.mimeOf(contentType)
-          if (status == 200 && (mime == "text/css" || mime == ""))
+          // a missing Content-Type is tolerated ONLY when the URL path
+          // itself says .css — a header-less fetcher (tests) still works,
+          // but an arbitrary 200 with no type is never evaluated as CSS
+          val cssByPath =
+            UrlCanonicalizer.pathAndQuery(u).takeWhile(_ != '?').endsWith(".css")
+          if (status == 200 && (mime == "text/css" || (mime == "" && cssByPath)))
             body.take(MaxCssChars)
           else ""
         })

@@ -70,7 +70,14 @@ final case class FetchedPage(
     error_stack: String = null,   // transport exception stack (first frames)
     // same-host <link rel=stylesheet> text fetched alongside the page,
     // capped (CssFetch.MaxCssChars) — feeds the hidden-element filter
-    css: String = "")
+    css: String = "",
+    // stylesheet-fetch time, kept SEPARATE from fetch_ms so per-page fetch
+    // latency stays comparable with pre-CSS rounds (ADVICE r05). NOTE: the
+    // per-host wave budget (waveBudgetMs / crawlDelay) counts PAGES only;
+    // up to MaxSheetsPerPage extra CSS requests per host per task are a
+    // documented under-count (the per-partition cache makes them one per
+    // sheet per task in practice)
+    css_ms: Double = 0.0)
 
 /** Result of fetching+extracting one page inside the fetch mapPartitions. */
 final case class PageResult(
@@ -97,6 +104,7 @@ final case class PageResult(
     retry_after_sec: Int,
     redirect_position: Int,
     content_chars: Int, // body size (chars) — the size-on-disk stop proxy
+    css_ms: Double = 0.0, // stylesheet-fetch time (excluded from fetch_ms)
     // error detail (S9 errors log): transport exception class/message for
     // status < 0, "HttpStatus"/"HTTP <code>" for HTTP-level errors, nulls
     // on success — the WHY of each error row, persisted per wave

@@ -196,7 +196,8 @@ object TableIO {
   val FetchLogSchema =
     "wave int, seq bigint, url string, host string, depth int, status int, " +
     "content_type string, no_follow boolean, is_error boolean, retry_count int, " +
-    "n_links int, n_spans int, total_words bigint, fetch_ms double, extract_ms double"
+    "n_links int, n_spans int, total_words bigint, fetch_ms double, " +
+    "extract_ms double, css_ms double"
   val ErrorsSchema =
     "wave int, seq bigint, url string, host string, status int, " +
     "error_class string, error_message string, error_stack string, retry_count int"

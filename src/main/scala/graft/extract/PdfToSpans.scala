@@ -225,13 +225,47 @@ object PdfToSpans {
     */
   private final case class RawStream(dict: String, data: String, objNum: Int = -1)
 
-  private val ObjHeaderRe = "(\\d+)\\s+\\d+\\s+obj\\s*$".r
-
-  /** Object number of the "N G obj" header immediately before `ds`. */
-  private def objNumBefore(pdf: String, ds: Int): Int =
-    if (ds <= 0) -1
-    else ObjHeaderRe.findFirstMatchIn(pdf.substring(math.max(0, ds - 48), ds))
-      .map(_.group(1).toInt).getOrElse(-1)
+  /** Object number of the "N G obj" header immediately before `ds`,
+    * scanning backwards over whitespace runs and %-comment lines (a fixed
+    * lookback window used to miss headers a writer separated from `<<` by
+    * long comments, silently unbinding the stream — the font or /ToUnicode
+    * it carried then degraded to Latin-1 mojibake). The scan is bounded at
+    * 4 kB so a malformed file can't make it quadratic.
+    */
+  private[graft] def objNumBefore(pdf: String, ds: Int): Int = {
+    if (ds <= 0) return -1
+    val floor = math.max(0, ds - 4096)
+    def isWs(c: Char) =
+      c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0.toChar
+    var i = ds - 1
+    // skip trailing whitespace and whole %-comment tails between the
+    // header and the dict (comments run from '%' to end of line)
+    var scanning = true
+    while (scanning && i >= floor) {
+      while (i >= floor && isWs(pdf.charAt(i))) i -= 1
+      if (i < floor) scanning = false
+      else {
+        // a '%' on this line comments out the rest of it — resume just
+        // before the '%' (the header itself may share the comment's line:
+        // "12 0 obj  % note")
+        val lineStart = pdf.lastIndexOf('\n', i) + 1
+        val pct = pdf.indexOf('%', lineStart)
+        if (pct >= 0 && pct <= i) i = pct - 1 else scanning = false
+      }
+    }
+    if (i - 2 < floor || !pdf.regionMatches(i - 2, "obj", 0, 3)) return -1
+    i -= 3
+    while (i >= floor && isWs(pdf.charAt(i))) i -= 1
+    val genEnd = i // generation digits ("N G obj" requires both numbers)
+    while (i >= floor && pdf.charAt(i).isDigit) i -= 1
+    if (i == genEnd) return -1
+    while (i >= floor && isWs(pdf.charAt(i))) i -= 1
+    val numEnd = i
+    while (i >= floor && pdf.charAt(i).isDigit) i -= 1
+    if (i == numEnd) return -1
+    try pdf.substring(i + 1, numEnd + 1).toInt
+    catch { case _: NumberFormatException => -1 }
+  }
 
   // the (\s+\d+\s+R)? tail detects an INDIRECT length ("/Length 5 0 R" —
   // common in real PDFs, where the writer backfills the length after the

@@ -83,11 +83,12 @@ class GraftFacadeSpec extends AnyFunSuite {
       s"metrics words $metricsWords vs doc words $docWords")
     assert(Graft.seenHashes(spark, wh).count() >= r.pagesCrawled)
     assert(Graft.hostStates(spark, wh).count() == 1)
-    // request log (S9): one row per fetched page, 15 columns
+    // request log (S9): one row per fetched page, 16 columns (css_ms is
+    // timed separately so fetch_ms stays the page-fetch latency)
     val log = Graft.fetchLog(spark, wh)
     assert(log.count() == r.pagesCrawled)
-    assert(log.columns.length == 15 && log.columns.contains("fetch_ms")
-      && log.columns.contains("retry_count"))
+    assert(log.columns.length == 16 && log.columns.contains("fetch_ms")
+      && log.columns.contains("css_ms") && log.columns.contains("retry_count"))
 
     // per-document file-tree export (C8): three files per doc under the
     // reference's URL-derived layout, written partition-parallel

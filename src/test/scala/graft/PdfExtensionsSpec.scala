@@ -457,4 +457,21 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(pdfRows.nonEmpty)
   }
 
+  test("objNumBefore: header separated from << by comments/whitespace") {
+    // the old 48-char window missed headers pushed away by comments and
+    // silently unbound the stream (ADVICE r05): token-scan must find them
+    val pdf = "x\n12 0 obj  % writer note that runs on and on and on\n" +
+      "% second comment line padding the gap well past fifty chars\n   \n"
+    assert(PdfToSpans.objNumBefore(pdf + "<<", pdf.length) == 12)
+    // no header at all -> -1 (never a number scavenged from data)
+    val noHdr = "some stream data 99 then nothing\n   "
+    assert(PdfToSpans.objNumBefore(noHdr + "<<", noHdr.length) == -1)
+    // missing generation number is not a header
+    val badHdr = "7 obj\n"
+    assert(PdfToSpans.objNumBefore(badHdr + "<<", badHdr.length) == -1)
+    // plain adjacent header still works
+    val plain = "3 0 obj\n"
+    assert(PdfToSpans.objNumBefore(plain + "<<", plain.length) == 3)
+  }
+
 }
