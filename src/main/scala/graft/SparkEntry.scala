@@ -546,9 +546,10 @@ object SparkEntry {
         // uncompressed, /FlateDecode, PDF 1.5 (ObjStm + xref stream +
         // indirect lengths), an ASCII85+Flate filter chain, an embedded
         // SUBSET font (/ToUnicode CMap; glyph codes ≠ char codes — 1-byte
-        // and 2-byte CID variants), and a /Differences-remapped simple
-        // font; extraction must be identical across all of them
-        val body = (i % 6) match {
+        // and 2-byte CID variants), a /Differences-remapped simple font,
+        // and an embedded /Subtype /Image XObject (Media.Image spans);
+        // text extraction must be identical across all of them
+        val body = (i % 7) match {
           case 0 => PdfFixture.pdf(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
           case 1 => PdfFixture.pdf(pages, title = s"Fixture $i",
@@ -562,8 +563,10 @@ object SparkEntry {
           case 4 => PdfFixture.pdfSubsetFont(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true,
             twoByte = i >= 8)
-          case _ => PdfFixture.pdfDifferencesFont(pages, title = s"Fixture $i",
+          case 5 => PdfFixture.pdfDifferencesFont(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
+          case _ => PdfFixture.pdfWithImage(pages, title = s"Fixture $i",
+            imageW = 100 + i, imageH = 60 + i)
         }
         (s"pdf_$i", body)
       }
@@ -572,8 +575,9 @@ object SparkEntry {
         (id, d.title, d.spans.size,
           d.spans.count(_.kind == "Section.Start"),
           d.spans.count(_.kind == "TextBlock.Text"),
+          d.spans.count(_.kind == "Media.Image"),
           d.spans.exists(sp => sp.text.contains("Running Header") || sp.text.startsWith("Page ")))
-      }.toDF("doc_id", "title", "n_spans", "n_sections", "n_blocks", "has_decoration")
+      }.toDF("doc_id", "title", "n_spans", "n_sections", "n_blocks", "n_media", "has_decoration")
     })
   )
 

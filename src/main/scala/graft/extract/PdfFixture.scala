@@ -404,6 +404,46 @@ object PdfFixture {
     * Flate content obj) from id 6; every page binds /F1 → 4 0 R in its
     * /Resources.
     */
+  /** Document with an embedded /Subtype /Image XObject drawn on every page
+    * at `imageY` between the text blocks (`q W 0 0 H 72 Y cm /Im1 Do Q`),
+    * exercising the Media.Image span path: resources carry
+    * /XObject << /Im1 N 0 R >>, the image stream's dict carries the dims,
+    * and the payload is deterministic opaque bytes the extractor must NOT
+    * read (only the dict surfaces).
+    */
+  def pdfWithImage(pages: Seq[Seq[Block]], title: String = "",
+      imageW: Int = 120, imageH: Int = 80, imageY: Double = 500.0): String = {
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, "", pageNumbers = false) +
+        f"q $imageW 0 0 $imageH 72 $imageY%.1f cm /Im1 Do Q\n"
+    }
+    val imgData = ("GRAY" * ((imageW * imageH + 3) / 4)).take(imageW * imageH)
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val n = contents.length
+    val kids = (0 until n).map(i => s"${5 + i * 2} 0 R").mkString(" ")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    sb.append(s"3 0 obj ${infoDict(title, Map.empty)} endobj\n")
+    sb.append(s"4 0 obj << /Type /XObject /Subtype /Image /Width $imageW " +
+      s"/Height $imageH /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+      s"/Length ${imgData.length} >> stream\n")
+    sb.append(imgData)
+    sb.append("\nendstream endobj\n")
+    contents.zipWithIndex.foreach { case (c, i) =>
+      val pageId = 5 + i * 2
+      val contentId = pageId + 1
+      sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /Contents $contentId 0 R " +
+        "/Resources << /XObject << /Im1 4 0 R >> >> " +
+        "/MediaBox [0 0 612 792] >> endobj\n")
+      sb.append(s"$contentId 0 obj << /Length ${c.length} >> stream\n")
+      sb.append(c)
+      sb.append("\nendstream endobj\n")
+    }
+    sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
+    sb.toString
+  }
+
   private def assembleWithFont(contents: Seq[String], title: String,
       info: Map[String, String], fontObj: String,
       cmapObj: Option[String]): String = {

@@ -43,7 +43,16 @@ object PdfToSpans {
 
   final case class TextLine(x: Double, y: Double, fontSize: Double, text: String)
 
-  final case class Block(lines: Vector[TextLine]) {
+  /** One /Subtype /Image XObject binding: resource name + dims from its
+    * stream dict (the bytes stay in the PDF — the span carries a typed
+    * reference, mirroring the HTML path's src-only Media.Image spans).
+    */
+  final case class ImageRef(name: String, width: Int, height: Int)
+
+  /** A layout block: consecutive text lines, OR one drawn image (`image`
+    * set, `lines` holding its draw position with fontSize 0).
+    */
+  final case class Block(lines: Vector[TextLine], image: Option[ImageRef] = None) {
     def text: String = lines.map(_.text).mkString(" ")
     def firstLineHeight: Double = lines.head.fontSize
     def xLeft: Double = lines.map(_.x).min
@@ -64,9 +73,10 @@ object PdfToSpans {
     val streams = rawStreams(pdf)
     val cat = new Catalog(pdf, streams)
     val info = docInfoIn(pdf, cat)
-    val (fontsByContent, globalFonts) = pageFontsOf(cat)
+    val (bindByContent, globalBind) = pageBindingsOf(cat)
     val pages = contentStreamPairsOf(streams).map { case (num, c) =>
-      parsePage(c, fontsByContent.getOrElse(num, globalFonts))
+      val (fonts, images) = bindByContent.getOrElse(num, globalBind)
+      parsePage(c, fonts, images)
     }
     val blocks = removeDecorations(pages).flatten
     ExtractedDoc(info.getOrElse("Title", ""), buildSpans(blocks),
@@ -955,10 +965,18 @@ object PdfToSpans {
     * bindings as the fallback for content streams no page dict claims
     * (xref-free fixtures whose pages the raw scan can miss).
     */
-  private def pageFontsOf(
-      cat: Catalog): (Map[Int, Map[String, PdfFont]], Map[String, PdfFont]) = {
-    val perContent = mutable.Map.empty[Int, Map[String, PdfFont]]
-    val global = mutable.Map.empty[String, PdfFont]
+  /** Per-page resource bindings: the font decoders AND the /Subtype /Image
+    * XObjects reachable from each page's /Resources, keyed by the page's
+    * content-stream object numbers (plus a global fallback for xref-free
+    * fixtures whose pages can't be bound).
+    */
+  private def pageBindingsOf(cat: Catalog):
+      (Map[Int, (Map[String, PdfFont], Map[String, ImageRef])],
+       (Map[String, PdfFont], Map[String, ImageRef])) = {
+    val perContent =
+      mutable.Map.empty[Int, (Map[String, PdfFont], Map[String, ImageRef])]
+    val gFonts = mutable.Map.empty[String, PdfFont]
+    val gImages = mutable.Map.empty[String, ImageRef]
     cat.bodies.toVector.sortBy(_._1).foreach { case (_, body) =>
       if (PageTypeRe.findFirstIn(body).isDefined &&
           PagesTypeRe.findFirstIn(body).isEmpty) {
@@ -970,15 +988,59 @@ object PdfToSpans {
             .flatMap(r => cat.body(r.group(1).toInt))
         }
         val fonts = res.map(fontBindingsIn(cat, _)).getOrElse(Map.empty)
-        if (fonts.nonEmpty) {
-          global ++= fonts
+        val images = res.map(imageBindingsIn(cat, _)).getOrElse(Map.empty)
+        if (fonts.nonEmpty || images.nonEmpty) {
+          gFonts ++= fonts
+          gImages ++= images
           ContentsRe.findFirstMatchIn(body).toSeq.flatMap(m =>
             RefNumRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
-            .foreach(c => perContent(c) = fonts)
+            .foreach(c => perContent(c) = (fonts, images))
         }
       }
     }
-    (perContent.toMap, global.toMap)
+    (perContent.toMap, (gFonts.toMap, gImages.toMap))
+  }
+
+  private val SubtypeImageRe = "/Subtype\\s*/Image\\b".r
+  private val WidthRe = "/Width\\s+(\\d+)".r
+  private val HeightRe = "/Height\\s+(\\d+)".r
+
+  /** `/Im1 9 0 R` bindings of a /XObject resource dict whose target is a
+    * /Subtype /Image stream: name + /Width //Height from the stream dict
+    * (the image BYTES stay in the PDF — only the typed reference surfaces,
+    * as a Media.Image span at the draw position). Form XObjects and other
+    * subtypes are ignored.
+    */
+  private def imageBindingsIn(cat: Catalog,
+      resources: String): Map[String, ImageRef] = {
+    val xi = resources.indexOf("/XObject")
+    if (xi < 0) return Map.empty
+    var k = xi + "/XObject".length
+    while (k < resources.length && resources.charAt(k).isWhitespace) k += 1
+    val xDict =
+      if (k + 1 < resources.length && resources.charAt(k) == '<' &&
+          resources.charAt(k + 1) == '<') Some(balancedDict(resources, k))
+      else RefNumRe.findPrefixMatchOf(resources.substring(k))
+        .flatMap(r => cat.body(r.group(1).toInt))
+    xDict.map { xd =>
+      val out = mutable.Map.empty[String, ImageRef]
+      "/([A-Za-z0-9_.+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(xd).foreach { m =>
+        val name = m.group(1)
+        val num = m.group(2).toInt
+        // cat.bodies holds only the DICT text for top-level stream objects;
+        // body(num) (full object incl. data) is the xref-resolved fallback
+        cat.bodies.get(num).orElse(cat.body(num)).foreach { b =>
+          val sk = b.indexOf("stream")
+          val dict = if (sk >= 0) b.substring(0, sk) else b
+          if (SubtypeImageRe.findFirstIn(dict).isDefined) {
+            val w = WidthRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+            val h = HeightRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+            out(name) = ImageRef(name, w, h)
+          }
+        }
+      }
+      out.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** `/F1 6 0 R` and inline `/F1 << ... >>` bindings of a /Font resource
@@ -1010,19 +1072,32 @@ object PdfToSpans {
   // --- page parsing: text operators → lines → blocks ----------------------
 
   /** Interpret the text operators of one content stream into layout blocks. */
-  def parsePage(content: String): Vector[Block] = parsePage(content, Map.empty)
+  def parsePage(content: String): Vector[Block] =
+    parsePage(content, Map.empty, Map.empty)
+
+  def parsePage(content: String, fonts: Map[String, PdfFont]): Vector[Block] =
+    parsePage(content, fonts, Map.empty)
 
   /** As above with the page's font decoders: `Tf` selects the current font
     * by resource name and every shown string's bytes map through its
     * /ToUnicode CMap or /Differences table; strings shown with an unbound
     * (or mapless) font keep the Latin-1 reading.
+    *
+    * `images` maps XObject resource names to /Subtype /Image dims: a
+    * `/Im1 Do` draw emits an image block at the current transformation
+    * matrix's translation (tracked through `cm` with a `q`/`Q` state
+    * stack), so images interleave with text blocks in reading order.
     */
-  def parsePage(content: String, fonts: Map[String, PdfFont]): Vector[Block] = {
+  def parsePage(content: String, fonts: Map[String, PdfFont],
+      images: Map[String, ImageRef]): Vector[Block] = {
     val shows = mutable.ArrayBuffer.empty[TextLine]
+    val draws = mutable.ArrayBuffer.empty[Block]
     var tx = 0.0; var ty = 0.0
     var fontSize = 12.0
     var leading = 14.4
     var curFont: Option[PdfFont] = None
+    var cmX = 0.0; var cmY = 0.0 // CTM translation (image draw position)
+    val gsStack = mutable.Stack.empty[(Double, Double)]
     val toks = tokenize(content)
     var i = 0
     def num(j: Int): Double = toks(j).toDoubleOption.getOrElse(0.0)
@@ -1051,11 +1126,23 @@ object PdfToSpans {
         case "'" if i >= 1 => ty -= leading; show(stringTok(toks(i - 1)))
         case "TJ" if i >= 1 => show(stringTok(toks(i - 1))) // array folded by tokenizer
         case "BT" => tx = 0.0; ty = 0.0
+        case "cm" if i >= 6 => cmX = num(i - 2); cmY = num(i - 1)
+        case "q" => gsStack.push((cmX, cmY))
+        case "Q" => if (gsStack.nonEmpty) { val s = gsStack.pop(); cmX = s._1; cmY = s._2 }
+        case "Do" if i >= 1 && toks(i - 1).startsWith("/") =>
+          images.get(toks(i - 1).substring(1)).foreach { img =>
+            draws += Block(Vector(TextLine(cmX, cmY, 0.0, "")), Some(img))
+          }
         case _ =>
       }
       i += 1
     }
-    linesToBlocks(shows.toVector)
+    // images merge into reading order by the same (top-to-bottom,
+    // left-to-right) key linesToBlocks applies to text lines; the no-image
+    // path skips the merge sort so text-only extraction stays bit-identical
+    val textBlocks = linesToBlocks(shows.toVector)
+    if (draws.isEmpty) textBlocks
+    else (textBlocks ++ draws).sortBy(b => (-b.yTop, b.xLeft))
   }
 
   private def stringTok(t: String): String =
@@ -1175,14 +1262,20 @@ object PdfToSpans {
     (b.text.replaceAll("[0-9]", "#"),
       math.round(b.yTop / 10.0), math.round(b.xLeft / 10.0))
 
-  /** Drop blocks whose key recurs on the majority of pages (> 1 page). */
+  /** Drop blocks whose key recurs on the majority of pages (> 1 page).
+    * Image blocks pass through untouched — media dedup is the dedup
+    * pipeline's job, not the decoration classifier's (whose digit-mask
+    * key is meaningless for an empty-text block).
+    */
   def removeDecorations(pages: Vector[Vector[Block]]): Vector[Vector[Block]] = {
     if (pages.length <= 1) return pages
     val pageCountByKey = pages.zipWithIndex
-      .flatMap { case (bs, p) => bs.map(b => (decorationKey(b), p)) }
+      .flatMap { case (bs, p) =>
+        bs.filter(_.image.isEmpty).map(b => (decorationKey(b), p)) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
     val threshold = math.max(2, (pages.length + 1) / 2)
-    pages.map(_.filterNot(b => pageCountByKey(decorationKey(b)) >= threshold))
+    pages.map(_.filterNot(b =>
+      b.image.isEmpty && pageCountByKey(decorationKey(b)) >= threshold))
   }
 
   // --- section/title heuristic (PdfDocumentConverter.cs:62-107) -----------
@@ -1190,29 +1283,43 @@ object PdfToSpans {
   def buildSpans(blocks: Vector[Block]): Vector[Span] = {
     val spans = Vector.newBuilder[Span]
     var off = 0
-    def emit(kind: String, text: String): Unit = {
-      spans += Span(kind, text, "", off); off += 1
+    def emit(kind: String, text: String, ref: String = ""): Unit = {
+      spans += Span(kind, text, ref, off); off += 1
     }
     val titleHeights = mutable.Stack.empty[Double]
+    // the LAST TEXT block always emits as TextBlock.Text (it has no next
+    // block to anchor the title-height ratio) — trailing image blocks
+    // don't move that anchor
+    val lastTextIdx = blocks.lastIndexWhere(_.image.isEmpty)
     var idx = 0
-    while (idx < blocks.length - 1) {
+    while (idx < blocks.length) {
       val b = blocks(idx)
-      if (b.text.trim.length > 1) { // rule: ignore one-char blocks
-        val isTitle = b.lines.length <= 2 && {
-          val nextH = blocks(idx + 1).firstLineHeight
-          b.firstLineHeight / nextH > 1.2 && b.firstLineHeight > 8
-        }
-        if (isTitle) {
-          while (titleHeights.nonEmpty && b.firstLineHeight / titleHeights.top >= 1.2) {
-            titleHeights.pop(); emit("Section.End", "")
+      b.image match {
+        case Some(img) =>
+          // media span at its reading-order position (HTML-path analog:
+          // text = name, media_ref = typed xobject reference with dims)
+          emit(graft.core.SpanKinds.MediaImage, img.name,
+            s"xobject:${img.name}?w=${img.width}&h=${img.height}")
+        case None if idx == lastTextIdx =>
+          emit("TextBlock.Text", b.text)
+        case None if b.text.trim.length > 1 => // rule: ignore one-char blocks
+          val isTitle = b.lines.length <= 2 && {
+            // next TEXT block's height anchors the ratio (images have none)
+            val nextH = blocks.drop(idx + 1).find(_.image.isEmpty)
+              .map(_.firstLineHeight).getOrElse(0.0)
+            nextH > 0 && b.firstLineHeight / nextH > 1.2 && b.firstLineHeight > 8
           }
-          emit("Section.Start", b.text)
-          titleHeights.push(b.firstLineHeight)
-        } else emit("TextBlock.Text", b.text)
+          if (isTitle) {
+            while (titleHeights.nonEmpty && b.firstLineHeight / titleHeights.top >= 1.2) {
+              titleHeights.pop(); emit("Section.End", "")
+            }
+            emit("Section.Start", b.text)
+            titleHeights.push(b.firstLineHeight)
+          } else emit("TextBlock.Text", b.text)
+        case None =>
       }
       idx += 1
     }
-    blocks.lastOption.foreach(b => emit("TextBlock.Text", b.text))
     while (titleHeights.nonEmpty) { titleHeights.pop(); emit("Section.End", "") }
     spans.result()
   }

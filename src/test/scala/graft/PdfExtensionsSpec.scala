@@ -474,4 +474,43 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(PdfToSpans.objNumBefore(plain + "<<", plain.length) == 3)
   }
 
+  test("image XObjects surface as Media.Image spans at their draw position") {
+    import graft.extract.PdfFixture.Block
+    val blocks = Seq(
+      Block(Seq("first paragraph above the image")),
+      Block(Seq("second paragraph below the image")))
+    // imageY = 740 sits between block 1 (y 760) and block 2 (y 718)
+    val pdf = PdfFixture.pdfWithImage(Seq(blocks), title = "Illustrated",
+      imageW = 120, imageH = 80, imageY = 740.0)
+    val d = PdfToSpans.extract(pdf)
+    assert(d.title == "Illustrated")
+    val kinds = d.spans.map(_.kind)
+    assert(kinds == Vector("TextBlock.Text", "Media.Image", "TextBlock.Text"),
+      s"unexpected span order: $kinds")
+    val img = d.spans(1)
+    assert(img.text == "Im1")
+    assert(img.media_ref == "xobject:Im1?w=120&h=80")
+    // offsets stay dense through the media span
+    assert(d.spans.map(_.offset) == Vector(0, 1, 2))
+
+    // twin: dropping media spans yields EXACTLY the imageless document's
+    // rows (the reference-parity projection must be untouched by media)
+    val plain = PdfToSpans.extract(PdfFixture.pdf(Seq(blocks), title = "Illustrated"))
+    assert(graft.core.SpanTree.referenceRows(d.spans) ==
+      graft.core.SpanTree.referenceRows(plain.spans))
+    assert(graft.core.SpanTree.referenceRows(d.spans) == plain.spans)
+  }
+
+  test("repeated per-page images are kept (not decoration-classified)") {
+    import graft.extract.PdfFixture.Block
+    val pages = Seq(
+      Seq(Block(Seq("page one body text"))),
+      Seq(Block(Seq("page two body text"))),
+      Seq(Block(Seq("page three body text"))))
+    val pdf = PdfFixture.pdfWithImage(pages, title = "Logo", imageY = 500.0)
+    val d = PdfToSpans.extract(pdf)
+    assert(d.spans.count(_.kind == "Media.Image") == 3,
+      "every page's image must survive decoration removal")
+  }
+
 }
