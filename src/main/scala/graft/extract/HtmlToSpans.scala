@@ -256,12 +256,34 @@ object HtmlToSpans {
     val empty = new StyleSheet(Vector.empty)
 
     /** Parse the concatenated `<style>` text of a document (plus any
-      * fetched same-host external sheets). Comments stripped; @-rules
-      * (media queries etc.) are skipped whole — applying an
+      * fetched same-host external sheets). Comments stripped. @media
+      * blocks whose medium list names `screen` or `all` (the default
+      * medium AngleSharp evaluates for the reference,
+      * `WebsiteTextExtractor.cs:189-205`) parse recursively in place —
+      * their rules join the cascade in source order. Every OTHER
+      * conditioned block (print/speech media, feature queries like
+      * `(max-width: ...)` that depend on a viewport this engine doesn't
+      * model, @supports, @keyframes, ...) is skipped whole: applying an
       * `@media print` hide unconditionally would wrongly drop screen
-      * content, so conditioned rules conservatively don't hide.
+      * content, so those rules conservatively don't hide.
       */
-    def parse(cssText: String): StyleSheet = {
+    def parse(cssText: String): StyleSheet = new StyleSheet(parseRules(cssText))
+
+    /** Does a media-query list apply to the default `screen` medium?
+      * True for bare screen/all components (with an optional `only`
+      * prefix) and for an empty list; feature-conditioned components are
+      * conservatively false (no viewport to evaluate them against).
+      */
+    private[extract] def mediaAppliesToScreen(query: String): Boolean = {
+      val q = query.trim
+      if (q.isEmpty) return true // bare "@media {" = all media
+      q.split(',').exists { comp0 =>
+        val comp = comp0.trim.stripPrefix("only").trim
+        comp == "screen" || comp == "all"
+      }
+    }
+
+    private def parseRules(cssText: String): Vector[(SimpleSel, String, String, Boolean)] = {
       val css = cssText.replaceAll("(?s)/\\*.*?\\*/", " ")
         // brace-less at-statements (@charset "x"; @import url(...);
         // @namespace ...;) end at ';' — left in place they'd glue onto the
@@ -285,6 +307,13 @@ object HtmlToSpans {
               else if (c == '}') { d -= 1; if (d == 0) end = k }
               k += 1
             }
+            val lower = selText.toLowerCase
+            if (lower.startsWith("@media") &&
+                mediaAppliesToScreen(lower.substring("@media".length))) {
+              // recursive parse keeps the block's rules at their source
+              // position in the cascade (and handles nested @media)
+              rules ++= parseRules(css.substring(ob + 1, math.min(end, css.length)))
+            }
             i = end + 1
           } else {
             val cb = css.indexOf('}', ob)
@@ -302,7 +331,7 @@ object HtmlToSpans {
           }
         }
       }
-      new StyleSheet(rules.result())
+      rules.result()
     }
 
     /** All in-document `<style>` blocks of a parsed page. */

@@ -166,6 +166,40 @@ class ExtractSpec extends AnyFunSuite {
       ("TextBlock.Text", "plain yes")))
   }
 
+  test("@media screen/all blocks join the cascade; other media never hide") {
+    val html =
+      """<html><head><style>
+        |@media screen { .scr-hide { display: none } }
+        |@media only screen { .only-scr-hide { visibility: hidden } }
+        |@media all { .all-hide { display: none } }
+        |@media print { .print-hide { display: none } }
+        |@media print, screen { .multi-hide { display: none } }
+        |@media screen and (max-width: 600px) { .cond-hide { display: none } }
+        |@media screen { @media all { .nested-hide { display: none } } }
+        |@media screen { .scr-show { display: none } }
+        |.scr-show { display: block } /* later, equal specificity: wins */
+        |</style></head><body>
+        |<p class="scr-hide">no</p>
+        |<p class="only-scr-hide">no</p>
+        |<p class="all-hide">no</p>
+        |<p class="print-hide">print yes</p>
+        |<p class="multi-hide">no</p>
+        |<p class="cond-hide">cond yes</p>
+        |<p class="nested-hide">no</p>
+        |<p class="scr-show">order yes</p>
+        |<p>plain yes</p>
+        |</body></html>""".stripMargin
+    // screen/all (incl. "only" prefix, comma lists, nesting) hide on the
+    // default medium; print-only and viewport-conditioned blocks are the
+    // documented conservative never-hide; source order is preserved across
+    // the @media boundary (.scr-show)
+    assert(ktext(spansOf(html)) == Seq(
+      ("TextBlock.Text", "print yes"),
+      ("TextBlock.Text", "cond yes"),
+      ("TextBlock.Text", "order yes"),
+      ("TextBlock.Text", "plain yes")))
+  }
+
   test("external stylesheet text feeds the hidden-element evaluation") {
     val html =
       """<html><head><link rel="stylesheet" href="/site.css"></head><body>
