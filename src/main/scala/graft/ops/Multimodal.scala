@@ -334,7 +334,15 @@ object Multimodal {
     import spark.implicits._
     val step = math.max(1, everyK)
     media.filter(_.kind == "video").flatMap { row =>
-      try {
+      // non-GIF containers: the ffmpeg-CLI seam samples frames when the
+      // binaries are present; otherwise the row contributes no frames
+      // (same as any undecodable blob below)
+      if (row.blob != null && row.blob.length >= 4 &&
+          !(row.blob(0) == 'G' && row.blob(1) == 'I' && row.blob(2) == 'F')) {
+        FfmpegCodec.sampleFrames(row.blob, step, maxFrames).map {
+          case (idx, png, w, h) => FrameRow(row.media_id, idx, "image", png, w, h)
+        }
+      } else try {
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(row.blob))
@@ -471,8 +479,12 @@ object Multimodal {
           case "image" => decodeImage(bytes).getOrElse(zero)
           case "audio" => decodeAudio(bytes).getOrElse(zero)
           case "video" =>
+            // non-GIF containers (MP4 etc.) go through the ffmpeg-CLI seam
+            // when the binaries are on PATH; otherwise (and for bytes no
+            // container accepts, e.g. the GFT header) the stub fallback —
+            // deterministic in both environments
             if (isGif(bytes)) decodeVideo(bytes).getOrElse(zero)
-            else decodeStub(bytes)
+            else FfmpegCodec.probe(bytes).getOrElse(decodeStub(bytes))
           case _ => // untyped rows: sniff by magic, stub as last resort
             if (isGif(bytes)) decodeVideo(bytes).getOrElse(zero)
             else if (isRiffWave(bytes)) decodeAudio(bytes).getOrElse(zero)
