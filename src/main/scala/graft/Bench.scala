@@ -94,6 +94,25 @@ object Bench {
     if (!skipCrawl) results("crawl") = crawlSec
     val pagesPerSec = if (crawlSec > 0) pages / crawlSec else 0.0
 
+    // ---- scale-evidence legs (VERDICT_r05 #4) -----------------------------
+    // (a) the same engine with a 10^6-row PRE-SEEDED seen table: the bloom
+    //     negative cache genuinely engages (threshold 200k) and every
+    //     wave's candidates cogroup against filters rebuilt from the
+    //     authoritative seen set — the shape of a long-running crawl's
+    //     late waves, which the fresh-start leg never reaches;
+    // (b) a SKEWED web (one host = 50% of all pages) with a binding
+    //     per-host wave cap: scheduling-level skew control must bound the
+    //     hot host's share of every wave, so wall time tracks corpus size,
+    //     not the hot host's serial chain.
+    val (seededSec, seededPages, seededBloom) =
+      if (skipCrawl) (0.0, 0L, false) else seededSeenBench(spark, cpus)
+    val (skewSec, skewPages, skewWaves, skewHotMax) =
+      if (skipCrawl) (0.0, 0L, 0, 0L) else skewBench(spark, cpus)
+    if (!skipCrawl) {
+      results("crawl_seeded_1m") = seededSec
+      results("crawl_skew") = skewSec
+    }
+
     // failed queries are absent from `results`, so the headline total only
     // sums real timings — a fully-failing query invalidates comparability,
     // it doesn't make the run faster
@@ -105,7 +124,9 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"}}""")
+    val seededPps = if (seededSec > 0) seededPages / seededSec else 0.0
+    val skewPps = if (skewSec > 0) skewPages / skewSec else 0.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"},"seeded_seen_rows":1000000,"seeded_bloom_engaged":$seededBloom,"seeded_pages":$seededPages,"seeded_pages_per_sec":${f"$seededPps%.1f"},"skew_pages":$skewPages,"skew_waves":$skewWaves,"skew_hot_max_per_wave":$skewHotMax,"skew_pages_per_sec":${f"$skewPps%.1f"}}""")
     spark.stop()
   }
 
@@ -118,6 +139,90 @@ object Bench {
       hosts: Int = 24, pagesPerHost: Int = 1250): (Double, Long, Int) = {
     val (sec, pages, waves, _) = crawlBenchIo(spark, cpus, hosts, pagesPerHost)
     (sec, pages, waves)
+  }
+
+  /** Scale-evidence leg (a): crawl over a warehouse whose seen table is
+    * PRE-SEEDED with `preSeeded` junk hashes (offset past any real
+    * url_hash range), so seen_total clears bloomMinSeenRows from wave 0 —
+    * the bloom buckets rebuild distributedly from the million-row seen
+    * set and every wave's candidates take the cogroup path. Returns
+    * (sec, pages, bloomEngaged).
+    */
+  def seededSeenBench(spark: SparkSession, cpus: Int,
+      preSeeded: Long = 1000000L,
+      hosts: Int = 12, pagesPerHost: Int = 250): (Double, Long, Boolean) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val site = SyntheticWeb.generate(SyntheticWeb.Spec(
+      hosts = hosts, pagesPerHost = pagesPerHost, hotHostFactor = 3,
+      fanout = 64, seed = 43L, treeLinks = true, sharedDomain = true))
+    val config = CrawlConfig(rootUrl = site.rootUrl,
+      scope = graft.core.ScopeFilter.Domain,
+      waveBudgetMs = 600000L, maxWaves = 60, logFetches = false,
+      simulatedExtractCostNanos =
+        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(60000000L))
+    val fetcher = SyntheticFetcher.broadcast(spark, site, simulatedCostNanos = 200000L)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bench-seeded").toString
+    val io = new TableIO(wh, spark)
+    // manual bootstrap (CrawlEngine.bootstrap + the junk seen rows):
+    // hashes offset to 2^40+ never collide with real 64-bit url hashes in
+    // practice, so crawl results are those of a fresh crawl while the
+    // seen-set machinery carries 10^6 rows
+    val rootCanon = graft.core.UrlCanonicalizer.canonicalize(config.rootUrl).get
+    val rootEntry = FrontierEntry(rootCanon,
+      graft.core.UrlCanonicalizer.urlHash(rootCanon),
+      graft.core.UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
+    io.stage("frontier", 0, Seq(rootEntry).toDS())
+    io.stage("seen", 0, spark.range(preSeeded)
+      .select((col("id") + (1L << 40)).as("url_hash"))
+      .union(Seq(rootEntry.url_hash).toDF("url_hash")))
+    io.writeConfig(CrawlConfigCodec.toJson(config))
+    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L,
+      "start_epoch_ms" -> System.currentTimeMillis(),
+      "seen_total" -> (preSeeded + 1)))
+    val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)
+    val t0 = System.nanoTime()
+    engine.run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val pages = io.readAll("metrics", TableIO.MetricsSchema)
+      .agg(org.apache.spark.sql.functions.sum(col("pages"))).head().getLong(0)
+    (sec, pages, engine.lastWaveBloomEngaged)
+  }
+
+  /** Scale-evidence leg (b): one host owns 50% of all pages (hosts-1
+    * normal hosts vs one hotHostFactor = hosts-1 host) and the per-host
+    * wave budget BINDS (cap = waveBudgetMs / minCrawlDelay = 150), so the
+    * scheduler must spread the hot host across waves instead of letting
+    * its serial chain own the crawl. Returns (sec, pages, waves,
+    * hot-host max pages in any wave) — the last value is the cap
+    * evidence, also asserted ≤ cap in CrawlParitySpec.
+    */
+  def skewBench(spark: SparkSession, cpus: Int,
+      hosts: Int = 8, pagesPerHost: Int = 150): (Double, Long, Int, Long) = {
+    import org.apache.spark.sql.functions.{col, count, max, lit}
+    val site = SyntheticWeb.generate(SyntheticWeb.Spec(
+      hosts = hosts, pagesPerHost = pagesPerHost, hotHostFactor = hosts - 1,
+      fanout = 64, seed = 44L, treeLinks = true, sharedDomain = true))
+    val config = CrawlConfig(rootUrl = site.rootUrl,
+      scope = graft.core.ScopeFilter.Domain,
+      waveBudgetMs = 15000L, // cap = 15000/100ms = 150 pages/host/wave: BINDS
+      maxWaves = 60,
+      logFetches = true, // per-(wave, host) counts are this leg's evidence
+      simulatedExtractCostNanos =
+        sys.env.get("GRAFT_EXTRACT_COST_NANOS").map(_.toLong).getOrElse(60000000L))
+    val fetcher = SyntheticFetcher.broadcast(spark, site, simulatedCostNanos = 200000L)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bench-skew").toString
+    val io = new TableIO(wh, spark)
+    val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)
+    val t0 = System.nanoTime()
+    val waves = engine.run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val log = io.readAll("fetch_log", TableIO.FetchLogSchema)
+    val pages = log.count()
+    val hotMax = log.groupBy(col("wave"), col("host"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    (sec, pages, waves, hotMax)
   }
 
   def crawlBenchIo(spark: SparkSession, cpus: Int,

@@ -127,6 +127,12 @@ final class CrawlEngine(
     */
   private[graft] var lastWaveDelayMapSize: Int = -1
 
+  /** Whether the last wave ran the partition-local bloom cogroup path
+    * (test hook: the seeded-seen scale tests assert the negative cache
+    * genuinely engaged past bloomMinSeenRows).
+    */
+  private[graft] var lastWaveBloomEngaged: Boolean = false
+
   // --- stop-condition / budget state (wave-synchronous contract shared
   // with SequentialOracle; all fields recoverable from tables/stats) ------
   private var stateLoaded = false
@@ -462,6 +468,7 @@ final class CrawlEngine(
     // snapshot the engage decision for the whole wave (seenRowsTotal moves
     // at the end of the wave; flipping mid-wave would desync prevBlooms)
     val useBloom = bloomEnabled
+    lastWaveBloomEngaged = useBloom
     // one read of the previous wave's filters serves both the apply-side
     // cogroup here and the update cogroup at stage time
     val prevBlooms = if (useBloom) readBlooms(wave).persist() else null

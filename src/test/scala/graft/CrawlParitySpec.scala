@@ -288,4 +288,71 @@ class CrawlParitySpec extends AnyFunSuite {
     // the stylesheet URL itself was never crawled as a page
     assert(!engineDocs.exists(_.doc_id.contains("style.css")))
   }
+  test("pre-seeded million-scale seen set engages the bloom cogroup path, crawl unchanged") {
+    // 250k junk hashes (> bloomMinSeenRows default 200k) pre-seed the seen
+    // table at offsets past any real url_hash, so the crawl RESULT is that
+    // of a fresh crawl while the seen machinery carries the rows: the
+    // bloom buckets must rebuild from the seeded set and every wave's
+    // candidates take the partition-local cogroup — the late-wave shape of
+    // a long-running crawl (VERDICT_r05 #4 scale evidence)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pre = 250000L
+    val sConfig = config.copy(bloomMinSeenRows = 200000L)
+    val wh = Files.createTempDirectory("graft-seeded-seen").toString
+    val io = new TableIO(wh, spark)
+    val rootCanon = graft.core.UrlCanonicalizer.canonicalize(sConfig.rootUrl).get
+    val rootEntry = FrontierEntry(rootCanon,
+      graft.core.UrlCanonicalizer.urlHash(rootCanon),
+      graft.core.UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
+    io.stage("frontier", 0, Seq(rootEntry).toDS())
+    io.stage("seen", 0, spark.range(pre)
+      .select((col("id") + (1L << 40)).as("url_hash"))
+      .union(Seq(rootEntry.url_hash).toDF("url_hash")))
+    io.writeConfig(CrawlConfigCodec.toJson(sConfig))
+    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L,
+      "start_epoch_ms" -> 1L, "seen_total" -> (pre + 1)))
+    val engine = new CrawlEngine(spark, io, sConfig,
+      new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
+    engine.run()
+    assert(engine.lastWaveBloomEngaged, "bloom path must engage past the threshold")
+    // result parity with the unseeded oracle: junk hashes change nothing
+    assert(docsOf(io) == docsOf(fullIo))
+    // subtract exactly the junk window (real url hashes span all of Long,
+    // so a range filter would strip them; the 250k-wide window at 2^40 is
+    // collision-free against the fixture's handful of real hashes)
+    val junkLo = 1L << 40
+    val junkHi = junkLo + pre
+    assert(seenOf(io).filterNot(h => h >= junkLo && h < junkHi) == oracle.seen)
+  }
+
+  test("skewed web: per-host wave cap bounds the hot host's share of every wave") {
+    // one host owns 50% of all pages; the wave budget binds (cap =
+    // 1000ms/100ms = 10 pages/host/wave), so NO host may exceed 10 pages
+    // in any wave and the hot host spreads across waves instead of its
+    // serial chain owning the crawl (SURVEY 4 scheduling-level skew control)
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val hosts = 4
+    val sSite = SyntheticWeb.generate(SyntheticWeb.Spec(
+      hosts = hosts, pagesPerHost = 12, hotHostFactor = hosts - 1,
+      fanout = 8, treeLinks = true, sharedDomain = true))
+    val sConfig = CrawlConfig(rootUrl = sSite.rootUrl,
+      scope = ScopeFilter.Domain, waveBudgetMs = 1000L, maxWaves = 60)
+    val sOracle = SequentialOracle.crawl(sSite, sConfig)
+    val wh = Files.createTempDirectory("graft-skew").toString
+    val io = new TableIO(wh, spark)
+    new CrawlEngine(spark, io, sConfig,
+      new SyntheticFetcher(sSite.pages, sSite.robots), numPartitions = 4).run()
+    val log = io.readAll("fetch_log", TableIO.FetchLogSchema)
+    val cap = sConfig.maxPagesPerHostPerWave(0)
+    assert(cap == 10)
+    val hotMax = log.groupBy(col("wave"), col("host"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    assert(hotMax <= cap, s"a host fetched $hotMax pages in one wave (cap $cap)")
+    // the cap delays, never drops: full corpus still crawled, parity holds
+    assert(seenOf(io) == sOracle.seen)
+    assert(io.readAll("documents", TableIO.DocumentsSchema).count() ==
+      sOracle.documents.size)
+  }
+
 }
