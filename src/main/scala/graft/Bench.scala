@@ -164,22 +164,13 @@ object Bench {
     val fetcher = SyntheticFetcher.broadcast(spark, site, simulatedCostNanos = 200000L)
     val wh = java.nio.file.Files.createTempDirectory("graft-bench-seeded").toString
     val io = new TableIO(wh, spark)
-    // manual bootstrap (CrawlEngine.bootstrap + the junk seen rows):
-    // hashes offset to 2^40+ never collide with real 64-bit url hashes in
-    // practice, so crawl results are those of a fresh crawl while the
-    // seen-set machinery carries 10^6 rows
-    val rootCanon = graft.core.UrlCanonicalizer.canonicalize(config.rootUrl).get
-    val rootEntry = FrontierEntry(rootCanon,
-      graft.core.UrlCanonicalizer.urlHash(rootCanon),
-      graft.core.UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
-    io.stage("frontier", 0, Seq(rootEntry).toDS())
-    io.stage("seen", 0, spark.range(preSeeded)
-      .select((col("id") + (1L << 40)).as("url_hash"))
-      .union(Seq(rootEntry.url_hash).toDF("url_hash")))
-    io.writeConfig(CrawlConfigCodec.toJson(config))
-    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L,
-      "start_epoch_ms" -> System.currentTimeMillis(),
-      "seen_total" -> (preSeeded + 1)))
+    // shared bootstrap + the junk seen rows: hashes offset to 2^40+ never
+    // collide with real 64-bit url hashes in practice, so crawl results
+    // are those of a fresh crawl while the seen machinery carries 10^6 rows
+    CrawlEngine.seedWarehouse(spark, io, config,
+      extraSeen = spark.range(preSeeded)
+        .select((col("id") + (1L << 40)).as("url_hash")),
+      extraSeenCount = preSeeded)
     val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)
     val t0 = System.nanoTime()
     engine.run()

@@ -243,17 +243,12 @@ final class CrawlEngine(
 
   /** Commit "-1": root frontier entry + root hash in the seen set, plus
     * the persisted config (WebsiteExtractorParams round-trip) and the
-    * crawl start time (max-duration stop).
+    * crawl start time (max-duration stop). Delegates to the shared
+    * [[CrawlEngine.seedWarehouse]] so external seeders (scale benches,
+    * specs) can never drift from this commit contract.
     */
-  private def bootstrap(): Unit = {
-    val rootEntry = FrontierEntry(rootCanon, UrlCanonicalizer.urlHash(rootCanon),
-      UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
-    io.stage("frontier", 0, Seq(rootEntry).toDS())
-    io.stage("seen", 0, Seq(rootEntry.url_hash).toDF("url_hash"))
-    io.writeConfig(CrawlConfigCodec.toJson(config))
-    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L,
-      "start_epoch_ms" -> nowMs()))
-  }
+  private def bootstrap(): Unit =
+    CrawlEngine.seedWarehouse(spark, io, config, nowMs = nowMs())
 
   private def stageEc = CrawlEngine.stageEc
 
@@ -778,6 +773,36 @@ object CrawlEngine {
     * errors log — e.g. a plain 404/500 with no transport exception.
     */
   val HttpStatusErrorClass = "HttpStatus"
+
+  /** Bootstrap a fresh warehouse exactly as a new engine would (the
+    * commit-"-1" contract: root frontier entry + seen set + persisted
+    * config + start time), optionally UNIONING `extraSeen` (a url_hash
+    * DataFrame of `extraSeenCount` rows) into the initial seen set — how
+    * the seeded-seen scale legs pre-load 10^5..10^6 hashes. The engine's
+    * own bootstrap delegates here, so external seeders can never drift
+    * from the resume contract.
+    */
+  def seedWarehouse(spark: SparkSession, io: TableIO, config: CrawlConfig,
+      extraSeen: DataFrame = null, extraSeenCount: Long = 0L,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    import spark.implicits._
+    val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
+      .getOrElse(throw new IllegalArgumentException(s"bad root url: ${config.rootUrl}"))
+    val rootEntry = FrontierEntry(rootCanon, UrlCanonicalizer.urlHash(rootCanon),
+      UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
+    io.stage("frontier", 0, Seq(rootEntry).toDS())
+    val rootSeen = Seq(rootEntry.url_hash).toDF("url_hash")
+    io.stage("seen", 0,
+      if (extraSeen == null) rootSeen
+      else extraSeen.select(col("url_hash")).union(rootSeen))
+    io.writeConfig(CrawlConfigCodec.toJson(config))
+    val base = Map("max_seq" -> 0L, "next_frontier" -> 1L,
+      "start_epoch_ms" -> nowMs)
+    val stats =
+      if (extraSeenCount > 0) base + ("seen_total" -> (extraSeenCount + 1L))
+      else base
+    io.commitWave(-1, stats)
+  }
 
   /** JVM-shared driver pool for concurrent per-wave stage writes (step 8).
     * Sized to overlap job-scheduling + parquet-commit latency, not to add

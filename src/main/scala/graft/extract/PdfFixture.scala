@@ -405,7 +405,9 @@ object PdfFixture {
     * /Resources.
     */
   /** Document with an embedded /Subtype /Image XObject drawn on every page
-    * at `imageY` between the text blocks (`q W 0 0 H 72 Y cm /Im1 Do Q`),
+    * with its BOTTOM edge at `imageY` (`q W 0 0 H 72 Y cm /Im1 Do Q` — the
+    * unit square maps to [72, 72+W]×[imageY, imageY+H], and the extractor
+    * anchors reading order at the drawn TOP edge imageY+H),
     * exercising the Media.Image span path: resources carry
     * /XObject << /Im1 N 0 R >>, the image stream's dict carries the dims,
     * and the payload is deterministic opaque bytes the extractor must NOT

@@ -1096,8 +1096,11 @@ object PdfToSpans {
     var fontSize = 12.0
     var leading = 14.4
     var curFont: Option[PdfFont] = None
-    var cmX = 0.0; var cmY = 0.0 // CTM translation (image draw position)
-    val gsStack = mutable.Stack.empty[(Double, Double)]
+    // full CTM (a b c d e f): `cm` CONCATENATES (CTM' = cm × CTM) and q/Q
+    // save/restore the whole matrix — translation-only tracking would
+    // misplace images under nested or sequential transforms
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val gsStack = mutable.Stack.empty[Array[Double]]
     val toks = tokenize(content)
     var i = 0
     def num(j: Int): Double = toks(j).toDoubleOption.getOrElse(0.0)
@@ -1126,12 +1129,30 @@ object PdfToSpans {
         case "'" if i >= 1 => ty -= leading; show(stringTok(toks(i - 1)))
         case "TJ" if i >= 1 => show(stringTok(toks(i - 1))) // array folded by tokenizer
         case "BT" => tx = 0.0; ty = 0.0
-        case "cm" if i >= 6 => cmX = num(i - 2); cmY = num(i - 1)
-        case "q" => gsStack.push((cmX, cmY))
-        case "Q" => if (gsStack.nonEmpty) { val s = gsStack.pop(); cmX = s._1; cmY = s._2 }
+        case "cm" if i >= 6 =>
+          ctm = mulCtm(Array(num(i - 6), num(i - 5), num(i - 4),
+            num(i - 3), num(i - 2), num(i - 1)), ctm)
+        case "q" => gsStack.push(ctm.clone())
+        case "Q" => if (gsStack.nonEmpty) ctm = gsStack.pop()
         case "Do" if i >= 1 && toks(i - 1).startsWith("/") =>
           images.get(toks(i - 1).substring(1)).foreach { img =>
-            draws += Block(Vector(TextLine(cmX, cmY, 0.0, "")), Some(img))
+            // an image XObject paints the unit square through the CTM:
+            // the reading-order anchor is the drawn rect's TOP-LEFT (max
+            // mapped y, min mapped x) — the raw translation is the
+            // BOTTOM-left in PDF's y-up space and would sort a tall image
+            // below text it visually precedes
+            var xMin = Double.MaxValue
+            var yMax = -Double.MaxValue
+            var cu = 0
+            while (cu < 4) {
+              val u = cu & 1; val v = cu >> 1
+              val x = u * ctm(0) + v * ctm(2) + ctm(4)
+              val y = u * ctm(1) + v * ctm(3) + ctm(5)
+              if (x < xMin) xMin = x
+              if (y > yMax) yMax = y
+              cu += 1
+            }
+            draws += Block(Vector(TextLine(xMin, yMax, 0.0, "")), Some(img))
           }
         case _ =>
       }
@@ -1144,6 +1165,18 @@ object PdfToSpans {
     if (draws.isEmpty) textBlocks
     else (textBlocks ++ draws).sortBy(b => (-b.yTop, b.xLeft))
   }
+
+  /** Affine concatenation, PDF row-vector convention: applying `m1` then
+    * `m2` (PDF 32000 §8.3.4 — `cm` computes CTM' = cm × CTM).
+    */
+  private def mulCtm(m1: Array[Double], m2: Array[Double]): Array[Double] =
+    Array(
+      m1(0) * m2(0) + m1(1) * m2(2),
+      m1(0) * m2(1) + m1(1) * m2(3),
+      m1(2) * m2(0) + m1(3) * m2(2),
+      m1(2) * m2(1) + m1(3) * m2(3),
+      m1(4) * m2(0) + m1(5) * m2(2) + m2(4),
+      m1(4) * m2(1) + m1(5) * m2(3) + m2(5))
 
   private def stringTok(t: String): String =
     if (t.startsWith("\u0000S")) t.substring(2) else ""

@@ -192,14 +192,19 @@ object Dedup {
       .join(ex.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(ex.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val i0 = coalesce(col("inter"), lit(0L))
+    val union = col("n_a") + col("n_b") - i0
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))), 6)
-          .as("jaccard"))
+        // empty-∪-empty = 0 by convention, never NaN (a pair whose sides
+        // both have < n words; LSH-emitted pairs can't hit this — their
+        // members always have shingles — but the public contract returns a
+        // number for EVERY pair)
+        when(union === 0, lit(0.0))
+          .otherwise(round(i0.cast("double") / union, 6)).as("jaccard"))
   }
 
   /** Plain-Scala SimHash kernel (Charikar, STOC 2002 — public): sign-sum of

@@ -26,20 +26,36 @@ object FfmpegCodec {
       p.waitFor() == 0
     } catch { case _: Exception => false }
 
-  private def withTemp[T](blob: Array[Byte])(f: java.nio.file.Path => T): T = {
-    val tmp = java.nio.file.Files.createTempFile("graft-media", ".bin")
+  /** Temp-file round-trip with the decode path's never-throws contract: a
+    * full or read-only /tmp yields the fallback (None/empty), never a
+    * failed Spark task.
+    */
+  private def withTemp[T](blob: Array[Byte], onError: => T)(
+      f: java.nio.file.Path => T): T = {
+    var tmp: java.nio.file.Path = null
     try {
+      tmp = java.nio.file.Files.createTempFile("graft-media", ".bin")
       java.nio.file.Files.write(tmp, blob)
       f(tmp)
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+    } catch {
+      case _: Exception => onError
+    } finally {
+      if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 
+  /** Run a CLI, return its stdout on exit 0. stderr is DISCARDED at the OS
+    * level — draining it through the parent would deadlock once a hostile
+    * blob makes ffmpeg emit more error text than the pipe buffer while the
+    * parent still waits on stdout (and merging it into stdout would
+    * corrupt the ffprobe parse).
+    */
   private def run(cmd: String*): Option[String] =
     try {
-      val p = new ProcessBuilder(cmd: _*).start()
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      p.getErrorStream.readAllBytes()
       if (p.waitFor() == 0) Some(out) else None
     } catch { case _: Exception => None }
 
@@ -47,24 +63,29 @@ object FfmpegCodec {
     * — decodeStub-shaped so `Multimodal.extractFeatures` splices it in
     * directly. None when ffmpeg is absent or the bytes aren't a container
     * ffprobe accepts (e.g. the GFT stub header), so the stub fallback
-    * stays deterministic in both environments.
+    * stays deterministic in both environments. key=value output is parsed
+    * BY KEY — ffprobe prints -show_entries fields in the stream section's
+    * canonical order, not the requested order, so positional CSV parsing
+    * would swap nb_frames and duration.
     */
   def probe(blob: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (!available || blob == null || blob.length == 0) return None
-    withTemp(blob) { tmp =>
+    withTemp(blob, Option.empty[(Int, Int, Array[Double])]) { tmp =>
       run("ffprobe", "-v", "error", "-select_streams", "v:0",
         "-show_entries", "stream=width,height,nb_frames,duration",
-        "-of", "csv=p=0", tmp.toString).flatMap { out =>
-        val parts = out.trim.split(',')
-        if (parts.length < 2) None
-        else {
-          def num(i: Int): Double =
-            if (i < parts.length) parts(i).toDoubleOption.getOrElse(0.0) else 0.0
-          val w = num(0).toInt
-          val h = num(1).toInt
-          if (w <= 0 || h <= 0) None
-          else Some((w, h, Array(num(2), num(3), 0.0, 0.0)))
-        }
+        "-of", "default=noprint_wrappers=1", tmp.toString).flatMap { out =>
+        val kv = out.linesIterator.flatMap { line =>
+          line.split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        }.toMap
+        def num(k: String): Double =
+          kv.get(k).flatMap(_.toDoubleOption).getOrElse(0.0) // "N/A" → 0
+        val w = num("width").toInt
+        val h = num("height").toInt
+        if (w <= 0 || h <= 0) None
+        else Some((w, h, Array(num("nb_frames"), num("duration"), 0.0, 0.0)))
       }
     }
   }
@@ -77,7 +98,7 @@ object FfmpegCodec {
       maxFrames: Int): Vector[(Int, Array[Byte], Int, Int)] = {
     if (!available || blob == null || blob.length == 0) return Vector.empty
     val st = math.max(1, step)
-    withTemp(blob) { tmp =>
+    withTemp(blob, Vector.empty[(Int, Array[Byte], Int, Int)]) { tmp =>
       val outDir = java.nio.file.Files.createTempDirectory("graft-frames")
       try {
         // select every st-th frame; -vsync 0 keeps input frame numbering

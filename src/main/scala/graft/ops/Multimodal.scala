@@ -338,7 +338,8 @@ object Multimodal {
       // binaries are present; otherwise the row contributes no frames
       // (same as any undecodable blob below)
       if (row.blob != null && row.blob.length >= 4 &&
-          !(row.blob(0) == 'G' && row.blob(1) == 'I' && row.blob(2) == 'F')) {
+          !(row.blob(0) == 'G' && row.blob(1) == 'I' && row.blob(2) == 'F') &&
+          !(row.blob(0) == 'G' && row.blob(1) == 'F' && row.blob(2) == 'T')) {
         FfmpegCodec.sampleFrames(row.blob, step, maxFrames).map {
           case (idx, png, w, h) => FrameRow(row.media_id, idx, "image", png, w, h)
         }
@@ -394,6 +395,15 @@ object Multimodal {
   private def isGif(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 &&
       bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+
+  /** The deterministic GFT stub header — known cheap magic, so stub blobs
+    * never pay a process spawn + temp file just for ffprobe to reject them
+    * (and bench timings stay comparable between ffmpeg-present and
+    * ffmpeg-absent environments).
+    */
+  private def isGft(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 &&
+      bytes(0) == 'G' && bytes(1) == 'F' && bytes(2) == 'T'
 
   private def isRiffWave(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
@@ -484,6 +494,7 @@ object Multimodal {
             // container accepts, e.g. the GFT header) the stub fallback —
             // deterministic in both environments
             if (isGif(bytes)) decodeVideo(bytes).getOrElse(zero)
+            else if (isGft(bytes)) decodeStub(bytes)
             else FfmpegCodec.probe(bytes).getOrElse(decodeStub(bytes))
           case _ => // untyped rows: sniff by magic, stub as last resort
             if (isGif(bytes)) decodeVideo(bytes).getOrElse(zero)

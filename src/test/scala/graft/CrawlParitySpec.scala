@@ -301,17 +301,10 @@ class CrawlParitySpec extends AnyFunSuite {
     val sConfig = config.copy(bloomMinSeenRows = 200000L)
     val wh = Files.createTempDirectory("graft-seeded-seen").toString
     val io = new TableIO(wh, spark)
-    val rootCanon = graft.core.UrlCanonicalizer.canonicalize(sConfig.rootUrl).get
-    val rootEntry = FrontierEntry(rootCanon,
-      graft.core.UrlCanonicalizer.urlHash(rootCanon),
-      graft.core.UrlCanonicalizer.host(rootCanon), "", 0, 0L, 0)
-    io.stage("frontier", 0, Seq(rootEntry).toDS())
-    io.stage("seen", 0, spark.range(pre)
-      .select((col("id") + (1L << 40)).as("url_hash"))
-      .union(Seq(rootEntry.url_hash).toDF("url_hash")))
-    io.writeConfig(CrawlConfigCodec.toJson(sConfig))
-    io.commitWave(-1, Map("max_seq" -> 0L, "next_frontier" -> 1L,
-      "start_epoch_ms" -> 1L, "seen_total" -> (pre + 1)))
+    CrawlEngine.seedWarehouse(spark, io, sConfig,
+      extraSeen = spark.range(pre)
+        .select((col("id") + (1L << 40)).as("url_hash")),
+      extraSeenCount = pre, nowMs = 1L)
     val engine = new CrawlEngine(spark, io, sConfig,
       new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
     engine.run()

@@ -63,15 +63,18 @@ class OpsSpec extends AnyFunSuite {
     // union 3; doc 3 shares nothing with doc 1 → jaccard 0 (left-join
     // coalesce path); doc 4 == doc 1 → jaccard 1
     val docs = Seq(
-      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"), (4L, "a b c d"))
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"), (4L, "a b c d"),
+      (5L, "a b"), (6L, "c d"))
       .toDF("doc_id", "text")
-    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val out = Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(out.size == 3)
+    assert(out.size == 4)
     assert(out((1L, 2L)) == 0.333333)
     assert(out((1L, 3L)) == 0.0)
     assert(out((1L, 4L)) == 1.0)
+    // both sides have < n words: empty-∪-empty = 0 by convention, not NaN
+    assert(out((5L, 6L)) == 0.0)
   }
 
   test("pq/ivfpq exactness configs equal brute force on the sf corpus") {

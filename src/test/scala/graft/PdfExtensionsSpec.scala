@@ -479,9 +479,10 @@ class PdfExtensionsSpec extends AnyFunSuite {
     val blocks = Seq(
       Block(Seq("first paragraph above the image")),
       Block(Seq("second paragraph below the image")))
-    // imageY = 740 sits between block 1 (y 760) and block 2 (y 718)
+    // the reading-order anchor is the drawn TOP edge (imageY + imageH):
+    // 660 + 80 = 740 sits between block 1 (y 760) and block 2 (y 718)
     val pdf = PdfFixture.pdfWithImage(Seq(blocks), title = "Illustrated",
-      imageW = 120, imageH = 80, imageY = 740.0)
+      imageW = 120, imageH = 80, imageY = 660.0)
     val d = PdfToSpans.extract(pdf)
     assert(d.title == "Illustrated")
     val kinds = d.spans.map(_.kind)
@@ -511,6 +512,30 @@ class PdfExtensionsSpec extends AnyFunSuite {
     val d = PdfToSpans.extract(pdf)
     assert(d.spans.count(_.kind == "Media.Image") == 3,
       "every page's image must survive decoration removal")
+  }
+
+  test("nested cm transforms compose; image anchors at its drawn TOP-left") {
+    // q 1 0 0 1 0 400 cm q 100 0 0 50 10 200 cm => composed translation
+    // (10, 600); the drawn unit square's top edge is 600 + 50 = 650, so
+    // the image sorts BETWEEN text at y=700 and y=500 (translation-only
+    // tracking would read y=200 and missort it below everything)
+    val content =
+      "q 1 0 0 1 0 400 cm q 100 0 0 50 10 200 cm /Im1 Do Q Q\n" +
+      "BT /F1 10 Tf 72 700 Td (above) Tj ET\n" +
+      "BT /F1 10 Tf 72 500 Td (below) Tj ET\n"
+    val blocks = PdfToSpans.parsePage(content, Map.empty,
+      Map("Im1" -> PdfToSpans.ImageRef("Im1", 100, 50)))
+    assert(blocks.map(b => (b.image.isDefined, b.text)) == Vector(
+      (false, "above"), (true, ""), (false, "below")))
+    val img = blocks(1)
+    assert(img.yTop == 650.0 && img.xLeft == 10.0)
+    // Q restored the outer state: a second draw AFTER the outer Q uses the
+    // identity CTM again
+    val content2 = content + "/Im1 Do\n"
+    val blocks2 = PdfToSpans.parsePage(content2, Map.empty,
+      Map("Im1" -> PdfToSpans.ImageRef("Im1", 100, 50)))
+    val imgs = blocks2.filter(_.image.isDefined)
+    assert(imgs.map(_.yTop).toSet == Set(650.0, 1.0)) // identity top = 0+1
   }
 
 }
