@@ -215,15 +215,19 @@ object SparkEntry {
     }),
 
     "q_bpe_tokens" -> ((s, dir) => {
-      // model-token budgeting (rows-only: merge tables are engine-
-      // specific; the canonical merge-sequence and segmentation oracles
-      // live in OpsSpec): train 256 merges on a deterministic 64-doc
-      // sample, count BPE tokens per document distributed
+      // model-token budgeting: train 256 merges on a deterministic 64-doc
+      // sample, tokenize every document distributed. The merge table is
+      // engine-specific (canonical merge-sequence oracle in OpsSpec), but
+      // n_words and the text_rt detokenization ROUND-TRIP are not: the
+      // DuckDB oracle recomputes both from the documents table, taking
+      // only n_bpe_tokens from the emitted rows — segmentation
+      // losslessness is hash-checked per document
       val docs = t(s, dir, "documents")
       val merges = graft.ops.Bpe.train(docs, "text",
         numMerges = 256, sampleDocs = 64)
-      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
-        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      graft.ops.Bpe.tokenizeDocs(docs, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          col("text_rt"))
         .orderBy(col("doc_id"))
     }),
 
@@ -295,8 +299,11 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => {
       // maxHamming = 7 is the contractual radius: 4 blocks of 16 bits with
       // single-bit-flip probe keys GUARANTEE recall up to Hamming 7 while
-      // keeping a 2^16 join-key space (Dedup.simHashCandidatePairs doc)
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+      // keeping a 2^16 join-key space (Dedup.simHashCandidatePairs doc).
+      // Both members' hashes ride the output so the DuckDB oracle
+      // recomputes hamming = bit_count(sim_a XOR sim_b) on the exact
+      // emitted rows (the hash kernel itself is pinned by OpsSpec)
+      Dedup.simHashPairsWithHashes(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 7)
     }),
 
@@ -335,20 +342,23 @@ object SparkEntry {
     }),
 
     "q_pq_topk" -> ((s, dir) => {
-      // product quantization (rows-only: k-means codebooks are
-      // engine-specific): 8-byte codes + ADC scan + exact rerank —
-      // kernel exactness and recall-vs-brute-force pinned in OpsSpec
+      // product quantization: 8-byte codes + ADC scan + exact rerank —
+      // the candidate SET is codebook-specific, but the rerank returns
+      // TRUE cosines, so the emitted rows are score-rechecked by the
+      // DuckDB topkRecheckSql oracle; kernel exactness and
+      // recall-vs-brute-force pinned in OpsSpec
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, m = 8, ksub = 16, rerank = 128)
     }),
 
     "q_ivfpq_topk" -> ((s, dir) => {
-      // IVF+PQ composition (rows-only: k-means codebooks are engine-
-      // specific): coarse cells prune the scan to nprobe/nlist of the
-      // corpus, residual-PQ codes make the probed scan m bytes per vector,
-      // exact rerank restores true cosines — the FAISS IVFPQ shape; recall
-      // floor + exact-rerank invariant pinned in OpsSpec
+      // IVF+PQ composition: coarse cells prune the scan to nprobe/nlist
+      // of the corpus, residual-PQ codes make the probed scan m bytes per
+      // vector, exact rerank restores true cosines — the FAISS IVFPQ
+      // shape; the rerank's true cosines make the emitted rows
+      // score-recheckable (topkRecheckSql oracle); recall floor +
+      // exact-rerank invariant pinned in OpsSpec
       // 2 Lloyd iterations: the double training (coarse + PQ) is the term
       // that AMORTIZES at corpus scale while the sf0.1 bench is training-
       // dominated; recall at (8/4, rerank 128) is scan-side, not
@@ -435,6 +445,22 @@ object SparkEntry {
       graft.ops.Winnowing.fingerprintPairs(
         t(s, dir, "documents").filter(col("doc_id") < 300),
         "doc_id", "text", k = 8, w = 16, threshold = 0.05, maxDocFreq = 64)
+    }),
+
+    "q_winnow_jaccard" -> ((s, dir) => {
+      // the winnowing pipeline's VERIFICATION stage (mirror of
+      // q_minhash_jaccard): exact character-8-gram Jaccard over the
+      // fingerprint candidate pairs — fingerprints estimate this measure
+      // from the winnowed subset; survivors are decided by the exact one.
+      // The DuckDB oracle recomputes every emitted pair's gram Jaccard
+      // from the documents table, hash-checking the normalization /
+      // gram / intersection math on the exact rows winnowing produced
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val cand = graft.ops.Winnowing.fingerprintPairs(docs,
+          "doc_id", "text", k = 8, w = 16, threshold = 0.05, maxDocFreq = 64)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Winnowing.exactKGramJaccardForPairs(cand, docs,
+        "doc_id", "text", k = 8)
     }),
 
     // ---- dataset export (§3.3): gate + split, oracle-checked -------------
@@ -599,6 +625,29 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY query_id
       |           ORDER BY cs DESC, neighbor_id ASC) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** Score-recheck oracle for approximate top-k configs whose rerank
+    * returns TRUE cosines: read the emitted (query_id, neighbor_id) rows
+    * back from the Verify output, recompute each cosine from the
+    * embeddings table, and re-derive rank within the emitted rows (the
+    * engine ranks by the same cosine with the same neighbor-id tie-break,
+    * so rank restricted to its own top-k is reproduced exactly).
+    */
+  private def topkRecheckSql(name: String): String =
+    s"""WITH out AS (
+       |  SELECT query_id, neighbor_id FROM '__VERIFY_OUT__/$name/*.parquet'),
+       |scored AS (
+       |  SELECT o.query_id, o.neighbor_id,
+       |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |          * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+       |  FROM out o JOIN embeddings q ON q.vec_id = o.query_id
+       |             JOIN embeddings c ON c.vec_id = o.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+       |       row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cs DESC, neighbor_id ASC) AS rank
+       |FROM scored""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -877,6 +926,58 @@ object SparkEntry {
         |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
         |FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
         |            JOIN embeddings b ON b.vec_id = c.id_b""".stripMargin,
+
+    // the approximate ANN configs return TRUE cosines (exact rerank), so
+    // their emitted (query, neighbor) rows are score-recheckable even
+    // though the candidate SET is codebook-specific: recompute each row's
+    // cosine from the embeddings table and re-rank within the emitted
+    // rows (rank among the emitted top-k equals the engine's rank —
+    // same ordering, same tie-break)
+    "q_pq_topk" -> topkRecheckSql("q_pq_topk"),
+    "q_ivfpq_topk" -> topkRecheckSql("q_ivfpq_topk"),
+
+    "q_simhash_pairs" ->
+      """WITH out AS (
+        |  SELECT id_a, id_b, sim_a, sim_b
+        |  FROM '__VERIFY_OUT__/q_simhash_pairs/*.parquet')
+        |SELECT id_a, id_b, sim_a, sim_b,
+        |       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        |FROM out""".stripMargin,
+
+    "q_winnow_jaccard" ->
+      """WITH cand AS (
+        |  SELECT id_a, id_b FROM '__VERIFY_OUT__/q_winnow_jaccard/*.parquet'),
+        |ids AS (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand),
+        |grams AS (
+        |  SELECT id, unnest(list_distinct(
+        |    [substring(n, i, 8) FOR i IN range(1, len(n) - 6)])) AS sh
+        |  FROM (SELECT doc_id AS id,
+        |               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+        |        FROM documents WHERE doc_id IN (SELECT id FROM ids))),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN grams a ON a.id = c.id_a
+        |              JOIN grams b ON b.id = c.id_b AND b.sh = a.sh
+        |  GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b,
+        |       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+        |FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b""".stripMargin,
+
+    "q_bpe_tokens" ->
+      """WITH out AS (
+        |  SELECT doc_id, n_bpe_tokens
+        |  FROM '__VERIFY_OUT__/q_bpe_tokens/*.parquet')
+        |SELECT d.doc_id,
+        |       CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'),
+        |                            x -> x <> '')) AS BIGINT) AS n_words,
+        |       o.n_bpe_tokens,
+        |       array_to_string(list_filter(string_split_regex(lower(d.text), '\s+'),
+        |                                   x -> x <> ''), ' ') AS text_rt
+        |FROM out o JOIN documents d ON d.doc_id = o.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

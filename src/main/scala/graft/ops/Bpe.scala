@@ -146,4 +146,47 @@ object Bpe {
         }
       }.toDF("id", "n_words", "n_bpe_tokens")
   }
+
+  /** [[tokenCounts]] plus a detokenization ROUND-TRIP column: `text_rt` is
+    * each word rebuilt by concatenating its BPE tokens (Eow stripped) and
+    * re-joining with single spaces. BPE merges only ever fuse adjacent
+    * symbols, so token concatenation must reproduce the normalized word
+    * EXACTLY — emitting the reconstruction makes that losslessness
+    * verifiable by any SQL engine (recompute the whitespace-normalized
+    * lowercase text from the source table; equality proves no symbol was
+    * lost, duplicated, or reordered by the merge machinery). Same
+    * partition-parallel no-shuffle apply path as [[tokenCounts]]; the memo
+    * holds token vectors instead of counts.
+    */
+  def tokenizeDocs(df: DataFrame, idCol: String, textCol: String,
+      merges: Vector[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val r = bc.value
+        val memo = mutable.Map.empty[String, Vector[String]]
+        rows.map { case (id, t) =>
+          val words = Option(t).getOrElse("").trim
+            .toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          var tokens = 0L
+          val sb = new StringBuilder
+          words.foreach { w =>
+            val toks = memo.getOrElseUpdate(w, tokenizeWord(w, r))
+            tokens += toks.length
+            if (sb.nonEmpty) sb.append(' ')
+            // concat(symbols) == word + Eow by the merge invariant; strip
+            // the marker wherever the merges left it fused
+            val joined = toks.mkString("")
+            sb.append(
+              if (joined.endsWith(Eow)) joined.dropRight(Eow.length) else joined)
+          }
+          (id, words.length.toLong, tokens, sb.toString)
+        }
+      }.toDF("id", "n_words", "n_bpe_tokens", "text_rt")
+  }
 }

@@ -184,8 +184,16 @@ object Dedup {
     * callers filter).
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      textCol: String, n: Int): DataFrame =
+    jaccardForPairsOver(pairs,
+      docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs")))
+
+  /** Exact Jaccard over arbitrary per-document gram SETS — the shared core
+    * of [[jaccardForPairs]] (word n-grams) and
+    * [[Winnowing.exactKGramJaccardForPairs]] (character k-grams). `sets`
+    * must be (id, shs: array&lt;string&gt;) with distinct grams per row.
+    */
+  def jaccardForPairsOver(pairs: DataFrame, sets: DataFrame): DataFrame = {
     val sizes = sets.select(col("id"), size(col("shs")).as("n_sh"))
     val ex = sets.select(col("id"), explode(col("shs")).as("sh"))
     val inter = pairs
@@ -200,9 +208,9 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         // empty-∪-empty = 0 by convention, never NaN (a pair whose sides
-        // both have < n words; LSH-emitted pairs can't hit this — their
-        // members always have shingles — but the public contract returns a
-        // number for EVERY pair)
+        // both produced no grams; blocking-emitted pairs can't hit this —
+        // their members always have grams — but the public contract
+        // returns a number for EVERY pair)
         when(union === 0, lit(0.0))
           .otherwise(round(i0.cast("double") / union, 6)).as("jaccard"))
   }
@@ -294,17 +302,38 @@ object Dedup {
         col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
+        // both hashes ride the candidate row (free — they're join inputs),
+        // aligned so sim_a belongs to id_a under the least/greatest
+        // normalization
+        when(col("a.id") < col("b.id"), col("a.simhash"))
+          .otherwise(col("b.simhash")).as("sim_a"),
+        when(col("a.id") < col("b.id"), col("b.simhash"))
+          .otherwise(col("a.simhash")).as("sim_b"),
         // xor is symmetric, so hamming is pair-normalization-safe
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
     cand.filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"), col("hamming"))
   }
 
   /** SimHash near-dup pairs over a text column (see simHashCandidatePairs
     * for the blocking/recall contract).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame =
+    simHashPairsWithHashes(df, idCol, textCol, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
+  /** [[simHashPairs]] with each member's 64-bit SimHash carried in the
+    * output (id_a, id_b, sim_a, sim_b, hamming) — the oracle-checkable
+    * shape: `hamming` is then independently recomputable as
+    * `bit_count(sim_a XOR sim_b)` by any SQL engine, so the distance a
+    * dedup decision rests on is verified on the exact emitted rows (the
+    * hash KERNEL stays Scala-only and is pinned by its own known-vector
+    * spec). The hashes are free — they are already inputs of the blocking
+    * join; no extra joins or hash recomputation.
+    */
+  def simHashPairsWithHashes(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
     val withSh = withSimHash(df, textCol).select(col(idCol).as("id"), col("simhash"))
     simHashCandidatePairs(withSh, maxHamming)

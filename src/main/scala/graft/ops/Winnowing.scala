@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.XxHash64
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
@@ -88,4 +88,38 @@ object Winnowing {
       .filter($"sim" >= threshold)
       .select($"id_a", $"id_b", $"sim")
   }
+
+  /** Distinct character k-grams of the winnowing-normalized text as a
+    * native Column (lowercase, non-alphanumerics collapsed to single
+    * spaces — the same normalization [[normalize]] applies before
+    * hashing). Built like `Dedup.shingles`: the char array zipped with its
+    * own shifted slices, evaluated once per row — a `substring(n, i, k)`
+    * inside a transform lambda would re-evaluate the regexp_replace per
+    * gram (the O(L²) pitfall documented on shingles). Grams shorter than
+    * `k` (array tail) are filtered by length.
+    */
+  def charGrams(text: Column, k: Int): Column = {
+    val chars = split(
+      trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), "")
+    val grams = (1 until k).foldLeft(chars) { (acc, j) =>
+      zip_with(acc, slice(chars, lit(j + 1), size(chars)), (a, b) =>
+        when(a.isNotNull && b.isNotNull, concat(a, b)))
+    }
+    array_distinct(filter(grams, s => s.isNotNull && length(s) === k))
+  }
+
+  /** The verification stage winnowing approximates: EXACT character
+    * k-gram Jaccard over candidate pairs (typically
+    * [[fingerprintPairs]]' output) — fingerprints estimate this measure
+    * from the winnowed subset; survivors should be decided by the exact
+    * one. Pure column math + equi-joins, so the measure is independently
+    * recomputable by any SQL engine on the emitted rows (the oracle shape
+    * for the fingerprint family, mirroring
+    * `Dedup.jaccardForPairs` for MinHash-LSH). Linear in the pair
+    * members' gram counts — never corpus-quadratic.
+    */
+  def exactKGramJaccardForPairs(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame =
+    Dedup.jaccardForPairsOver(pairs,
+      docs.select(col(idCol).as("id"), charGrams(col(textCol), k).as("shs")))
 }

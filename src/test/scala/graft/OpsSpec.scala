@@ -288,6 +288,93 @@ class OpsSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("bpe tokenizeDocs: round-trip reconstructs normalized text, counts match tokenCounts") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val docs = Seq(
+      (0L, "Low LOWEST newest"),       // mixed case -> lowercased
+      (1L, "  the newest\twidest \n lowest low "), // messy whitespace
+      (2L, ""),
+      (3L, "zzz unseen-vocab qqq")).toDF("doc_id", "text") // words with no trained merges
+    val merges = Bpe.train(docs.filter($"doc_id" < 2), "text", numMerges = 16)
+    val out = Bpe.tokenizeDocs(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // text_rt == whitespace-normalized lowercase source, for EVERY doc
+    // (including words the merge table never saw — char-level fallback)
+    assert(out(0L)._3 == "low lowest newest")
+    assert(out(1L)._3 == "the newest widest lowest low")
+    assert(out(2L)._3 == "")
+    assert(out(3L)._3 == "zzz unseen-vocab qqq")
+    // counts agree exactly with the counting-only path
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { case (id, (nw, nt, _)) =>
+      assert(counts(id) == ((nw, nt)), s"doc $id count drift")
+    }
+  }
+
+  test("simhash pairs carry both hashes; hamming == bitcount(xor) and hashes match the kernel") {
+    val byId = nearDupCorpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.simHashPairsWithHashes(nearDupCorpus, "doc_id", "text",
+      maxHamming = 16).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb, ham) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      // the emitted distance is exactly the xor popcount of the emitted
+      // hashes — the identity the DuckDB recheck oracle recomputes
+      assert(java.lang.Long.bitCount(sa ^ sb) == ham, s"pair ($a,$b)")
+      // and the emitted hashes are the kernel's hashes of the right docs
+      assert(sa == Dedup.simHash64(byId(a)), s"sim_a drift for $a")
+      assert(sb == Dedup.simHash64(byId(b)), s"sim_b drift for $b")
+    }
+  }
+
+  test("charGrams + exactKGramJaccardForPairs match a plain-Scala oracle") {
+    val sqlc = spark
+    import sqlc.implicits._
+    def oracleGrams(t: String, k: Int): Set[String] = {
+      val n = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      if (n.length < k) Set.empty
+      else (0 to n.length - k).map(i => n.substring(i, i + k)).toSet
+    }
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "The quick brown fox jumped over a lazy dog!"),
+      (3L, "Completely unrelated text about winnowing"),
+      (4L, "short"),  // < 8 normalized chars -> empty gram set
+      (5L, "tiny")).toDF("doc_id", "text")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // column gram extraction == oracle, incl. the sub-k edge
+    val gramRows = docs.select($"doc_id",
+        Winnowing.charGrams($"text", 8).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    texts.foreach { case (id, t) =>
+      assert(gramRows(id) == oracleGrams(t, 8), s"grams drift for doc $id")
+    }
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Winnowing.exactKGramJaccardForPairs(pairs, docs,
+        "doc_id", "text", k = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def oracleJac(a: Long, b: Long): Double = {
+      val (ga, gb) = (oracleGrams(texts(a), 8), oracleGrams(texts(b), 8))
+      val u = (ga ++ gb).size
+      if (u == 0) 0.0
+      else BigDecimal(ga.intersect(gb).size.toDouble / u)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.size == 3)
+    Seq((1L, 2L), (1L, 3L), (4L, 5L)).foreach { case (a, b) =>
+      assert(out((a, b)) == oracleJac(a, b), s"pair ($a,$b)")
+    }
+    // the similar pair scores well above the unrelated one
+    assert(out((1L, 2L)) > 0.3 && out((1L, 3L)) < 0.05)
+    // both-empty pair: 0 by convention, never NaN
+    assert(out((4L, 5L)) == 0.0)
+  }
+
   test("decontamination: benchmark n-gram overlap flags exactly the planted docs") {
     val sqlc = spark
     import sqlc.implicits._
