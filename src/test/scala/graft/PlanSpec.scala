@@ -64,7 +64,8 @@ class PlanSpec extends AnyFunSuite {
   test("blocking joins are equi-joins, never nested-loop: jaccard + simhash + ann") {
     // the quadratic trap for pair-mining ops is a BroadcastNestedLoopJoin /
     // CartesianProduct; all three must plan hash-partitioned equi-joins
-    Seq("q_jaccard_pairs", "q_simhash_pairs", "q_ann_lsh").foreach { q =>
+    Seq("q_jaccard_pairs", "q_simhash_pairs", "q_ann_lsh",
+        "q_minhash_jaccard", "q_winnow_jaccard").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       // the self-join on the blocking key must be an equi-join
