@@ -3,7 +3,7 @@ package graft.crawl
 import graft.core.{ScopeFilter, UrlCanonicalizer}
 import graft.extract.{DocAnalysis, HtmlParser, HtmlToSpans, PdfToSpans}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -286,32 +286,40 @@ final class CrawlEngine(
     val cfg = config
     val hostsTbl = io.readAll("hosts", TableIO.HostsSchema)
     // NEW hosts via distributed anti-join against the authoritative hosts
-    // table: the driver collects only hosts whose robots must be fetched
-    // and staged this wave — O(newly discovered hosts), which goes to ZERO
-    // on late waves; never O(wave hosts), never O(crawl age)
-    val newHostNames = timed(wave, "hosts")(
-      frontier.select($"host").distinct()
-        .join(hostsTbl.select($"host"), Seq("host"), "left_anti")
-        .as[String].collect())
-    // few new hosts → fetch robots on the driver; many → distribute
-    val newHostStates: Seq[HostState] = timed(wave, "robots")(
-      if (newHostNames.length <= 64) {
-        newHostNames.toSeq.map { h =>
+    // table, kept as a (persisted) Dataset: zero rows on late waves; on a
+    // discovery-heavy wave (a 10^6-host seed list) the driver holds only
+    // the COUNT — never the names, never the robots corpus
+    val newHosts = frontier.select($"host").distinct()
+      .join(hostsTbl.select($"host"), Seq("host"), "left_anti")
+      .as[String].persist()
+    val newHostsCount = timed(wave, "hosts")(newHosts.count())
+    // few new hosts → fetch robots on the driver (no job round-trip; the
+    // ≤64 collect is the only names-to-driver path and is O(64) by
+    // construction); many → fetch in partitions and KEEP the states
+    // distributed — delays/robots/hosts-staging all read the Dataset, so
+    // robots BODIES never ride through the driver at any discovery scale.
+    // persist + count: the three downstream consumers (delay column,
+    // robots column, hosts staging) must not re-run the network fetch.
+    val newHostStates: Dataset[HostState] = timed(wave, "robots")(
+      if (newHostsCount <= 64) {
+        newHosts.collect().toSeq.map { h =>
           val content = fetcherL.fetchRobots(h)
           val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
           HostState(h, cfg.effectiveDelayMs(delay), content, wave)
-        }
+        }.toDS()
       } else {
-        spark.createDataset(newHostNames.toSeq).repartition(numPartitions)
+        val ds = newHosts.repartition(numPartitions)
           .mapPartitions { hosts =>
             hosts.map { h =>
               val content = fetcherL.fetchRobots(h)
               val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
               HostState(h, cfg.effectiveDelayMs(delay), content, wave)
             }
-          }.collect().toSeq
+          }.persist()
+        ds.count() // force the fetch once, inside the robots timer
+        ds
       })
-    lastWaveDelayMapSize = newHostStates.size
+    lastWaveDelayMapSize = newHostsCount.toInt
 
     // ---- 2. politeness split: per-host cap in seq order, rest carries;
     //         per-domain budget DROPS entries beyond the allowance (O3).
@@ -319,8 +327,7 @@ final class CrawlEngine(
     // against the hosts / host_counts TABLES — the budget filter runs
     // distributed and the driver holds no per-host politeness state at
     // any frontier scale (a wave touching 10^7 hosts costs it nothing).
-    val freshDelays = newHostStates.map(h => (h.host, h.crawl_delay_ms))
-      .toDF("host", "crawl_delay_ms")
+    val freshDelays = newHostStates.select($"host", $"crawl_delay_ms")
     val delayCols = hostsTbl.select($"host", $"crawl_delay_ms")
       .union(freshDelays) // fresh hosts have no table row yet, so no dupes
     val defaultDelay = config.effectiveDelayMs(0)
@@ -508,8 +515,7 @@ final class CrawlEngine(
     // the driver nothing. RobotsCache amortizes the per-row parse to once
     // per distinct robots body per executor thread (same-host rows are
     // contiguous after the join shuffle, so the memo hit rate is ~100%).
-    val freshRobots = newHostStates.map(h => (h.host, h.robots_txt))
-      .toDF("host", "robots_txt")
+    val freshRobots = newHostStates.select($"host", $"robots_txt")
     val robotsCols = hostsTbl.select($"host", $"robots_txt")
       .unionByName(freshRobots) // fresh hosts have no table row yet: no dupes
 
@@ -645,9 +651,8 @@ final class CrawlEngine(
     staged("stage:blocks")(io.stage("unique_blocks", wave,
       newUnique.select($"text_hash", $"words")))
     staged("stage:seen")(io.stage("seen", wave + 1, seenAdds))
-    if (newHostStates.nonEmpty) {
-      val hostDs = newHostStates.toDS()
-      staged("stage:hosts")(io.stage("hosts", wave, hostDs))
+    if (newHostsCount > 0) {
+      staged("stage:hosts")(io.stage("hosts", wave, newHostStates))
     }
     staged("stage:metrics")(io.stage("metrics", wave, metrics.coalesce(1)))
     if (config.logFetches) {
@@ -756,6 +761,8 @@ final class CrawlEngine(
     io.commitWave(wave, stats, stopReason)
 
     results.unpersist()
+    newHosts.unpersist()
+    newHostStates.unpersist() // no-op for the ≤64 local-relation branch
     if (flagged != null) flagged.unpersist()
     if (prevBlooms != null) prevBlooms.unpersist()
     fetchedP.unpersist()
