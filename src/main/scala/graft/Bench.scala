@@ -169,8 +169,7 @@ object Bench {
     // are those of a fresh crawl while the seen machinery carries 10^6 rows
     CrawlEngine.seedWarehouse(spark, io, config,
       extraSeen = spark.range(preSeeded)
-        .select((col("id") + (1L << 40)).as("url_hash")),
-      extraSeenCount = preSeeded)
+        .select((col("id") + (1L << 40)).as("url_hash")))
     val engine = new CrawlEngine(spark, io, config, fetcher, numPartitions = cpus)
     val t0 = System.nanoTime()
     engine.run()

@@ -295,29 +295,38 @@ final class CrawlEngine(
     val newHostsCount = timed(wave, "hosts")(newHosts.count())
     // few new hosts → fetch robots on the driver (no job round-trip; the
     // ≤64 collect is the only names-to-driver path and is O(64) by
-    // construction); many → fetch in partitions and KEEP the states
-    // distributed — delays/robots/hosts-staging all read the Dataset, so
-    // robots BODIES never ride through the driver at any discovery scale.
-    // persist + count: the three downstream consumers (delay column,
-    // robots column, hosts staging) must not re-run the network fetch.
+    // construction; the common late-wave zero case runs NO job at all);
+    // many → fetch in partitions, stage the states to the wave's hosts
+    // partition IMMEDIATELY, and read the parquet back. persist() alone
+    // cannot guarantee once-only network fetches: a lost cached partition
+    // (executor death, speculative duplicate) would silently RE-FETCH
+    // robots mid-wave, so the delay column / robots column / staged hosts
+    // rows could come from DIFFERENT fetches of the same host. The staged
+    // parquet (invisible until the wave commits) is the immutable snapshot
+    // every downstream consumer — and a resumed attempt — reads.
+    var hostsStagedEarly = false
     val newHostStates: Dataset[HostState] = timed(wave, "robots")(
-      if (newHostsCount <= 64) {
+      if (newHostsCount == 0) {
+        spark.emptyDataset[HostState]
+      } else if (newHostsCount <= 64) {
         newHosts.collect().toSeq.map { h =>
           val content = fetcherL.fetchRobots(h)
           val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
           HostState(h, cfg.effectiveDelayMs(delay), content, wave)
         }.toDS()
       } else {
-        val ds = newHosts.repartition(numPartitions)
+        val fetchedStates = newHosts.repartition(numPartitions)
           .mapPartitions { hosts =>
             hosts.map { h =>
               val content = fetcherL.fetchRobots(h)
               val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
               HostState(h, cfg.effectiveDelayMs(delay), content, wave)
             }
-          }.persist()
-        ds.count() // force the fetch once, inside the robots timer
-        ds
+          }
+        io.stage("hosts", wave, fetchedStates) // the one network-fetch job
+        hostsStagedEarly = true
+        io.readWave("hosts", wave, TableIO.HostsSchema, lookahead = 1)
+          .as[HostState].persist()
       })
     lastWaveDelayMapSize = newHostsCount.toInt
 
@@ -651,7 +660,9 @@ final class CrawlEngine(
     staged("stage:blocks")(io.stage("unique_blocks", wave,
       newUnique.select($"text_hash", $"words")))
     staged("stage:seen")(io.stage("seen", wave + 1, seenAdds))
-    if (newHostsCount > 0) {
+    if (newHostsCount > 0 && !hostsStagedEarly) {
+      // the >64 branch already staged the fetch snapshot (and is READING
+      // from that file — re-staging would overwrite its own input)
       staged("stage:hosts")(io.stage("hosts", wave, newHostStates))
     }
     staged("stage:metrics")(io.stage("metrics", wave, metrics.coalesce(1)))
@@ -784,13 +795,16 @@ object CrawlEngine {
   /** Bootstrap a fresh warehouse exactly as a new engine would (the
     * commit-"-1" contract: root frontier entry + seen set + persisted
     * config + start time), optionally UNIONING `extraSeen` (a url_hash
-    * DataFrame of `extraSeenCount` rows) into the initial seen set — how
-    * the seeded-seen scale legs pre-load 10^5..10^6 hashes. The engine's
-    * own bootstrap delegates here, so external seeders can never drift
-    * from the resume contract.
+    * DataFrame) into the initial seen set — how the seeded-seen scale
+    * legs pre-load 10^5..10^6 hashes. The seeded row count is COUNTED
+    * here, not caller-supplied: seen_total drives the Bloom-engage
+    * threshold on resume, so a caller-passed count that disagreed with
+    * the actual rows would silently mis-seed it. The engine's own
+    * bootstrap delegates here, so external seeders can never drift from
+    * the resume contract.
     */
   def seedWarehouse(spark: SparkSession, io: TableIO, config: CrawlConfig,
-      extraSeen: DataFrame = null, extraSeenCount: Long = 0L,
+      extraSeen: DataFrame = null,
       nowMs: Long = System.currentTimeMillis()): Unit = {
     import spark.implicits._
     val rootCanon = UrlCanonicalizer.canonicalize(config.rootUrl)
@@ -802,6 +816,7 @@ object CrawlEngine {
     io.stage("seen", 0,
       if (extraSeen == null) rootSeen
       else extraSeen.select(col("url_hash")).union(rootSeen))
+    val extraSeenCount = if (extraSeen == null) 0L else extraSeen.count()
     io.writeConfig(CrawlConfigCodec.toJson(config))
     val base = Map("max_seq" -> 0L, "next_frontier" -> 1L,
       "start_epoch_ms" -> nowMs)

@@ -116,36 +116,25 @@ object Bpe {
     trainMerges(wordFreq, numMerges)
   }
 
+  /** The ONE executor-side text normalization, shared by both apply paths
+    * so they can never drift. Locale.ROOT: train() lowercases via Spark's
+    * locale-independent lower(); a default-locale toLowerCase would
+    * disagree on e.g. Turkish-locale JVMs (I -> dotless ı) and miss every
+    * rank.
+    */
+  private[ops] def normalizeWords(t: String): Array[String] =
+    Option(t).getOrElse("").trim
+      .toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+
   /** Per-document BPE token counts: (id, n_words, n_bpe_tokens). The
-    * ranks broadcast; a per-task word→count memo exploits Zipfian word
+    * ranks broadcast; a per-task word→tokens memo exploits Zipfian word
     * reuse. Partition-parallel map, no shuffle.
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
-      merges: Vector[(String, String)]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
-    val bc = spark.sparkContext.broadcast(ranks)
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        val r = bc.value
-        val memo = mutable.Map.empty[String, Int]
-        rows.map { case (id, t) =>
-          // Locale.ROOT: train() lowercases via Spark's locale-independent
-          // lower(); a default-locale toLowerCase would disagree on e.g.
-          // Turkish-locale JVMs (I -> dotless ı) and miss every rank
-          val words = Option(t).getOrElse("").trim
-            .toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty)
-          var tokens = 0L
-          words.foreach { w =>
-            tokens += memo.getOrElseUpdate(w, tokenizeWord(w, r).length)
-          }
-          (id, words.length.toLong, tokens)
-        }
-      }.toDF("id", "n_words", "n_bpe_tokens")
-  }
+      merges: Vector[(String, String)]): DataFrame =
+    applyBpe(df, idCol, textCol, merges, withRoundTrip = false)
+      .drop("text_rt")
 
   /** [[tokenCounts]] plus a detokenization ROUND-TRIP column: `text_rt` is
     * each word rebuilt by concatenating its BPE tokens (Eow stripped) and
@@ -154,12 +143,19 @@ object Bpe {
     * EXACTLY — emitting the reconstruction makes that losslessness
     * verifiable by any SQL engine (recompute the whitespace-normalized
     * lowercase text from the source table; equality proves no symbol was
-    * lost, duplicated, or reordered by the merge machinery). Same
-    * partition-parallel no-shuffle apply path as [[tokenCounts]]; the memo
-    * holds token vectors instead of counts.
+    * lost, duplicated, or reordered by the merge machinery).
     */
   def tokenizeDocs(df: DataFrame, idCol: String, textCol: String,
-      merges: Vector[(String, String)]): DataFrame = {
+      merges: Vector[(String, String)]): DataFrame =
+    applyBpe(df, idCol, textCol, merges, withRoundTrip = true)
+
+  /** Shared apply core: normalization, broadcast ranks, per-task Zipfian
+    * memo, and the no-shuffle mapPartitions live HERE ONCE — the two
+    * public entry points differ only in whether the round-trip text is
+    * materialized (the count path skips the string building entirely).
+    */
+  private def applyBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Vector[(String, String)], withRoundTrip: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
@@ -170,22 +166,24 @@ object Bpe {
         val r = bc.value
         val memo = mutable.Map.empty[String, Vector[String]]
         rows.map { case (id, t) =>
-          val words = Option(t).getOrElse("").trim
-            .toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty)
+          val words = normalizeWords(t)
           var tokens = 0L
-          val sb = new StringBuilder
+          val sb = if (withRoundTrip) new StringBuilder else null
           words.foreach { w =>
             val toks = memo.getOrElseUpdate(w, tokenizeWord(w, r))
             tokens += toks.length
-            if (sb.nonEmpty) sb.append(' ')
-            // concat(symbols) == word + Eow by the merge invariant; strip
-            // the marker wherever the merges left it fused
-            val joined = toks.mkString("")
-            sb.append(
-              if (joined.endsWith(Eow)) joined.dropRight(Eow.length) else joined)
+            if (withRoundTrip) {
+              if (sb.nonEmpty) sb.append(' ')
+              // concat(symbols) == word + Eow by the merge invariant; strip
+              // the marker wherever the merges left it fused
+              val joined = toks.mkString("")
+              sb.append(
+                if (joined.endsWith(Eow)) joined.dropRight(Eow.length)
+                else joined)
+            }
           }
-          (id, words.length.toLong, tokens, sb.toString)
+          (id, words.length.toLong, tokens,
+            if (withRoundTrip) sb.toString else "")
         }
       }.toDF("id", "n_words", "n_bpe_tokens", "text_rt")
   }

@@ -339,7 +339,7 @@ object Multimodal {
       // (same as any undecodable blob below)
       if (row.blob != null && row.blob.length >= 4 &&
           !(row.blob(0) == 'G' && row.blob(1) == 'I' && row.blob(2) == 'F') &&
-          !(row.blob(0) == 'G' && row.blob(1) == 'F' && row.blob(2) == 'T')) {
+          !isGft(row.blob)) {
         FfmpegCodec.sampleFrames(row.blob, step, maxFrames).map {
           case (idx, png, w, h) => FrameRow(row.media_id, idx, "image", png, w, h)
         }

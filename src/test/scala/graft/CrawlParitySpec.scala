@@ -304,7 +304,7 @@ class CrawlParitySpec extends AnyFunSuite {
     CrawlEngine.seedWarehouse(spark, io, sConfig,
       extraSeen = spark.range(pre)
         .select((col("id") + (1L << 40)).as("url_hash")),
-      extraSeenCount = pre, nowMs = 1L)
+      nowMs = 1L)
     val engine = new CrawlEngine(spark, io, sConfig,
       new SyntheticFetcher(site.pages, site.robots), numPartitions = 4)
     engine.run()
