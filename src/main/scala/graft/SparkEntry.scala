@@ -559,23 +559,35 @@ object SparkEntry {
       val spark = s
       import spark.implicits._
       import graft.extract.{PdfFixture, PdfToSpans}
+      // page-distinct text must differ by WORDS, not digits: the
+      // decoration classifier (J5) matches repeats digit-insensitively,
+      // so a corpus whose pages differ only in numerals is — correctly —
+      // removed wholesale as headers/footers (a rows-only check once hid
+      // exactly that: every text span silently vanished)
+      val W = Vector("alpha", "bravo", "carbon", "delta", "ember", "falcon",
+        "garnet", "harbor", "iris", "juniper", "krypton", "lumen", "meadow",
+        "nectar", "onyx", "prism")
       val fixtures = (0 until 16).map { i =>
         val pages = Seq.tabulate(2 + i % 3) { p =>
+          val wi = W(i % 16)
+          val wp = W((i + 3 * p + 1) % 16)
           Seq(
-            PdfFixture.Block(Seq(s"Chapter $i-$p"), fontSize = 18.0),
+            PdfFixture.Block(Seq(s"Chapter $wi $wp"), fontSize = 18.0),
             PdfFixture.Block(Seq(
-              s"pdf body paragraph $i page $p with distinct content",
-              s"second line of the paragraph for doc $i page $p")),
-            PdfFixture.Block(Seq(s"closing remarks $i $p")))
+              s"pdf body paragraph about $wi and $wp with distinct content",
+              s"second line mentioning $wp for the $wi paragraph")),
+            PdfFixture.Block(Seq(s"closing remarks on $wi $wp")))
         }
         // the corpus cycles through the real-world layouts — classic
         // uncompressed, /FlateDecode, PDF 1.5 (ObjStm + xref stream +
         // indirect lengths), an ASCII85+Flate filter chain, an embedded
         // SUBSET font (/ToUnicode CMap; glyph codes ≠ char codes — 1-byte
         // and 2-byte CID variants), a /Differences-remapped simple font,
-        // and an embedded /Subtype /Image XObject (Media.Image spans);
-        // text extraction must be identical across all of them
-        val body = (i % 7) match {
+        // an embedded /Subtype /Image XObject (Media.Image spans), and a
+        // Type0/Identity-H font with NO /ToUnicode whose embedded TrueType
+        // cmap is the only decoding source; text extraction must be
+        // identical across all of them
+        val body = (i % 8) match {
           case 0 => PdfFixture.pdf(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
           case 1 => PdfFixture.pdf(pages, title = s"Fixture $i",
@@ -591,8 +603,11 @@ object SparkEntry {
             twoByte = i >= 8)
           case 5 => PdfFixture.pdfDifferencesFont(pages, title = s"Fixture $i",
             header = "Shared Running Header", pageNumbers = true)
-          case _ => PdfFixture.pdfWithImage(pages, title = s"Fixture $i",
+          case 6 => PdfFixture.pdfWithImage(pages, title = s"Fixture $i",
             imageW = 100 + i, imageH = 60 + i)
+          case _ => PdfFixture.pdfEmbeddedCmapFont(pages,
+            title = s"Fixture $i", header = "Shared Running Header",
+            pageNumbers = true, format12 = i >= 8, cidToGidStream = i >= 12)
         }
         (s"pdf_$i", body)
       }
@@ -935,6 +950,52 @@ object SparkEntry {
     // same ordering, same tie-break)
     "q_pq_topk" -> topkRecheckSql("q_pq_topk"),
     "q_ivfpq_topk" -> topkRecheckSql("q_ivfpq_topk"),
+
+    // the flagship crawl is fully deterministic (seeded synthetic web,
+    // deterministic politeness/dedup/extraction), so its document set and
+    // per-document span counts pin as a golden table: the /private
+    // disallow keeps secretN pages out except the Allow-rule-permitted
+    // secret4 on each host, and the span counts come from the real HTML
+    // extractor. Semantic correctness of the same crawl is independently
+    // proven by the sequential-oracle parity suites; this pin catches
+    // silent drift between rounds
+    "q_crawl_documents" ->
+      """SELECT doc_id, CAST(n_spans AS INT) AS n_spans FROM (VALUES
+        |  ('https://www.host0.example0.com/p0.html', 59),
+        |  ('https://www.host0.example0.com/p1.html', 60),
+        |  ('https://www.host0.example0.com/p2.html', 38),
+        |  ('https://www.host0.example0.com/p3.html', 52),
+        |  ('https://www.host0.example0.com/p4.html', 48),
+        |  ('https://www.host0.example0.com/private/secret4.html', 1),
+        |  ('https://www.host1.example1.com/p0.html', 39),
+        |  ('https://www.host1.example1.com/p1.html', 37),
+        |  ('https://www.host1.example1.com/p2.html', 36),
+        |  ('https://www.host1.example1.com/p3.html', 25),
+        |  ('https://www.host1.example1.com/p4.html', 58),
+        |  ('https://www.host1.example1.com/private/secret4.html', 1)
+        |) AS t(doc_id, n_spans) ORDER BY doc_id""".stripMargin,
+
+    // the PDF corpus is a DETERMINISTIC function of the fixture spec, so
+    // the oracle derives the expected span structure independently from
+    // the same spec: nPages = 2 + i%3; one Section per page; 2 body
+    // blocks per page; 4 text spans per page; image-layout docs
+    // (i%8 == 6) add one Media.Image span per page; the shared running
+    // header and page numbers must be REMOVED (has_decoration false).
+    // A rows-only check once hid a total text wipe-out here (the old
+    // digit-only-varying fixtures were decoration-classified wholesale) —
+    // this pins every structural count
+    "q_pdf_documents" ->
+      """WITH f AS (
+        |  SELECT CAST(i AS INT) AS i, CAST(2 + i % 3 AS INT) AS np,
+        |         CAST(CASE WHEN i % 8 = 6 THEN 2 + i % 3 ELSE 0 END AS INT) AS nm
+        |  FROM range(0, 16) t(i))
+        |SELECT 'pdf_' || i AS doc_id, 'Fixture ' || i AS title,
+        |       CAST(4 * np + nm AS INT) AS n_spans,
+        |       np AS n_sections,
+        |       CAST(2 * np AS INT) AS n_blocks,
+        |       nm AS n_media,
+        |       false AS has_decoration
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_simhash_pairs" ->
       """WITH out AS (

@@ -361,6 +361,146 @@ object PdfFixture {
       Seq(cmapId -> cmapData), xrefId)
   }
 
+  // --- embedded TrueType program (no /ToUnicode at all) -------------------
+
+  private def w16(v: Int): String =
+    "" + ((v >> 8) & 0xff).toChar + (v & 0xff).toChar
+  private def w32(v: Long): String =
+    w16(((v >> 16) & 0xffff).toInt) + w16((v & 0xffff).toInt)
+
+  /** Minimal TrueType (sfnt) binary carrying ONLY a `cmap` table — the one
+    * table text recovery needs. `uniToGid` is the Unicode→glyph mapping;
+    * `format12` picks a segmented-coverage (3,10) subtable over the
+    * format-4 (3,1) default; `glyphIdArray` routes format-4 segments
+    * through the spec's idRangeOffset/glyphIdArray indirection instead of
+    * delta arithmetic.
+    */
+  private[graft] def trueTypeProgram(uniToGid: Seq[(Int, Int)],
+      format12: Boolean = false, glyphIdArray: Boolean = false): String = {
+    val sorted = uniToGid.sortBy(_._1)
+    // maximal runs where codepoint and glyph advance together
+    val runs = sorted.foldLeft(Vector.empty[Vector[(Int, Int)]]) { (acc, e) =>
+      acc.lastOption match {
+        case Some(r) if r.last._1 + 1 == e._1 && r.last._2 + 1 == e._2 =>
+          acc.init :+ (r :+ e)
+        case _ => acc :+ Vector(e)
+      }
+    }
+    val sub =
+      if (format12) {
+        val body = runs.map { r =>
+          w32(r.head._1.toLong) + w32(r.last._1.toLong) + w32(r.head._2.toLong)
+        }.mkString
+        w16(12) + w16(0) + w32(16L + body.length) + w32(0L) +
+          w32(runs.length.toLong) + body
+      } else {
+        // runs + the mandatory final 0xFFFF segment
+        val segCount = runs.length + 1
+        val ends = runs.map(_.last._1) :+ 0xffff
+        val starts = runs.map(_.head._1) :+ 0xffff
+        val (deltas, ros, ga) =
+          if (!glyphIdArray)
+            (runs.map(r => (r.head._2 - r.head._1) & 0xffff) :+ 1,
+              Vector.fill(segCount)(0), "")
+          else {
+            // glyphIdArray path: idRangeOffset[s] points (in bytes, from
+            // its own address) at the segment's glyph run in the array
+            var p = 0
+            val ros0 = Vector.newBuilder[Int]
+            val ga0 = new StringBuilder
+            runs.zipWithIndex.foreach { case (r, s) =>
+              ros0 += 2 * (segCount + p - s)
+              r.foreach { case (_, gid) => ga0.append(w16(gid)); p += 1 }
+            }
+            (Vector.fill(runs.length)(0) :+ 1, ros0.result() :+ 0, ga0.toString)
+          }
+        val arrays = ends.map(w16).mkString + w16(0) +
+          starts.map(w16).mkString + deltas.map(w16).mkString +
+          ros.map(w16).mkString + ga
+        w16(4) + w16(14 + arrays.length) + w16(0) +
+          w16(2 * segCount) + w16(2) + w16(0) + w16(0) + arrays
+      }
+    val cmapTable = w16(0) + w16(1) +
+      w16(3) + w16(if (format12) 10 else 1) + w32(12L) + sub
+    // offset table (version, 1 table) + the cmap record; table data at 28
+    w32(0x00010000L) + w16(1) + w16(16) + w16(0) + w16(0) +
+      "cmap" + w32(0L) + w32(28L) + w32(cmapTable.length.toLong) + cmapTable
+  }
+
+  /** The writer class round-5 could not decode: a /Type0 /Identity-H font
+    * whose descendant embeds a TrueType program and carries NEITHER
+    * /ToUnicode NOR /Differences — the show strings are raw 2-byte glyph
+    * IDs and the font program's `cmap` is the only road back to text.
+    * Glyph IDs are assigned in character-sorted order from base 3, so a
+    * Latin-1/U+FFFD reading is provably wrong by construction.
+    * `cidToGidStream` swaps the /Identity CID→GID default for an explicit
+    * /CIDToGIDMap stream (CIDs offset to 0x0200, mapped back by the
+    * stream); `format12` embeds a segmented-coverage cmap instead of
+    * format 4.
+    */
+  def pdfEmbeddedCmapFont(pages: Seq[Seq[Block]], title: String = "",
+      header: String = "", pageNumbers: Boolean = false,
+      format12: Boolean = false, cidToGidStream: Boolean = false,
+      glyphIdArray: Boolean = false): String = {
+    val chars = shownText(pages, header, pageNumbers).distinct.sorted
+    require(chars.length <= 50000, "fixture alphabet")
+    val gidOf: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (3 + i) }.toMap
+    val cidOf: Map[Char, Int] =
+      if (cidToGidStream)
+        chars.zipWithIndex.map { case (c, i) => c -> (0x0200 + i) }.toMap
+      else gidOf
+    def encStr(s: String): String =
+      "<" + s.map(c => f"${cidOf(c)}%04X").mkString + ">"
+    val contents = pages.zipWithIndex.map { case (blocks, p) =>
+      pageContent(blocks, p + 1, header, pageNumbers, encStr)
+    }
+    val program = trueTypeProgram(
+      chars.map(c => (c.toInt, gidOf(c))), format12, glyphIdArray)
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val n = contents.length
+    val firstPage = if (cidToGidStream) 9 else 8
+    val kids = (0 until n).map(i => s"${firstPage + i * 2} 0 R").mkString(" ")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    sb.append(s"3 0 obj ${infoDict(title, Map.empty)} endobj\n")
+    sb.append("4 0 obj << /Type /Font /Subtype /Type0 " +
+      "/BaseFont /GRAFTT+Fixture /Encoding /Identity-H " +
+      "/DescendantFonts [5 0 R] >> endobj\n")
+    val c2g = if (cidToGidStream) "8 0 R" else "/Identity"
+    sb.append("5 0 obj << /Type /Font /Subtype /CIDFontType2 " +
+      "/BaseFont /GRAFTT+Fixture /CIDSystemInfo " +
+      "<< /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+      s"/FontDescriptor 6 0 R /CIDToGIDMap $c2g >> endobj\n")
+    sb.append("6 0 obj << /Type /FontDescriptor /FontName /GRAFTT+Fixture " +
+      "/Flags 4 /FontFile2 7 0 R >> endobj\n")
+    sb.append(s"7 0 obj << /Length ${program.length} >> stream\n")
+    sb.append(program).append("\nendstream endobj\n")
+    if (cidToGidStream) {
+      val gidByCid = cidOf.map { case (c, cid) => cid -> gidOf(c) }
+      val m = new StringBuilder
+      (0 to cidOf.values.max).foreach(cid =>
+        m.append(w16(gidByCid.getOrElse(cid, 0))))
+      sb.append(s"8 0 obj << /Length ${m.length} >> stream\n")
+      sb.append(m).append("\nendstream endobj\n")
+    }
+    contents.zipWithIndex.foreach { case (c, i) =>
+      val pageId = firstPage + i * 2
+      val contentId = pageId + 1
+      sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/Contents $contentId 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> " +
+        "/MediaBox [0 0 612 792] >> endobj\n")
+      val data = deflate(c)
+      sb.append(s"$contentId 0 obj << /Length ${data.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      sb.append(data).append("\nendstream endobj\n")
+    }
+    sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
+    sb.toString
+  }
+
   /** /ToUnicode CMap body: consecutive (code, unicode) runs as bfrange,
     * the rest as bfchar — both section kinds exercised, ≤100 entries per
     * section as §9.10.3 requires.

@@ -922,6 +922,11 @@ object PdfToSpans {
 
   private val ToUnicodeRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
   private val FontTypeRe = "/Type\\s*/Font".r
+  private val DescendantRe =
+    "/DescendantFonts\\s*(\\[[^\\]]*\\]|\\d+\\s+\\d+\\s+R)".r
+  private val FontDescriptorRe = "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val FontFile2Re = "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val CidToGidRefRe = "/CIDToGIDMap\\s+(\\d+)\\s+\\d+\\s+R".r
   private val PageTypeRe = "/Type\\s*/Page\\b".r
   private val PagesTypeRe = "/Type\\s*/Pages\\b".r
   private val RefNumRe = "(\\d+)\\s+\\d+\\s+R".r
@@ -957,7 +962,54 @@ object PdfToSpans {
         .map(m => parseDifferences(m.group(1)))
         .filter(_.nonEmpty)
         .map(d => PdfFont(1, d))
+    }.orElse(fontProgramFallback(cat, body))
+  }
+
+  /** Third decoding source, for the writer class that omits BOTH
+    * /ToUnicode and /Differences: a /Type0 /Identity-H font whose
+    * descendant embeds a TrueType program (/FontFile2). Identity-H makes
+    * each 2-byte show code the CID, /CIDToGIDMap turns CIDs into glyph
+    * IDs (the /Identity default, or an explicit 2-byte-per-CID stream),
+    * and the program's own `cmap` table — inverted by [[TrueTypeCmap]] —
+    * turns glyph IDs back into Unicode. Predefined non-Identity CMaps
+    * (e.g. /UniGB-UCS2-H) need external CMap resources and stay a
+    * declared deviation; fonts with no usable Unicode cmap fall through
+    * to the U+FFFD behavior they had before.
+    */
+  private def fontProgramFallback(cat: Catalog, body: String): Option[PdfFont] = {
+    if (!body.contains("/Type0")) return None
+    if (!body.contains("/Identity-H") && !body.contains("/Identity-V"))
+      return None
+    val built = for {
+      dm <- DescendantRe.findFirstMatchIn(body)
+      descNum <- RefNumRe.findFirstMatchIn(dm.group(1)).map(_.group(1).toInt)
+      desc <- cat.body(descNum).flatMap { b =>
+        // /DescendantFonts may reference the ARRAY object rather than
+        // inlining it — dereference one more hop in that case
+        if (FontDescriptorRe.findFirstIn(b).isDefined) Some(b)
+        else RefNumRe.findFirstMatchIn(b).flatMap(r => cat.body(r.group(1).toInt))
+      }
+      fdNum <- FontDescriptorRe.findFirstMatchIn(desc).map(_.group(1).toInt)
+      fd <- cat.body(fdNum)
+      ffNum <- FontFile2Re.findFirstMatchIn(fd).map(_.group(1).toInt)
+      program <- cat.streamData(ffNum)
+      g2u = TrueTypeCmap.glyphToUnicode(program)
+      if g2u.nonEmpty
+    } yield {
+      val cid2gid = CidToGidRefRe.findFirstMatchIn(desc)
+        .flatMap(m => cat.streamData(m.group(1).toInt))
+      val map = cid2gid match {
+        case Some(s) => // explicit map: CID i → big-endian u16 at byte 2i
+          (0 until s.length / 2).iterator.flatMap { cid =>
+            val gid = ((s.charAt(2 * cid) & 0xff) << 8) |
+              (s.charAt(2 * cid + 1) & 0xff)
+            g2u.get(gid).map(cid -> _)
+          }.toMap
+        case None => g2u // /CIDToGIDMap /Identity (the default): CID == GID
+      }
+      PdfFont(2, map)
     }
+    built.filter(_.map.nonEmpty)
   }
 
   /** Resolve each page dict's /Resources /Font bindings: content-stream

@@ -344,6 +344,77 @@ class PdfExtensionsSpec extends AnyFunSuite {
     assert(dDiff.spans == dPlain.spans, "differences != plain spans")
   }
 
+  test("PDF: embedded TrueType cmap decodes Type0 text with NO /ToUnicode") {
+    // the modern-writer shape round 5 could not decode: Identity-H show
+    // strings are raw glyph IDs; the embedded font program's cmap is the
+    // only mapping back to Unicode
+    val pages = Seq(
+      Seq(
+        Block(Seq("Embedded Chapter"), fontSize = 18),
+        Block(Seq("embedded cmap paragraph body words",
+          "second line of the embedded paragraph")),
+        Block(Seq("closing embedded remarks, one"))),
+      Seq(Block(Seq("second embedded page body")),
+        Block(Seq("closing embedded remarks two"))))
+    val plain = PdfFixture.pdf(pages, title = "Embedded Twin",
+      header = "Embedded Running Header", pageNumbers = true)
+    val emb = PdfFixture.pdfEmbeddedCmapFont(pages, title = "Embedded Twin",
+      header = "Embedded Running Header", pageNumbers = true)
+    assert(!emb.contains("/ToUnicode") && !emb.contains("/Differences"))
+    assert(emb.contains("/FontFile2"))
+    val dPlain = PdfToSpans.extract(plain)
+    val dEmb = PdfToSpans.extract(emb)
+    assert(dEmb.title == "Embedded Twin")
+    assert(dEmb.spans == dPlain.spans, "embedded-cmap != plain spans")
+    // font-blind read really is unreadable (2-byte codes → U+FFFD)
+    val blind = PdfToSpans.contentStreams(emb)
+      .flatMap(c => PdfToSpans.parsePage(c)).map(_.text)
+    assert(blind.nonEmpty)
+    assert(!blind.exists(_.contains("embedded cmap paragraph")), blind.toString)
+  }
+
+  test("PDF: embedded cmap variants — format 12, CIDToGIDMap stream, glyphIdArray") {
+    val pages = Seq(
+      Seq(Block(Seq("Variant Chapter"), fontSize = 18),
+        Block(Seq("variant body paragraph text here",
+          "second variant line of text"))),
+      Seq(Block(Seq("second variant page body"))))
+    val plain = PdfToSpans.extract(PdfFixture.pdf(pages, title = "Variant Twin",
+      header = "Variant Header", pageNumbers = true))
+    for ((label, doc) <- Seq(
+        "format12" -> PdfFixture.pdfEmbeddedCmapFont(pages,
+          title = "Variant Twin", header = "Variant Header",
+          pageNumbers = true, format12 = true),
+        "cid2gid-stream" -> PdfFixture.pdfEmbeddedCmapFont(pages,
+          title = "Variant Twin", header = "Variant Header",
+          pageNumbers = true, cidToGidStream = true),
+        "glyphIdArray" -> PdfFixture.pdfEmbeddedCmapFont(pages,
+          title = "Variant Twin", header = "Variant Header",
+          pageNumbers = true, glyphIdArray = true))) {
+      val d = PdfToSpans.extract(doc)
+      assert(d.spans == plain.spans, s"$label != plain spans")
+    }
+  }
+
+  test("TrueTypeCmap: smallest codepoint wins a shared glyph; corrupt program is empty") {
+    import graft.extract.{PdfFixture => F, TrueTypeCmap}
+    // 'A'(65)→gid5, 'B'(66)→gid6, 'a'(97)→gid5 again: the inversion must
+    // deterministically keep 65 for gid 5
+    val prog = F.trueTypeProgram(Seq((65, 5), (66, 6), (97, 5)))
+    val m = TrueTypeCmap.glyphToUnicode(prog)
+    assert(m == Map(5 -> "A", 6 -> "B"))
+    // format 12 parses to the same inversion
+    val m12 = TrueTypeCmap.glyphToUnicode(
+      F.trueTypeProgram(Seq((65, 5), (66, 6), (97, 5)), format12 = true))
+    assert(m12 == Map(5 -> "A", 6 -> "B"))
+    // truncation anywhere degrades to empty, never throws
+    (1 until prog.length by 7).foreach { cut =>
+      TrueTypeCmap.glyphToUnicode(prog.substring(0, cut))
+    }
+    assert(TrueTypeCmap.glyphToUnicode("") == Map.empty)
+    assert(TrueTypeCmap.glyphToUnicode("not a font at all") == Map.empty)
+  }
+
   test("PDF 1.5 + subset font: font dict inside the ObjStm, CMap top-level") {
     val pages = Seq(
       Seq(
