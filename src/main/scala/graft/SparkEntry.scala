@@ -951,14 +951,13 @@ object SparkEntry {
     "q_pq_topk" -> topkRecheckSql("q_pq_topk"),
     "q_ivfpq_topk" -> topkRecheckSql("q_ivfpq_topk"),
 
-    // the flagship crawl is fully deterministic (seeded synthetic web,
-    // deterministic politeness/dedup/extraction), so its document set and
-    // per-document span counts pin as a golden table: the /private
-    // disallow keeps secretN pages out except the Allow-rule-permitted
-    // secret4 on each host, and the span counts come from the real HTML
-    // extractor. Semantic correctness of the same crawl is independently
-    // proven by the sequential-oracle parity suites; this pin catches
-    // silent drift between rounds
+    // entry() is fully deterministic: it extracts EVERY page of the
+    // seeded synthetic web directly (no crawl/robots stage here — the
+    // generator emits one /private/secretN page per host, which is why
+    // secret4 appears; robots semantics are proven separately by the
+    // sequential-oracle parity suites). The document set and per-document
+    // span counts from the real HTML extractor therefore pin as a golden
+    // table, catching silent extractor drift between rounds
     "q_crawl_documents" ->
       """SELECT doc_id, CAST(n_spans AS INT) AS n_spans FROM (VALUES
         |  ('https://www.host0.example0.com/p0.html', 59),

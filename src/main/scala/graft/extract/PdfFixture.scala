@@ -457,48 +457,29 @@ object PdfFixture {
     }
     val program = trueTypeProgram(
       chars.map(c => (c.toInt, gidOf(c))), format12, glyphIdArray)
-    val sb = new StringBuilder
-    sb.append("%PDF-1.4\n")
-    val n = contents.length
-    val firstPage = if (cidToGidStream) 9 else 8
-    val kids = (0 until n).map(i => s"${firstPage + i * 2} 0 R").mkString(" ")
-    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
-    sb.append(s"3 0 obj ${infoDict(title, Map.empty)} endobj\n")
-    sb.append("4 0 obj << /Type /Font /Subtype /Type0 " +
+    val pre = new StringBuilder
+    pre.append("4 0 obj << /Type /Font /Subtype /Type0 " +
       "/BaseFont /GRAFTT+Fixture /Encoding /Identity-H " +
       "/DescendantFonts [5 0 R] >> endobj\n")
     val c2g = if (cidToGidStream) "8 0 R" else "/Identity"
-    sb.append("5 0 obj << /Type /Font /Subtype /CIDFontType2 " +
+    pre.append("5 0 obj << /Type /Font /Subtype /CIDFontType2 " +
       "/BaseFont /GRAFTT+Fixture /CIDSystemInfo " +
       "<< /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
       s"/FontDescriptor 6 0 R /CIDToGIDMap $c2g >> endobj\n")
-    sb.append("6 0 obj << /Type /FontDescriptor /FontName /GRAFTT+Fixture " +
+    pre.append("6 0 obj << /Type /FontDescriptor /FontName /GRAFTT+Fixture " +
       "/Flags 4 /FontFile2 7 0 R >> endobj\n")
-    sb.append(s"7 0 obj << /Length ${program.length} >> stream\n")
-    sb.append(program).append("\nendstream endobj\n")
+    pre.append(s"7 0 obj << /Length ${program.length} >> stream\n")
+    pre.append(program).append("\nendstream endobj\n")
     if (cidToGidStream) {
       val gidByCid = cidOf.map { case (c, cid) => cid -> gidOf(c) }
       val m = new StringBuilder
       (0 to cidOf.values.max).foreach(cid =>
         m.append(w16(gidByCid.getOrElse(cid, 0))))
-      sb.append(s"8 0 obj << /Length ${m.length} >> stream\n")
-      sb.append(m).append("\nendstream endobj\n")
+      pre.append(s"8 0 obj << /Length ${m.length} >> stream\n")
+      pre.append(m).append("\nendstream endobj\n")
     }
-    contents.zipWithIndex.foreach { case (c, i) =>
-      val pageId = firstPage + i * 2
-      val contentId = pageId + 1
-      sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R " +
-        s"/Contents $contentId 0 R " +
-        "/Resources << /Font << /F1 4 0 R >> >> " +
-        "/MediaBox [0 0 612 792] >> endobj\n")
-      val data = deflate(c)
-      sb.append(s"$contentId 0 obj << /Length ${data.length} " +
-        "/Filter /FlateDecode >> stream\n")
-      sb.append(data).append("\nendstream endobj\n")
-    }
-    sb.append("trailer << /Root 1 0 R /Info 3 0 R >>\n%%EOF\n")
-    sb.toString
+    assembleClassic(pre.toString,
+      firstPageId = if (cidToGidStream) 9 else 8, contents, title, Map.empty)
   }
 
   /** /ToUnicode CMap body: consecutive (code, unicode) runs as bfrange,
@@ -588,18 +569,30 @@ object PdfFixture {
 
   private def assembleWithFont(contents: Seq[String], title: String,
       info: Map[String, String], fontObj: String,
-      cmapObj: Option[String]): String = {
+      cmapObj: Option[String]): String =
+    assembleClassic(s"4 0 obj $fontObj endobj\n" + cmapObj.getOrElse(""),
+      firstPageId = 6, contents, title, info)
+
+  /** Classic-layout document assembly shared by the font-family writers:
+    * catalog(1) + pages(2) + info(3) + the caller's pre-rendered preamble
+    * objects (font dicts, CMap/font-program streams — ids 4..firstPageId-1),
+    * then the per-page dict + Flate content loop (pages reference /F1 →
+    * object 4), one trailer. The no-font `assemble` and the 1.5-layout
+    * `assembleModern*` writers are intentionally separate shapes.
+    */
+  private def assembleClassic(preamble: String, firstPageId: Int,
+      contents: Seq[String], title: String,
+      info: Map[String, String]): String = {
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
     val n = contents.length
-    val kids = (0 until n).map(i => s"${6 + i * 2} 0 R").mkString(" ")
+    val kids = (0 until n).map(i => s"${firstPageId + i * 2} 0 R").mkString(" ")
     sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
     sb.append(s"3 0 obj ${infoDict(title, info)} endobj\n")
-    sb.append(s"4 0 obj $fontObj endobj\n")
-    cmapObj.foreach(sb.append)
+    sb.append(preamble)
     contents.zipWithIndex.foreach { case (c, i) =>
-      val pageId = 6 + i * 2
+      val pageId = firstPageId + i * 2
       val contentId = pageId + 1
       sb.append(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /Contents $contentId 0 R " +
         "/Resources << /Font << /F1 4 0 R >> >> " +

@@ -996,20 +996,27 @@ object PdfToSpans {
       g2u = TrueTypeCmap.glyphToUnicode(program)
       if g2u.nonEmpty
     } yield {
-      val cid2gid = CidToGidRefRe.findFirstMatchIn(desc)
-        .flatMap(m => cat.streamData(m.group(1).toInt))
-      val map = cid2gid match {
-        case Some(s) => // explicit map: CID i → big-endian u16 at byte 2i
-          (0 until s.length / 2).iterator.flatMap { cid =>
-            val gid = ((s.charAt(2 * cid) & 0xff) << 8) |
-              (s.charAt(2 * cid + 1) & 0xff)
-            g2u.get(gid).map(cid -> _)
-          }.toMap
+      val map = CidToGidRefRe.findFirstMatchIn(desc) match {
+        case Some(m) => cat.streamData(m.group(1).toInt) match {
+          case Some(s) => // explicit map: CID i → big-endian u16 at byte 2i
+            (0 until s.length / 2).iterator.flatMap { cid =>
+              val gid = ((s.charAt(2 * cid) & 0xff) << 8) |
+                (s.charAt(2 * cid + 1) & 0xff)
+              g2u.get(gid).map(cid -> _)
+            }.toMap
+          case None =>
+            // an EXPLICIT CID→GID stream we cannot decode: falling back
+            // to Identity here would emit confident-looking WRONG text
+            // (CIDs hitting unrelated cmap entries); an empty map keeps
+            // codeBytes=2 and degrades every code to U+FFFD — an honest
+            // "undecodable" signal
+            Map.empty[Int, String]
+        }
         case None => g2u // /CIDToGIDMap /Identity (the default): CID == GID
       }
       PdfFont(2, map)
     }
-    built.filter(_.map.nonEmpty)
+    built
   }
 
   /** Resolve each page dict's /Resources /Font bindings: content-stream

@@ -126,18 +126,21 @@ object TrueTypeCmap {
     }
   }
 
-  /** Format 12 (segmented coverage): full-Unicode groups. */
+  /** Format 12 (segmented coverage): full-Unicode groups. Range checks
+    * stay in Long space — a crafted group with startChar ≥ 2^31 would
+    * otherwise overflow an Int subtraction and slip past both guards.
+    */
   private def format12(d: String, sub: Int): Iterator[(Int, Int)] = {
     val nGroups = u32(d, sub + 12).toInt
     (0 until nGroups).iterator.flatMap { g =>
       val rec = sub + 16 + 12 * g
-      val startChar = u32(d, rec).toInt
-      val endChar = u32(d, rec + 4).toInt
-      val startGlyph = u32(d, rec + 8).toInt
-      if (startChar > endChar || endChar - startChar > MaxEntries ||
-          startChar > 0x10ffff) Iterator.empty
-      else (startChar to math.min(endChar, 0x10ffff)).iterator.map(uni =>
-        (uni, startGlyph + (uni - startChar)))
+      val startChar = u32(d, rec)
+      val endChar = u32(d, rec + 4)
+      val startGlyph = u32(d, rec + 8)
+      if (startChar > endChar || startChar > 0x10ffffL ||
+          endChar - startChar > MaxEntries) Iterator.empty
+      else (startChar.toInt to math.min(endChar, 0x10ffffL).toInt).iterator
+        .map(uni => (uni, (startGlyph + (uni - startChar)).toInt))
     }
   }
 }

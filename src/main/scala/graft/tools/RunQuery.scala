@@ -22,7 +22,7 @@ object RunQuery {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     println(df.schema.fieldNames.mkString("\t"))
-    df.collect().take(maxRows).foreach(r =>
+    df.take(maxRows).foreach(r =>
       println(r.toSeq.map(String.valueOf).mkString("\t")))
     spark.stop()
   }

@@ -43,18 +43,14 @@ class PdfQueryDebugSpec extends AnyFunSuite {
       // the shared running header and page numbers must be REMOVED
       assert(!hasDeco, s"$id decoration survived")
     }
-    // all eight layouts carry the same text machinery: doc pairs with the
-    // same page count and layout-independent content must agree on span
-    // structure wherever the layout family is text-only
-    val byId = rows.map(r => r._1 -> r).toMap
-    // pdf_0 (classic) vs pdf_9 (flate, 2 pages? no — page count differs);
-    // instead: structural counts follow ONLY from nPages, never layout
+    // structural counts must follow ONLY from the page count, never from
+    // the layout family: text-only docs with equal nPages agree exactly
     rows.groupBy { case (id, _, _, _, _, _) =>
       2 + id.stripPrefix("pdf_").toInt % 3
     }.foreach { case (nPages, group) =>
-      val textOnly = group.filter { case (id, _, _, _, nMedia, _) => nMedia == 0 }
+      val textOnly = group.filter { case (_, _, _, _, nMedia, _) => nMedia == 0 }
       assert(textOnly.map(g => (g._2, g._3, g._4)).distinct.size == 1,
-        s"layouts disagree at $nPages pages: $textOnly vs ${byId.keySet}")
+        s"layouts disagree at $nPages pages: $textOnly")
     }
   }
 }
