@@ -27,7 +27,7 @@ object Bench {
     "q_pii_scrub", "q_repetition", "q_normalize_text", "q_bpe_tokens",
     "q_lang_guess", "q_dedup_exact", "q_decontam", "q_jaccard_pairs",
     "q_minhash_lsh",
-    "q_simhash_pairs", "q_dedup_clusters", "q_winnow_pairs",
+    "q_lm_typicality", "q_simhash_pairs", "q_dedup_clusters", "q_winnow_pairs",
     "q_neardup_export", "q_pipeline_stats", "q_cosine_topk",
     "q_embedding_neardup", "q_ann_lsh", "q_ivf_topk", "q_pq_topk",
     "q_ivfpq_topk",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, NgramLm, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,6 +158,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("avg_word_len"),
           col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"),
           col("quality_ok"))
+    }),
+
+    "q_lm_typicality" -> ((s, dir) => {
+      // corpus-self-trained bigram LM typicality (the CCNet/Gopher
+      // perplexity-filter shape): train = two capped count aggregations,
+      // score = broadcast-model mapPartitions, no shuffle in scoring.
+      // Small caps keep the sf0.01 oracle CTE cheap; production defaults
+      // are the method's 32k/256k
+      NgramLm.typicality(t(s, dir, "documents"), "doc_id", "text",
+          minWordCount = 3L, maxVocab = 4096,
+          minBigramCount = 2L, maxBigrams = 1 << 16)
+        .withColumnRenamed("id", "doc_id")
     }),
 
     "q_lang_guess" -> ((s, dir) => {
@@ -739,6 +751,53 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // re-derives the whole LM pipeline — tokens, capped vocabulary,
+    // mapped-unigram and capped bigram counts, add-k score — from the
+    // documents table; parameters mirror the query literally
+    "q_lm_typicality" ->
+      """WITH docs_l AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['w'] AS w FROM (
+        |    SELECT doc_id, unnest([{'pos': i, 'w': l[i]} FOR i IN range(1, len(l) + 1)]) AS u
+        |    FROM docs_l)),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT w, c FROM uni WHERE c >= 3
+        |  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 4096),
+        |vsz AS (SELECT count(*) + 1 AS v FROM vocab),
+        |oov AS (SELECT greatest(1, (SELECT count(*) FROM uni)
+        |                           - (SELECT count(*) FROM vocab)) AS t),
+        |mapped AS (
+        |  SELECT t.doc_id, t.pos, coalesce(vo.w, '<unk>') AS m
+        |  FROM toks t LEFT JOIN vocab vo ON vo.w = t.w),
+        |uni_m AS (SELECT m, count(*) AS c FROM mapped GROUP BY 1),
+        |big AS (
+        |  SELECT a.doc_id, a.m AS w1, b.m AS w2
+        |  FROM mapped a JOIN mapped b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |bigc AS (
+        |  SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, w1, w2) <= 65536),
+        |scored AS (
+        |  SELECT g.doc_id, count(*) AS nb,
+        |         avg(ln((coalesce(bc.c, 0) + 0.1)
+        |                / (um.c + 0.1 * (SELECT v FROM vsz)))
+        |             - CASE WHEN g.w2 = '<unk>'
+        |                    THEN ln((SELECT t FROM oov)) ELSE 0 END) AS lp
+        |  FROM big g
+        |  LEFT JOIN bigc bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+        |  JOIN uni_m um ON um.m = g.w1
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(d.l) AS BIGINT) AS n_words,
+        |       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+        |       round(coalesce(s.lp, 0.0), 6) AS avg_logprob
+        |FROM docs_l d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id, n_words,

@@ -835,4 +835,97 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  // ---- bigram-LM typicality (NgramLm) -----------------------------------
+
+  /** Independent naive reimplementation of the whole LM pipeline (plain
+    * Scala maps, no Spark) — the oracle for the distributed trainer.
+    */
+  private def naiveLmScores(corpus: Seq[(Long, String)], minW: Long,
+      maxV: Int, minB: Long, maxB: Int, k: Double): Map[Long, (Long, Long, Double)] = {
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val all = corpus.flatMap(d => toks(d._2))
+    val uni = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = uni.toSeq.filter(_._2 >= minW)
+      .sortBy { case (w, c) => (-c, w) }.take(maxV).map(_._1).toSet
+    def m(w: String) = if (vocab.contains(w)) w else graft.ops.NgramLm.Unk
+    val uniM = all.map(m).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigAll = corpus.flatMap(d => toks(d._2).map(m).sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val big = bigAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .toSeq.filter(_._2 >= minB)
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(maxB).toMap
+    val v = vocab.size + 1.0
+    val lnOov = math.log(math.max(1, uni.size - vocab.size).toDouble)
+    corpus.map { case (id, t) =>
+      val ws = toks(t).map(m)
+      if (ws.length < 2) id -> (ws.length.toLong, 0L, 0.0)
+      else {
+        val lps = ws.sliding(2).collect { case Array(a, b) =>
+          math.log((big.getOrElse((a, b), 0L) + k) / (uniM(a) + k * v)) -
+            (if (b == graft.ops.NgramLm.Unk) lnOov else 0.0)
+        }.toSeq
+        id -> (ws.length.toLong, lps.size.toLong,
+          BigDecimal(lps.sum / lps.size).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toMap
+  }
+
+  test("ngram LM: distributed train+score equals the naive reimplementation") {
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "the cat sat on the mat",
+      1L -> "the cat sat on the hat",
+      2L -> "the dog sat on the mat and the cat sat too",
+      3L -> "zq xv qqq wf",
+      4L -> "the cat", // single bigram
+      5L -> "one", // < 2 tokens → 0.0
+      6L -> "")
+    val df = corpus.toDF("doc_id", "text")
+    val got = NgramLm.typicality(df, "doc_id", "text",
+        minWordCount = 1L, maxVocab = 100, minBigramCount = 1L,
+        maxBigrams = 100, k = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val want = naiveLmScores(corpus, 1L, 100, 1L, 100, 0.5)
+    assert(got == want, s"\n got=$got\nwant=$want")
+  }
+
+  test("ngram LM: caps bound the model and break ties lexicographically") {
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "aa bb aa bb aa bb",
+      1L -> "cc dd cc dd cc dd",
+      2L -> "aa dd bb cc")
+    val df = corpus.toDF("doc_id", "text")
+    // every word has count 4; cap 2 must keep the lexicographically
+    // smallest pair {aa, bb}
+    val model = NgramLm.train(df, "text", minWordCount = 1L, maxVocab = 2,
+      minBigramCount = 1L, maxBigrams = 3, k = 0.1)
+    assert(model.vocab == Set("aa", "bb"))
+    assert(model.vocabSizeWithUnk == 3L)
+    assert(model.bigramCount.size == 3)
+    // scores still match the naive pipeline under the same caps
+    val got = NgramLm.scoreDocs(df, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val want = naiveLmScores(corpus, 1L, 2, 1L, 3, 0.1)
+    assert(got == want)
+  }
+
+  test("ngram LM: gibberish scores below every typical document") {
+    val typical = (0L until 40L).map(i =>
+      i -> s"the quick brown fox jumps over the lazy dog near the river bank ${i % 3}")
+    val corpus = typical :+ (99L -> "zxqv jkwp qqzz vvxx mmlpo zzt qpw")
+    val df = corpus.toDF("doc_id", "text")
+    val scores = NgramLm.typicality(df, "doc_id", "text",
+        minWordCount = 2L, maxVocab = 1000, minBigramCount = 1L,
+        maxBigrams = 10000, k = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val gib = scores(99L)
+    typical.foreach { case (id, _) =>
+      assert(gib < scores(id), s"gibberish $gib !< doc $id ${scores(id)}")
+    }
+  }
 }
