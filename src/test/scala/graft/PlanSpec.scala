@@ -83,6 +83,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
   }
 
+  test("LM scoring is shuffle-free: broadcast model, one mapPartitions pass") {
+    // train once (training legitimately shuffles for its two count
+    // aggregations), then assert the SCORING plan — the per-document hot
+    // path that touches all 100 TB — has no exchange at all
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.ops.NgramLm.train(docs, "text",
+      minWordCount = 3L, maxVocab = 1024, minBigramCount = 2L,
+      maxBigrams = 4096)
+    val p = graft.ops.NgramLm.scoreDocs(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q_ann_lsh task binaries stay small: no giant per-dim expression trees") {
     // the round-1 formulation compiled ~2k expression nodes per row and the
     // plan string itself was megabytes; the kernel form stays compact
