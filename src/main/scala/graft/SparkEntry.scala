@@ -441,9 +441,12 @@ object SparkEntry {
         }.toDF("media_id", "out_w", "out_h")
     }),
 
-    "q_media_features" -> ((s, dir) => { // rows-only: SQL cannot re-derive
-      // the real JDK codec outputs (PNG pixel stats / WAV amplitudes / GIF
-      // frame lumas); decode exactness is pinned by OpsSpec instead
+    "q_media_features" -> ((s, dir) => {
+      // the synthetic pixels/samples/frame-lumas are pure integer
+      // formulas of doc_id, so the DuckDB oracle re-derives every mean
+      // through the REAL JDK encode→decode round trip (only the
+      // container byte size rides through recheck-style — encoder
+      // framing isn't SQL)
       val spark = s
       import spark.implicits._
       Multimodal.extractFeatures(
@@ -1054,6 +1057,50 @@ object SparkEntry {
         |       nm AS n_media,
         |       false AS has_decoration
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the media corpus is synthesized from pure integer formulas of
+    // doc_id (pixelValue / sampleValue / framePixel), then REALLY encoded
+    // (PNG/WAV/GIF) and REALLY decoded by the JDK codecs — so recomputing
+    // each mean from the formulas verifies the whole encode→decode→
+    // feature path; n_bytes (container framing) rides through
+    // recheck-style
+    "q_media_features" ->
+      """WITH out AS (
+        |  SELECT media_id, n_bytes
+        |  FROM '__VERIFY_OUT__/q_media_features/*.parquet'),
+        |params AS (
+        |  SELECT doc_id AS id, CAST(16 + doc_id % 64 AS INT) AS w,
+        |         CAST(16 + doc_id % 48 AS INT) AS h, doc_id % 3 AS m3,
+        |         64 + doc_id % 128 AS frames, 4 + doc_id % 6 AS vframes
+        |  FROM documents),
+        |img AS (
+        |  SELECT p.id, avg(CAST((p.id * 31 + 7 * x.i + 13 * y.i) % 256 AS DOUBLE)) AS mean
+        |  FROM params p, range(0, 80) x(i), range(0, 64) y(i)
+        |  WHERE p.m3 = 0 AND x.i < p.w AND y.i < p.h
+        |  GROUP BY 1),
+        |aud AS (
+        |  SELECT p.id,
+        |         avg(CAST((p.id * 2654435761 + s.i * 40503) % 65536 - 32768 AS DOUBLE)) AS mean
+        |  FROM params p, range(0, 192) s(i)
+        |  WHERE p.m3 = 1 AND s.i < p.frames
+        |  GROUP BY 1),
+        |vid AS (
+        |  SELECT p.id,
+        |         avg(CAST(((p.id * 131 + f.i) * 31 + 7 * x.i + 13 * y.i) % 256 AS DOUBLE)) AS mean
+        |  FROM params p, range(0, 10) f(i), range(0, 80) x(i), range(0, 64) y(i)
+        |  WHERE p.m3 = 2 AND f.i < p.vframes AND x.i < p.w AND y.i < p.h
+        |  GROUP BY 1)
+        |SELECT o.media_id,
+        |  CASE p.m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  o.n_bytes,
+        |  CAST(CASE p.m3 WHEN 1 THEN 8000 ELSE p.w END AS INT) AS width,
+        |  CAST(CASE p.m3 WHEN 1 THEN 1 ELSE p.h END AS INT) AS height,
+        |  round(CASE p.m3 WHEN 0 THEN i.mean WHEN 1 THEN a.mean ELSE v.mean END, 4) AS mean_byte
+        |FROM out o JOIN params p ON p.id = o.media_id
+        |LEFT JOIN img i ON i.id = p.id
+        |LEFT JOIN aud a ON a.id = p.id
+        |LEFT JOIN vid v ON v.id = p.id
+        |ORDER BY o.media_id""".stripMargin,
 
     "q_simhash_pairs" ->
       """WITH out AS (
