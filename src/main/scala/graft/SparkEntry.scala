@@ -760,7 +760,7 @@ object SparkEntry {
     // documents table; parameters mirror the query literally
     "q_lm_typicality" ->
       """WITH docs_l AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                             x -> x <> '') AS l
         |  FROM documents),
         |toks AS (
@@ -769,7 +769,7 @@ object SparkEntry {
         |    FROM docs_l)),
         |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
         |vocab AS (
-        |  SELECT w, c FROM uni WHERE c >= 3
+        |  SELECT w, c FROM uni WHERE c >= 3 AND w <> '<unk>'
         |  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 4096),
         |vsz AS (SELECT count(*) + 1 AS v FROM vocab),
         |oov AS (SELECT greatest(1, (SELECT count(*) FROM uni)

@@ -120,10 +120,14 @@ object Bpe {
     * so they can never drift. Locale.ROOT: train() lowercases via Spark's
     * locale-independent lower(); a default-locale toLowerCase would
     * disagree on e.g. Turkish-locale JVMs (I -> dotless ı) and miss every
-    * rank.
+    * rank. Deliberately NO String.trim: split + empty-filter already
+    * handles \s whitespace at the edges, and Java trim additionally
+    * strips control chars <= U+0020 that SQL `lower(text)` + `split`
+    * (Spark and the DuckDB oracles alike) keep inside the first/last
+    * token — trimming here would silently diverge from every SQL twin.
     */
   private[ops] def normalizeWords(t: String): Array[String] =
-    Option(t).getOrElse("").trim
+    Option(t).getOrElse("")
       .toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
 

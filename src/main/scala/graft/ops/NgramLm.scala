@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * oracle re-derives counts, vocabulary, bigram table, and every
   * document's score from the same parquet table):
   *
-  *  - tokens: whitespace-split lowercased words (the same normalization
-  *    as [[Bpe]]; Spark's locale-independent `lower` on the training
-  *    side, Locale.ROOT on the executor side);
+  *  - tokens: whitespace-split lowercased words — [[Bpe.normalizeWords]]
+  *    is the ONE tokenizer for unigram counting, bigram counting, and
+  *    scoring alike (Locale.ROOT lowercasing agrees with the oracle's
+  *    locale-independent SQL `lower`);
   *  - vocabulary: words with count ≥ `minWordCount`, capped to the
   *    `maxVocab` most frequent (ties broken lexicographically); the rest
-  *    map to `<unk>`;
+  *    map to `<unk>` — and the literal token "<unk>" is itself excluded
+  *    from the vocabulary so corpus text can never collide with the
+  *    class;
   *  - bigram table: mapped-token bigrams with count ≥ `minBigramCount`,
   *    capped to the `maxBigrams` most frequent (same tie-break);
   *  - probability: add-k smoothing over the mapped vocabulary,
@@ -49,12 +52,18 @@ object NgramLm {
     * the smoothed-vocabulary size.
     */
   final case class LmModel(
-      vocab: Set[String],
-      uniCount: Map[String, Long],
+      uniCount: Map[String, Long], // mapped counts: vocab words + <unk>
       bigramCount: Map[(String, String), Long],
       vocabSizeWithUnk: Long,
       oovTypes: Long,
       k: Double) {
+
+    /** Vocabulary membership — uniCount's keys ARE vocab ∪ {<unk>} (the
+      * literal token "<unk>" is excluded from the vocabulary at train
+      * time, so a corpus containing it as text folds into the class).
+      */
+    private def mapped(w: String): String =
+      if (w != Unk && uniCount.contains(w)) w else Unk
 
     /** Mean ln P over a document's bigrams; (nWords, nBigrams, score). */
     def score(text: String): (Long, Long, Double) = {
@@ -63,9 +72,9 @@ object NgramLm {
       val lnOov = math.log(math.max(1L, oovTypes).toDouble)
       var sum = 0.0
       var i = 0
-      var prev = if (vocab.contains(words(0))) words(0) else Unk
+      var prev = mapped(words(0))
       while (i < words.length - 1) {
-        val cur = if (vocab.contains(words(i + 1))) words(i + 1) else Unk
+        val cur = mapped(words(i + 1))
         val cBi = bigramCount.getOrElse((prev, cur), 0L)
         val cUni = uniCount.getOrElse(prev, 0L)
         sum += math.log((cBi + k) / (cUni + k * vocabSizeWithUnk))
@@ -87,11 +96,14 @@ object NgramLm {
       k: Double = 0.1): LmModel = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
+    // ONE tokenizer everywhere (Bpe.normalizeWords) — unigram counting,
+    // bigram counting, and scoring must see identical tokens
+    val toks = docs.select(col(textCol).as("t")).as[String]
+      .mapPartitions(_.flatMap(Bpe.normalizeWords)).toDF("w")
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c")).persist()
-    val vocabRows = uni.filter(col("c") >= minWordCount)
+    // the literal token "<unk>" never enters the vocabulary — it would
+    // collide with the OOV class and its pooled count
+    val vocabRows = uni.filter(col("c") >= minWordCount && col("w") =!= Unk)
       .orderBy(col("c").desc, col("w")).limit(maxVocab)
       .as[(String, Long)].collect()
     val vocab = vocabRows.iterator.map(_._1).toSet
@@ -124,7 +136,7 @@ object NgramLm {
       .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxBigrams)
       .as[(String, String, Long)].collect()
       .iterator.map { case (a, b, c) => (a, b) -> c }.toMap
-    LmModel(vocab, uniCount, bigramCount, vocab.size + 1L, oovTypes, k)
+    LmModel(uniCount, bigramCount, vocab.size + 1L, oovTypes, k)
   }
 
   /** Score every document under a broadcast model: (id, n_words,

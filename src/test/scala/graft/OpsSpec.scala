@@ -844,11 +844,19 @@ class OpsSpec extends AnyFunSuite {
   private def naiveLmScores(corpus: Seq[(Long, String)], minW: Long,
       maxV: Int, minB: Long, maxB: Int, k: Double): Map[Long, (Long, Long, Double)] = {
     def toks(t: String): Array[String] =
-      t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // tie-break strings by UTF-8 bytes like Spark/DuckDB binary order
+    // (Java compareTo orders by UTF-16 units, which disagrees beyond BMP)
+    val utf8: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val all = corpus.flatMap(d => toks(d._2))
     val uni = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val vocab = uni.toSeq.filter(_._2 >= minW)
-      .sortBy { case (w, c) => (-c, w) }.take(maxV).map(_._1).toSet
+    val vocab = uni.toSeq
+      .filter { case (w, c) => c >= minW && w != graft.ops.NgramLm.Unk }
+      .sortBy { case (w, c) => (-c, w) }(
+        Ordering.Tuple2(Ordering.Long, utf8)).take(maxV).map(_._1).toSet
     def m(w: String) = if (vocab.contains(w)) w else graft.ops.NgramLm.Unk
     val uniM = all.map(m).groupBy(identity).view.mapValues(_.size.toLong).toMap
     val bigAll = corpus.flatMap(d => toks(d._2).map(m).sliding(2).collect {
@@ -856,7 +864,8 @@ class OpsSpec extends AnyFunSuite {
     })
     val big = bigAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
       .toSeq.filter(_._2 >= minB)
-      .sortBy { case ((a, b), c) => (-c, a, b) }.take(maxB).toMap
+      .sortBy { case ((a, b), c) => (-c, a, b) }(
+        Ordering.Tuple3(Ordering.Long, utf8, utf8)).take(maxB).toMap
     val v = vocab.size + 1.0
     val lnOov = math.log(math.max(1, uni.size - vocab.size).toDouble)
     corpus.map { case (id, t) =>
@@ -882,7 +891,10 @@ class OpsSpec extends AnyFunSuite {
       3L -> "zq xv qqq wf",
       4L -> "the cat", // single bigram
       5L -> "one", // < 2 tokens → 0.0
-      6L -> "")
+      6L -> "",
+      // the literal token "<unk>" in corpus TEXT must fold into the OOV
+      // class, never enter the vocabulary with the pooled class count
+      7L -> "<unk> cat <unk> dog <unk>")
     val df = corpus.toDF("doc_id", "text")
     val got = NgramLm.typicality(df, "doc_id", "text",
         minWordCount = 1L, maxVocab = 100, minBigramCount = 1L,
@@ -903,7 +915,7 @@ class OpsSpec extends AnyFunSuite {
     // smallest pair {aa, bb}
     val model = NgramLm.train(df, "text", minWordCount = 1L, maxVocab = 2,
       minBigramCount = 1L, maxBigrams = 3, k = 0.1)
-    assert(model.vocab == Set("aa", "bb"))
+    assert(model.uniCount.keySet == Set("aa", "bb", NgramLm.Unk))
     assert(model.vocabSizeWithUnk == 3L)
     assert(model.bigramCount.size == 3)
     // scores still match the naive pipeline under the same caps
