@@ -226,6 +226,46 @@ class CrawlParitySpec extends AnyFunSuite {
       wOracle.documents.size)
   }
 
+  test("stale staged hosts from a killed attempt are overwritten on resume (>64-host wave)") {
+    // the >64-new-hosts branch stages the robots-fetch snapshot to the
+    // wave's hosts partition BEFORE consuming it; a kill after that write
+    // but before the wave commit leaves a stale (possibly different —
+    // robots can change between attempts) staged file that the resumed
+    // attempt must overwrite, never read alongside its own fetch
+    val n = 100
+    val hostOf = (i: Int) => s"h$i.stale.example.com"
+    val leafUrl = (i: Int) => s"https://${hostOf(i)}/p"
+    val rootUrl = "https://stale.example.com/"
+    val links = (0 until n).map(i => s"""<a href="${leafUrl(i)}">l$i</a>""").mkString
+    val rootPage = SyntheticPage(rootUrl, "stale.example.com", 200, "text/html",
+      null, s"<html><head><title>s</title></head><body><p>stale root</p>$links</body></html>")
+    val leafPages = (0 until n).map { i =>
+      leafUrl(i) -> SyntheticPage(leafUrl(i), hostOf(i), 200, "text/html", null,
+        s"<html><head><title>l$i</title></head><body><p>stale leaf $i</p></body></html>")
+    }.toMap
+    val sSite = SyntheticWeb.Site(
+      leafPages + (rootUrl -> rootPage), Map.empty, Map.empty, rootUrl)
+    val sConfig = CrawlConfig(rootUrl = rootUrl, scope = ScopeFilter.Domain,
+      waveBudgetMs = 600000L, maxWaves = 4, maxLinksPerPage = n + 1)
+    val sOracle = SequentialOracle.crawl(sSite, sConfig)
+    val wh = Files.createTempDirectory("graft-stale-hosts").toString
+    val io = new TableIO(wh, spark)
+    val engine = new CrawlEngine(spark, io, sConfig,
+      new SyntheticFetcher(sSite.pages, sSite.robots), numPartitions = 4)
+    engine.run(maxWavesThisRun = 1) // wave 0 commits; wave 1 not yet run
+    // simulate the killed attempt: a staged hosts partition for wave 1
+    // carrying a bogus row (wrong delay, poison robots)
+    import spark.implicits._
+    io.stage("hosts", 1,
+      Seq(HostState("poison.example.com", 99999L, "User-agent: *\nDisallow: /", 1)).toDS())
+    engine.run() // resume finishes the crawl
+    assert(seenOf(io) == sOracle.seen)
+    val hosts = io.readAll("hosts", TableIO.HostsSchema)
+    assert(hosts.filter(org.apache.spark.sql.functions.col("host") ===
+      "poison.example.com").count() == 0, "stale staged row survived the overwrite")
+    assert(hosts.count() == n + 1) // root host + n leaf hosts, each once
+  }
+
   test("legacy warehouse resume: frontier staged without retry/redirect columns") {
     val wh = Files.createTempDirectory("graft-resume-legacy").toString
     runEngine(wh, wavesPerRun = 2)
