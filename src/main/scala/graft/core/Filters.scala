@@ -1,5 +1,15 @@
 package graft.core
 
+/** Common shape of the partition-local seen-set negative caches: "definitely
+  * absent / maybe present" over already-hashed 64-bit url hashes. Two
+  * implementations — [[BloomFilter64]] (default; no deletes) and
+  * [[CuckooFilter64]] (the north rule's deletion-capable fallback a bucket
+  * transitions to the first time seen-set entries are retracted from it).
+  */
+trait SeenFilter {
+  def mightContain(key: Long): Boolean
+}
+
 /** Serializable 64-bit-key Bloom filter used as a partition-local negative
   * cache in front of the exact seen-set anti-join (the exact set stays
   * authoritative). Capability shape mirrors the reference's alternative
@@ -11,7 +21,8 @@ package graft.core
   * Keys are already-hashed 64-bit url hashes; k index functions are derived
   * by double hashing h1 + i*h2 (Kirsch–Mitzenmacher).
   */
-final class BloomFilter64(val numBits: Long, val numHashes: Int) extends Serializable {
+final class BloomFilter64(val numBits: Long, val numHashes: Int)
+    extends SeenFilter with Serializable {
   require(numBits > 0 && numHashes > 0)
   private val words = new Array[Long](((numBits + 63) / 64).toInt)
 
@@ -93,7 +104,8 @@ object BloomFilter64 {
   * cuckoo hashing (Fan et al., "Cuckoo Filter: Practically Better Than
   * Bloom", CoNEXT 2014 — public paper).
   */
-final class CuckooFilter64(log2Buckets: Int, maxKicks: Int = 500) extends Serializable {
+final class CuckooFilter64(val log2Buckets: Int, maxKicks: Int = 500)
+    extends SeenFilter with Serializable {
   private val numBuckets = 1 << log2Buckets
   private val table = new Array[Short](numBuckets * 4)
   private var rng = new java.util.Random(42)
@@ -162,4 +174,42 @@ final class CuckooFilter64(log2Buckets: Int, maxKicks: Int = 500) extends Serial
   }
 
   def size: Long = countItems
+
+  def serializedSizeBytes: Long = table.length.toLong * 2
+
+  /** Slot array as bytes (little-endian shorts) — same persistence shape as
+    * [[BloomFilter64.toBytes]], for filter-bucket table rows.
+    */
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(table.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    table.foreach(bb.putShort)
+    bb.array()
+  }
+}
+
+object CuckooFilter64 {
+  /** Slots sized for `expectedItems` at a conservative 0.8 load factor
+    * (4-slot buckets reach ~0.95 with kicking; the headroom keeps the
+    * saturation fallback rare).
+    */
+  def forCapacity(expectedItems: Long): CuckooFilter64 = {
+    val n = math.max(1L, expectedItems)
+    val buckets = math.max(4L, math.ceil(n / (4.0 * 0.8)).toLong)
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil log2
+    new CuckooFilter64(math.min(28, math.max(2, log2)))
+  }
+
+  /** Inverse of toBytes. `count` restores the size() bookkeeping. */
+  def fromBytes(log2Buckets: Int, count: Long, bytes: Array[Byte]): CuckooFilter64 = {
+    val cf = new CuckooFilter64(log2Buckets)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < cf.table.length && bb.remaining() >= 2) {
+      cf.table(i) = bb.getShort(); i += 1
+    }
+    cf.countItems = count
+    cf
+  }
 }

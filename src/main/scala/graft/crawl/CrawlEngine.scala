@@ -174,20 +174,25 @@ final class CrawlEngine(
     * bucket's filter, i.e. Bloom FALSE NEGATIVES) → rebuild from the
     * authoritative seen table, distributedly.
     */
-  private def readBlooms(wave: Int): org.apache.spark.sql.Dataset[BloomBucket] = {
+  private def readBlooms(wave: Int): org.apache.spark.sql.Dataset[FilterBucket] = {
     val cap = perBucketCapacity
     val fpr = config.bloomFpr
     val nb = numPartitions
-    if (io.waveExists("blooms", wave - 1) && io.stat("bloom_buckets").contains(nb.toLong))
-      io.readWave("blooms", wave - 1, TableIO.BloomsSchema).as[BloomBucket]
+    // blooms_v guards the row layout: v1 (pre-FilterBucket) warehouses and
+    // bucket-count mismatches both rebuild from the authoritative seen table
+    if (io.waveExists("blooms", wave - 1) &&
+        io.stat("bloom_buckets").contains(nb.toLong) &&
+        io.stat("blooms_v").contains(CrawlEngine.BloomsVersion))
+      io.readWave("blooms", wave - 1, TableIO.BloomsSchema).as[FilterBucket]
     else
       io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
         .select($"url_hash").as[Long]
         .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
         .mapGroups { (b, hs) =>
           val bf = graft.core.BloomFilter64.forCapacity(cap, fpr)
-          hs.foreach(bf.add)
-          BloomBucket.of(b, bf)
+          var n = 0L
+          hs.foreach { h => bf.add(h); n += 1 }
+          FilterBucket.of(b, bf, n)
         }
   }
 
@@ -273,9 +278,22 @@ final class CrawlEngine(
     // reads nulls for them under the current schema — fill their defaults so
     // legacy-warehouse resume keeps working (as[FrontierEntry] would throw on
     // a null in a non-nullable field otherwise)
-    val frontier = io.readWave("frontier", wave, TableIO.FrontierSchema, lookahead = 1)
+    val frontierBase = io.readWave("frontier", wave, TableIO.FrontierSchema, lookahead = 1)
       .na.fill(false, Seq("is_retry"))
       .na.fill(0, Seq("retry_count", "retry_after_sec", "redirect_position"))
+    // forget-and-recrawl injection (SeenMaintenance): retracted URLs were
+    // re-staged as ordinary frontier rows in the `reseed` table, targeted at
+    // the first wave after the maintenance commit (stat reseed_wave). Their
+    // seqs were assigned past max_seq at maintenance time, so ordering and
+    // the engine's own seq assignment are untouched. Once this wave commits,
+    // committedWave passes reseed_wave and the rows are never re-injected.
+    val frontier = io.stat("reseed_wave") match {
+      case Some(rw) if rw == wave.toLong &&
+          io.waveExists("reseed", wave, lookahead = 1) =>
+        frontierBase.unionByName(
+          io.readWave("reseed", wave, TableIO.FrontierSchema, lookahead = 1))
+      case _ => frontierBase
+    }
     if (io.stat("next_frontier").isEmpty || io.committedWave != wave - 1) {
       if (timed(wave, "isEmpty")(frontier.isEmpty)) return false
     }
@@ -726,11 +744,13 @@ final class CrawlEngine(
       val fpr = config.bloomFpr
       val newBlooms = notSeen.select($"url_hash").as[Long]
         .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
-        .cogroup(prevBlooms.groupByKey(_.bucket)) { (b, hs, blooms) =>
-          val bf = if (blooms.hasNext) blooms.next().filter
-                   else graft.core.BloomFilter64.forCapacity(cap, fpr)
-          hs.foreach(bf.add)
-          Iterator(BloomBucket.of(b, bf))
+        .cogroup(prevBlooms.groupByKey(_.bucket)) { (b, hs, buckets) =>
+          // addAll preserves the bucket's representation: Bloom buckets add
+          // bits, Cuckoo buckets (post-retraction) insert fingerprints —
+          // with the saturation fence on a failed insert
+          val base = if (buckets.hasNext) buckets.next()
+                     else FilterBucket.of(b, graft.core.BloomFilter64.forCapacity(cap, fpr))
+          Iterator(base.addAll(hs))
         }
       staged("stage:blooms")(io.stage("blooms", wave, newBlooms))
     }
@@ -768,7 +788,10 @@ final class CrawlEngine(
     // bloom_buckets records the bucket count the staged blooms are keyed on;
     // readBlooms rejects persisted filters whose count differs from the
     // current numPartitions (resume-at-different-parallelism safety)
-    val stats = if (useBloom) baseStats + ("bloom_buckets" -> nb.toLong) else baseStats
+    val stats = if (useBloom)
+      baseStats + ("bloom_buckets" -> nb.toLong) +
+        ("blooms_v" -> CrawlEngine.BloomsVersion)
+    else baseStats
     io.commitWave(wave, stats, stopReason)
 
     results.unpersist()
@@ -791,6 +814,13 @@ object CrawlEngine {
     * errors log — e.g. a plain 404/500 with no transport exception.
     */
   val HttpStatusErrorClass = "HttpStatus"
+
+  /** Manifest `blooms_v` value the persisted filter-bucket layout must carry
+    * to be readable (readBlooms rebuilds otherwise). Bumped when
+    * [[FilterBucket]]'s row shape changes — v2 added kind/count/saturated
+    * for the Bloom→Cuckoo retraction transition.
+    */
+  val BloomsVersion = 2L
 
   /** Bootstrap a fresh warehouse exactly as a new engine would (the
     * commit-"-1" contract: root frontier entry + seen set + persisted

@@ -146,22 +146,91 @@ final case class CandidateLink(
     host: String,
     redirect_position: Int)
 
-/** One hash-bucket's Bloom filter over seen url_hashes, persisted per wave
-  * (the partition-local negative cache in front of the exact seen anti-join;
-  * the exact set stays authoritative).
+/** One hash-bucket's membership filter over seen url_hashes, persisted per
+  * wave (the partition-local negative cache in front of the exact seen
+  * anti-join; the exact set stays authoritative).
+  *
+  * `kind` realizes the north rule's representation fallback: buckets are
+  * Bloom filters (KindBloom) until a maintenance operation retracts seen
+  * entries from them ([[SeenMaintenance]]), at which point the affected
+  * buckets transition to deletion-capable Cuckoo filters (KindCuckoo) and
+  * subsequent retractions are incremental `remove()`s instead of rebuilds.
+  *
+  * Correctness contract: the filter may say "maybe present" for an absent
+  * key (costs the exact anti-join) but must NEVER say "absent" for a
+  * present key. Two cuckoo hazards break that — an insert that fails after
+  * max kicks (it leaves an evicted fingerprint homeless) and a remove of a
+  * fingerprint that was never inserted. Both are fenced by `saturated`:
+  * a failed insert or unmatched remove permanently flips the bucket to
+  * answer "maybe" for every key until the next rebuild.
   */
-final case class BloomBucket(
+final case class FilterBucket(
     bucket: Int,
-    num_bits: Long,
-    num_hashes: Int,
+    kind: Int, // 0 = Bloom, 1 = Cuckoo
+    num_bits: Long, // Bloom: bit count; Cuckoo: log2Buckets
+    num_hashes: Int, // Bloom: hash count; Cuckoo: unused (0)
+    count: Long, // items folded in (Cuckoo size bookkeeping)
+    saturated: Boolean,
     bits: Array[Byte]) {
-  def filter: graft.core.BloomFilter64 =
-    graft.core.BloomFilter64.fromBytes(num_bits, num_hashes, bits)
+  import FilterBucket._
+
+  def filter: graft.core.SeenFilter =
+    if (saturated) AlwaysMaybe
+    else if (kind == KindBloom)
+      graft.core.BloomFilter64.fromBytes(num_bits, num_hashes, bits)
+    else
+      graft.core.CuckooFilter64.fromBytes(num_bits.toInt, count, bits)
+
+  /** Fold new seen hashes in, preserving representation kind. */
+  def addAll(hs: Iterator[Long]): FilterBucket =
+    if (saturated) { hs.foreach(_ => ()); this } // drain; bucket already answers maybe-for-all
+    else if (kind == KindBloom) {
+      val bf = graft.core.BloomFilter64.fromBytes(num_bits, num_hashes, bits)
+      var n = 0L
+      hs.foreach { h => bf.add(h); n += 1 }
+      FilterBucket(bucket, KindBloom, num_bits, num_hashes, count + n,
+        saturated = false, bf.toBytes)
+    } else {
+      val cf = graft.core.CuckooFilter64.fromBytes(num_bits.toInt, count, bits)
+      var sat = false
+      hs.foreach { h => if (!cf.add(h)) sat = true }
+      FilterBucket(bucket, KindCuckoo, num_bits, num_hashes, cf.size, sat, cf.toBytes)
+    }
+
+  /** Retract hashes (Cuckoo buckets only — callers rebuild Bloom buckets).
+    * Every hash MUST be verified present in the authoritative seen set:
+    * then its fingerprint copy exists and removal cannot starve another
+    * key (duplicate fingerprints keep one copy per remaining inserter).
+    */
+  def removeAll(hs: Iterator[Long]): FilterBucket = {
+    require(kind == KindCuckoo, "removeAll on a Bloom bucket — rebuild instead")
+    if (saturated) { hs.foreach(_ => ()); this }
+    else {
+      val cf = graft.core.CuckooFilter64.fromBytes(num_bits.toInt, count, bits)
+      var sat = false
+      hs.foreach { h => if (!cf.remove(h)) sat = true } // unmatched remove: fence
+      FilterBucket(bucket, KindCuckoo, num_bits, num_hashes, cf.size, sat, cf.toBytes)
+    }
+  }
 }
 
-object BloomBucket {
-  def of(bucket: Int, bf: graft.core.BloomFilter64): BloomBucket =
-    BloomBucket(bucket, bf.numBits, bf.numHashes, bf.toBytes)
+object FilterBucket {
+  val KindBloom = 0
+  val KindCuckoo = 1
+
+  /** Saturated buckets answer "maybe" for every key — always safe. */
+  object AlwaysMaybe extends graft.core.SeenFilter {
+    def mightContain(key: Long): Boolean = true
+  }
+
+  def of(bucket: Int, bf: graft.core.BloomFilter64, count: Long = 0L): FilterBucket =
+    FilterBucket(bucket, KindBloom, bf.numBits, bf.numHashes, count,
+      saturated = false, bf.toBytes)
+
+  def ofCuckoo(bucket: Int, cf: graft.core.CuckooFilter64,
+      saturated: Boolean = false): FilterBucket =
+    FilterBucket(bucket, KindCuckoo, cf.log2Buckets.toLong, 0, cf.size,
+      saturated, cf.toBytes)
 }
 
 /** Per-host state (robots rules + politeness), persisted per wave. */

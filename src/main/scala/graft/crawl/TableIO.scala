@@ -25,7 +25,21 @@ import java.nio.charset.StandardCharsets
 final class TableIO(val warehouse: String, spark: SparkSession) {
   import TableIO._
 
-  private def waveDir(name: String, wave: Int) = s"$warehouse/$name/w$wave"
+  /** Current generation root of a table. Generation 0 is the bare table
+    * directory (every legacy warehouse); a maintenance operation that must
+    * REPLACE a table's contents atomically (seen-set compaction, filter
+    * retraction, reseed merge — [[SeenMaintenance]]) writes the replacement
+    * under `<name>_g<g+1>` while the manifest still points at g, then flips
+    * `gen_<name>` in one atomic manifest replace. A crash at any point
+    * leaves a fully consistent snapshot visible — the Iceberg
+    * snapshot-replace commit re-expressed over plain directories.
+    */
+  private def tableGen(name: String): Long = stat(s"gen_$name").getOrElse(0L)
+  private def tableRoot(name: String): String = {
+    val g = tableGen(name)
+    if (g == 0L) s"$warehouse/$name" else s"$warehouse/${name}_g$g"
+  }
+  private def waveDir(name: String, wave: Int) = s"${tableRoot(name)}/w$wave"
   private val manifestPath = s"$warehouse/manifest.json"
 
   // All driver-side warehouse IO goes through the Hadoop FileSystem
@@ -120,13 +134,80 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
 
   /** Atomically commit `wave`, with lineage stats and an optional terminal
     * stop reason (a stopped crawl stays stopped across resumes).
+    *
+    * Maintenance-owned manifest keys — the `gen_<table>` generation
+    * pointers and `reseed_wave` ([[SeenMaintenance]]) — are carried forward
+    * from the current manifest: the engine recomputes ITS stats every wave,
+    * but a generation pointer it does not know about must survive the
+    * commit or every generation-flipped table would silently fall back to
+    * its (dropped) bare directory.
     */
   def commitWave(wave: Int, stats: Map[String, Long] = Map.empty,
       stopReason: Option[String] = None): Unit = {
-    val statsJson = stats.map { case (k, v) => s""","$k":$v""" }.mkString
+    val carried: Map[String, Long] =
+      if (!exists(manifestPath)) Map.empty
+      else {
+        val txt = readString(manifestPath)
+        """"((?:gen_[A-Za-z0-9_]+)|reseed_wave)"\s*:\s*(-?\d+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+    val all = carried ++ stats // caller wins on conflict
+    val statsJson = all.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","$k":$v""" }.mkString
     val stopJson = stopReason.map(r => s""","stop_reason":"$r"""").getOrElse("")
     val json = s"""{"committed_wave":$wave$statsJson$stopJson}"""
     atomicWrite(manifestPath, json)
+  }
+
+  /** Atomically merge stats into the CURRENT manifest without advancing the
+    * committed wave — the maintenance-commit primitive ([[SeenMaintenance]]):
+    * replacement table generations are fully written (invisible) BEFORE this
+    * single atomic replace flips their `gen_<name>` pointers, so a crash at
+    * any point leaves either the old or the new snapshot visible, never a
+    * mix. `clearStopReason` re-opens a terminally-stopped crawl (deliberate
+    * operator action, e.g. forget-and-recrawl).
+    */
+  def mergeStats(stats: Map[String, Long],
+      clearStopReason: Boolean = false): Unit = {
+    require(!stats.contains("committed_wave"), "use commitWave to advance waves")
+    var txt = readString(manifestPath).trim.stripSuffix("}")
+    for (k <- stats.keys) {
+      val q = java.util.regex.Pattern.quote(k)
+      txt = txt.replaceAll(s""","$q"\\s*:\\s*-?\\d+""", "")
+    }
+    if (clearStopReason)
+      txt = txt.replaceAll(""","stop_reason":"[^"]*"""", "")
+    val json = txt + stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","$k":$v""" }.mkString + "}"
+    atomicWrite(manifestPath, json)
+  }
+
+  /** Write `df` as the single wave-`atWave` partition of the NEXT generation
+    * of `name` — INVISIBLE until the caller's [[mergeStats]] flips
+    * `gen_<name>` to the returned value. Re-running after a crash recomputes
+    * the same generation number and overwrites the orphan.
+    */
+  def stageGeneration(name: String, atWave: Int, df: DataFrame): (String, Long) = {
+    val g = tableGen(name) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"$warehouse/${name}_g$g/w$atWave")
+    (s"gen_$name", g)
+  }
+
+  /** Best-effort removal of superseded generation directories of `name`
+    * (safe any time after the flip committed; a crash here only leaves
+    * invisible orphans).
+    */
+  def dropOldGenerations(name: String): Unit = {
+    val g = tableGen(name)
+    if (g > 0) {
+      val bare = new HPath(s"$warehouse/$name")
+      if (fs.exists(bare)) fs.delete(bare, true)
+      (1L until g).foreach { k =>
+        val d = new HPath(s"$warehouse/${name}_g$k")
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+    }
   }
 
   /** Record a terminal stop reason against the CURRENT committed manifest
@@ -143,7 +224,8 @@ final class TableIO(val warehouse: String, spark: SparkSession) {
   /** Union of all visible wave partitions of a table. */
   def readAll(name: String, schemaDdl: String, lookahead: Int = 0): DataFrame = {
     val maxWave = committedWave + lookahead
-    val dirs = (0 to maxWave).map(w => waveDir(name, w))
+    val root = tableRoot(name) // resolve the generation once, not per wave
+    val dirs = (0 to maxWave).map(w => s"$root/w$w")
       .filter(exists)
     if (dirs.isEmpty) emptyDf(spark, schemaDdl)
     else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
@@ -192,7 +274,11 @@ object TableIO {
   val ExcludesSchema = "pattern string, wave int"
   val Window10Schema = "url string, pct double, ord int"
   val HostCountsSchema = "host string, pages bigint"
-  val BloomsSchema = "bucket int, num_bits bigint, num_hashes int, bits binary"
+  // v2 (manifest stat blooms_v=2): kind-aware filter buckets — Bloom by
+  // default, Cuckoo after a seen-retraction transitions the bucket
+  // (FilterBucket). v1 warehouses rebuild from the authoritative seen table.
+  val BloomsSchema = "bucket int, kind int, num_bits bigint, num_hashes int, " +
+    "count bigint, saturated boolean, bits binary"
   val FetchLogSchema =
     "wave int, seq bigint, url string, host string, depth int, status int, " +
     "content_type string, no_follow boolean, is_error boolean, retry_count int, " +
