@@ -104,12 +104,19 @@ object Bench {
     //     per-host wave cap: scheduling-level skew control must bound the
     //     hot host's share of every wave, so wall time tracks corpus size,
     //     not the hot host's serial chain.
-    val (seededSec, seededPages, seededBloom) =
-      if (skipCrawl) (0.0, 0L, false) else seededSeenBench(spark, cpus)
+    val (seededSec, seededPages, seededBloom, seededWh) =
+      if (skipCrawl) (0.0, 0L, false, "") else seededSeenBench(spark, cpus)
+    // (c) seen-set retraction over the seeded warehouse: compaction of the
+    //     10^6-row seen set + Bloom→Cuckoo bucket transition, then a second
+    //     forget through the incremental cuckoo remove() path
+    val (forgetSec, forget2Sec, forgetRetracted, forgetToCuckoo, forgetIncr) =
+      if (skipCrawl) (0.0, 0.0, 0L, 0L, 0L) else forgetBench(spark, seededWh)
     val (skewSec, skewPages, skewWaves, skewHotMax) =
       if (skipCrawl) (0.0, 0L, 0, 0L) else skewBench(spark, cpus)
     if (!skipCrawl) {
       results("crawl_seeded_1m") = seededSec
+      results("forget_2k_of_1m") = forgetSec
+      results("forget_2k_incremental") = forget2Sec
       results("crawl_skew") = skewSec
     }
 
@@ -126,7 +133,7 @@ object Bench {
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val seededPps = if (seededSec > 0) seededPages / seededSec else 0.0
     val skewPps = if (skewSec > 0) skewPages / skewSec else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"},"seeded_seen_rows":1000000,"seeded_bloom_engaged":$seededBloom,"seeded_pages":$seededPages,"seeded_pages_per_sec":${f"$seededPps%.1f"},"skew_pages":$skewPages,"skew_waves":$skewWaves,"skew_hot_max_per_wave":$skewHotMax,"skew_pages_per_sec":${f"$skewPps%.1f"}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"},"seeded_seen_rows":1000000,"seeded_bloom_engaged":$seededBloom,"seeded_pages":$seededPages,"seeded_pages_per_sec":${f"$seededPps%.1f"},"forget_retracted":$forgetRetracted,"forget_buckets_to_cuckoo":$forgetToCuckoo,"forget_buckets_incremental":$forgetIncr,"skew_pages":$skewPages,"skew_waves":$skewWaves,"skew_hot_max_per_wave":$skewHotMax,"skew_pages_per_sec":${f"$skewPps%.1f"}}""")
     spark.stop()
   }
 
@@ -150,7 +157,7 @@ object Bench {
     */
   def seededSeenBench(spark: SparkSession, cpus: Int,
       preSeeded: Long = 1000000L,
-      hosts: Int = 12, pagesPerHost: Int = 250): (Double, Long, Boolean) = {
+      hosts: Int = 12, pagesPerHost: Int = 250): (Double, Long, Boolean, String) = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val site = SyntheticWeb.generate(SyntheticWeb.Spec(
@@ -176,7 +183,34 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     val pages = io.readAll("metrics", TableIO.MetricsSchema)
       .agg(org.apache.spark.sql.functions.sum(col("pages"))).head().getLong(0)
-    (sec, pages, engine.lastWaveBloomEngaged)
+    (sec, pages, engine.lastWaveBloomEngaged, wh)
+  }
+
+  /** Scale-evidence leg (c): seen-set retraction (SeenMaintenance) against
+    * the seeded warehouse — the million-row seen table is compacted minus
+    * `forgetCount` crawled urls, the affected filter buckets transition
+    * Bloom→Cuckoo, and a SECOND forget exercises the incremental cuckoo
+    * remove() path (no rebuild). Returns (firstSec, secondSec,
+    * retractedTotal, bucketsToCuckoo, bucketsIncremental).
+    */
+  def forgetBench(spark: SparkSession, warehouse: String,
+      forgetCount: Int = 2000): (Double, Double, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val io = new TableIO(warehouse, spark)
+    val crawled = io.readAll("documents", TableIO.DocumentsSchema)
+      .select(col("doc_id")).limit(2 * forgetCount)
+      .collect().map(_.getString(0))
+    val (first, second) = crawled.splitAt(forgetCount)
+    val t0 = System.nanoTime()
+    val r1 = SeenMaintenance.forgetUrls(spark, warehouse, first.toSeq,
+      reseed = false)
+    val sec1 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val r2 = SeenMaintenance.forgetUrls(spark, warehouse, second.toSeq,
+      reseed = false)
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    (sec1, sec2, r1.retractedSeen + r2.retractedSeen,
+      r1.bucketsRebuiltToCuckoo, r2.bucketsCuckooDeleted)
   }
 
   /** Scale-evidence leg (b): one host owns 50% of all pages (hosts-1
