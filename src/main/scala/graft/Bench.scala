@@ -109,14 +109,15 @@ object Bench {
     // (c) seen-set retraction over the seeded warehouse: compaction of the
     //     10^6-row seen set + Bloom→Cuckoo bucket transition, then a second
     //     forget through the incremental cuckoo remove() path
-    val (forgetSec, forget2Sec, forgetRetracted, forgetToCuckoo, forgetIncr) =
-      if (skipCrawl) (0.0, 0.0, 0L, 0L, 0L) else forgetBench(spark, seededWh)
+    val (forgetSec, forget2Sec, forgetRetracted, forgetToCuckoo, forgetIncr,
+      forgetBatch) =
+      if (skipCrawl) (0.0, 0.0, 0L, 0L, 0L, 0L) else forgetBench(spark, seededWh)
     val (skewSec, skewPages, skewWaves, skewHotMax) =
       if (skipCrawl) (0.0, 0L, 0, 0L) else skewBench(spark, cpus)
     if (!skipCrawl) {
       results("crawl_seeded_1m") = seededSec
-      results("forget_2k_of_1m") = forgetSec
-      results("forget_2k_incremental") = forget2Sec
+      results("forget_batch_a_1m") = forgetSec
+      results("forget_batch_b_incremental") = forget2Sec
       results("crawl_skew") = skewSec
     }
 
@@ -133,7 +134,7 @@ object Bench {
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val seededPps = if (seededSec > 0) seededPages / seededSec else 0.0
     val skewPps = if (skewSec > 0) skewPages / skewSec else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"},"seeded_seen_rows":1000000,"seeded_bloom_engaged":$seededBloom,"seeded_pages":$seededPages,"seeded_pages_per_sec":${f"$seededPps%.1f"},"forget_retracted":$forgetRetracted,"forget_buckets_to_cuckoo":$forgetToCuckoo,"forget_buckets_incremental":$forgetIncr,"skew_pages":$skewPages,"skew_waves":$skewWaves,"skew_hot_max_per_wave":$skewHotMax,"skew_pages_per_sec":${f"$skewPps%.1f"}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"reps":$reps,"sf":"$sfDir","cpus":$cpus,"crawl_pages":$pages,"crawl_waves":$waves,"crawl_pages_per_sec":${f"$pagesPerSec%.1f"},"seeded_seen_rows":1000000,"seeded_bloom_engaged":$seededBloom,"seeded_pages":$seededPages,"seeded_pages_per_sec":${f"$seededPps%.1f"},"forget_batch_size":$forgetBatch,"forget_retracted":$forgetRetracted,"forget_buckets_to_cuckoo":$forgetToCuckoo,"forget_buckets_incremental":$forgetIncr,"skew_pages":$skewPages,"skew_waves":$skewWaves,"skew_hot_max_per_wave":$skewHotMax,"skew_pages_per_sec":${f"$skewPps%.1f"}}""")
     spark.stop()
   }
 
@@ -153,7 +154,8 @@ object Bench {
     * url_hash range), so seen_total clears bloomMinSeenRows from wave 0 —
     * the bloom buckets rebuild distributedly from the million-row seen
     * set and every wave's candidates take the cogroup path. Returns
-    * (sec, pages, bloomEngaged).
+    * (sec, pages, bloomEngaged, warehousePath) — the warehouse feeds the
+    * retraction leg ([[forgetBench]]).
     */
   def seededSeenBench(spark: SparkSession, cpus: Int,
       preSeeded: Long = 1000000L,
@@ -191,16 +193,19 @@ object Bench {
     * `forgetCount` crawled urls, the affected filter buckets transition
     * Bloom→Cuckoo, and a SECOND forget exercises the incremental cuckoo
     * remove() path (no rebuild). Returns (firstSec, secondSec,
-    * retractedTotal, bucketsToCuckoo, bucketsIncremental).
+    * retractedTotal, bucketsToCuckoo, bucketsIncremental, batchSize).
     */
   def forgetBench(spark: SparkSession, warehouse: String,
-      forgetCount: Int = 2000): (Double, Double, Long, Long, Long) = {
+      forgetCount: Int = 2000): (Double, Double, Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     val io = new TableIO(warehouse, spark)
     val crawled = io.readAll("documents", TableIO.DocumentsSchema)
       .select(col("doc_id")).limit(2 * forgetCount)
       .collect().map(_.getString(0))
-    val (first, second) = crawled.splitAt(forgetCount)
+    // equal-size batches so the two legs' timings are comparable even when
+    // the crawl produced fewer than 2*forgetCount documents
+    val k = math.min(forgetCount, crawled.length / 2)
+    val (first, second) = (crawled.take(k), crawled.slice(k, 2 * k))
     val t0 = System.nanoTime()
     val r1 = SeenMaintenance.forgetUrls(spark, warehouse, first.toSeq,
       reseed = false)
@@ -210,7 +215,7 @@ object Bench {
       reseed = false)
     val sec2 = (System.nanoTime() - t1) / 1e9
     (sec1, sec2, r1.retractedSeen + r2.retractedSeen,
-      r1.bucketsRebuiltToCuckoo, r2.bucketsCuckooDeleted)
+      r1.bucketsRebuiltToCuckoo, r2.bucketsCuckooDeleted, k.toLong)
   }
 
   /** Scale-evidence leg (b): one host owns 50% of all pages (hosts-1

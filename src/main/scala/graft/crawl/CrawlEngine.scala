@@ -182,9 +182,37 @@ final class CrawlEngine(
     // bucket-count mismatches both rebuild from the authoritative seen table
     if (io.waveExists("blooms", wave - 1) &&
         io.stat("bloom_buckets").contains(nb.toLong) &&
-        io.stat("blooms_v").contains(CrawlEngine.BloomsVersion))
-      io.readWave("blooms", wave - 1, TableIO.BloomsSchema).as[FilterBucket]
-    else
+        io.stat("blooms_v").contains(CrawlEngine.BloomsVersion)) {
+      val persisted =
+        io.readWave("blooms", wave - 1, TableIO.BloomsSchema).as[FilterBucket]
+      // self-heal saturated buckets (a cuckoo insert failed or a remove
+      // fence tripped — the bucket answers "maybe" for every key, so its
+      // candidates all pay the exact anti-join): rebuild JUST those from
+      // the authoritative seen table at doubled capacity. The check reads
+      // two columns of an O(numPartitions)-row table; the heal scan runs
+      // only when saturation actually exists.
+      val sat = persisted.filter($"saturated").select($"bucket")
+        .as[Int].collect().toSet
+      if (sat.isEmpty) persisted
+      else {
+        val satB = spark.sparkContext.broadcast(sat)
+        val healed = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
+          .select($"url_hash").as[Long]
+          .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
+          .flatMapGroups { (b, hs) =>
+            if (!satB.value.contains(b)) Iterator.empty
+            else {
+              val all = hs.toArray
+              val cf = graft.core.CuckooFilter64
+                .forCapacity(math.max(cap, all.length * 2L))
+              var stillSat = false
+              all.foreach { h => if (!cf.add(h)) stillSat = true }
+              Iterator(FilterBucket.ofCuckoo(b, cf, stillSat))
+            }
+          }
+        persisted.filter(!$"saturated").union(healed)
+      }
+    } else
       io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
         .select($"url_hash").as[Long]
         .groupByKey(h => CrawlEngine.bloomBucket(h, nb))

@@ -61,19 +61,23 @@ object SeenMaintenance {
       reseeded: Long, // frontier rows re-staged for recrawl
       droppedDocuments: Long, // document rows removed (dropDocuments mode)
       bucketsRebuiltToCuckoo: Long, // Bloom (or saturated) buckets rebuilt
-      bucketsCuckooDeleted: Long) // already-Cuckoo buckets updated in place
+      bucketsCuckooDeleted: Long, // already-Cuckoo buckets updated in place
+      skippedPending: Long) // targets awaiting their FIRST fetch: not touched
 
   /** Forget every crawled/known URL under a canonical-URL prefix.
     * Prefix resolution uses the frontier history (every URL that ever held
     * a frontier row); seen hashes of candidates that never passed the crawl
     * filters have no frontier row and are untouched — they would fail the
-    * same filters again, so retracting them is pointless.
+    * same filters again, so retracting them is pointless. The prefix is
+    * canonicalized like any crawl URL (frontier rows store canonical
+    * forms — a raw-cased or default-ported prefix would match nothing).
     */
   def forgetPrefix(spark: SparkSession, warehouse: String, prefix: String,
       reseed: Boolean = true, dropDocuments: Boolean = false): ForgetReport = {
     val io = new TableIO(warehouse, spark)
+    val canonPrefix = UrlCanonicalizer.canonicalize(prefix).getOrElse(prefix)
     val targets = io.readAll("frontier", TableIO.FrontierSchema, lookahead = 1)
-      .filter(col("url").startsWith(prefix))
+      .filter(col("url").startsWith(canonPrefix))
     forget(spark, io, targets, reseed, dropDocuments)
   }
 
@@ -99,13 +103,41 @@ object SeenMaintenance {
     require(c >= -1, "forget needs a bootstrapped warehouse")
 
     val seen = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
-    val known = targets.persist()
+    // targets still awaiting their FIRST fetch (rows in the next wave's
+    // staged frontier) are excluded: they will be fetched momentarily, a
+    // reseed row would duplicate the fetch, and retracting their hashes
+    // while the frontier row stands would break "in frontier ⊆ in seen"
+    // (the staged lookahead partition is not atomically rewritable — the
+    // reseed table is the only frontier-shaped table forget may touch)
+    val enginePending = io
+      .readWave("frontier", c + 1, TableIO.FrontierSchema, lookahead = 1)
+      .select($"url_hash").distinct()
+    val known = targets
+      .join(enginePending, Seq("url_hash"), "left_anti").persist()
     val requested = known.select($"url_hash").distinct().count()
+    val skippedPending = targets.select($"url_hash").distinct()
+      .join(enginePending, Seq("url_hash"), "left_semi").count()
     val stats = Map.newBuilder[String, Long]
 
     // ---- 1. recrawl re-seeding (reseed mode) ------------------------------
     val reseedWave = c + 1
     val (reseededCount, reseededHashes) = if (!reseed) {
+      // pure retraction CANCELS any pending reseed rows for the targets —
+      // a removal request issued after a recrawl request wins, and the
+      // retracted hashes must not ride back in at the next wave
+      if (io.stat("reseed_wave").contains(reseedWave.toLong) &&
+          io.waveExists("reseed", reseedWave, lookahead = 1)) {
+        val pending = io.readWave("reseed", reseedWave,
+          TableIO.FrontierSchema, lookahead = 1)
+        val kept = pending.join(known, Seq("url_hash"), "left_anti").persist()
+        val cancelled = pending.count() - kept.count()
+        if (cancelled > 0) {
+          stats += io.stageGeneration("reseed", atWave = reseedWave, kept)
+          stats += ("next_frontier" ->
+            math.max(0L, io.stat("next_frontier").getOrElse(0L) - cancelled))
+        }
+        kept.unpersist()
+      }
       (0L, TableIO.emptyDf(spark, "url_hash bigint"))
     } else {
       // one row per target hash: its FIRST frontier appearance (original
@@ -221,9 +253,9 @@ object SeenMaintenance {
     io.dropOldGenerations("blooms")
     io.dropOldGenerations("reseed")
     if (dropDocuments) io.dropOldGenerations("documents")
-    known.unpersist(); retract.unpersist()
+    known.unpersist(); retract.unpersist(); reseededHashes.unpersist()
     ForgetReport(requested, retractedCount, reseededCount, droppedDocs,
-      rebuilt, cuckooUpdated)
+      rebuilt, cuckooUpdated, skippedPending)
   }
 
   /** Update the persisted filter buckets for a retraction (`retract`) plus
@@ -276,8 +308,11 @@ object SeenMaintenance {
     val perBucketCap = cfg.map(c => math.max(1024L, c.bloomCapacity / nb))
       .getOrElse(1024L)
     val fpr = cfg.map(_.bloomFpr).getOrElse(0.001)
+    // skipped entirely when nothing needs a rebuild — the incremental path
+    // must stay O(deletes), never a scan of the seen set
     val rebuildB = spark.sparkContext.broadcast(rebuildSet)
-    val rebuilt = newSeen.select($"url_hash").as[Long]
+    val rebuilt = if (rebuildSet.isEmpty) spark.emptyDataset[FilterBucket]
+    else newSeen.select($"url_hash").as[Long]
       .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
       .flatMapGroups { (b, hs) =>
         if (!rebuildB.value.contains(b)) Iterator.empty

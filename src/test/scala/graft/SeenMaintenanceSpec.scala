@@ -218,6 +218,50 @@ class SeenMaintenanceSpec extends AnyFunSuite {
     assertNoFalseNegatives(io3)
   }
 
+  test("a later pure retraction cancels a pending recrawl request for the" +
+      " same url") {
+    val wh = Files.createTempDirectory("graft-forget-cancel").toString
+    val io = crawl(wh)
+    val c0 = io.committedWave
+    val target = url(8)
+    SeenMaintenance.forgetUrls(spark, wh, Seq(target), reseed = true)
+    assert(io.stat("reseed_wave").contains((c0 + 1).toLong))
+    // removal request after the recrawl request: the reseed row must not
+    // ride back in, and the hash leaves the seen set
+    val r = SeenMaintenance.forgetUrls(spark, wh, Seq(target), reseed = false)
+    assert(r.retractedSeen == 1)
+    assert(io.readWave("reseed", c0 + 1, TableIO.FrontierSchema, lookahead = 1)
+      .count() == 0)
+    assert(!seenOf(io).contains(hashOf(target)))
+    val io2 = crawl(wh)
+    val refetched = io2.readAll("fetch_log", TableIO.FetchLogSchema)
+      .filter(s"wave > $c0").count()
+    assert(refetched == 0, "cancelled recrawl must not fetch anything")
+  }
+
+  test("targets still pending their first fetch are skipped, not retracted") {
+    val wh = Files.createTempDirectory("graft-forget-pending").toString
+    val io = new TableIO(wh, spark)
+    val engine = new CrawlEngine(spark, io, config,
+      new SyntheticFetcher(site.pages, robots), numPartitions = 4)
+    engine.run(2) // stop mid-crawl: wave 2's frontier is staged, unfetched
+    val c0 = io.committedWave
+    val pending = io.readWave("frontier", c0 + 1, TableIO.FrontierSchema,
+      lookahead = 1).select("url").collect().map(_.getString(0))
+    assert(pending.nonEmpty, "fixture needs a pending frontier")
+    val seen0 = seenOf(io)
+    val r = SeenMaintenance.forgetUrls(spark, wh, Seq(pending.head),
+      reseed = false)
+    assert(r.skippedPending == 1)
+    assert(r.retractedSeen == 0)
+    assert(seenOf(io) == seen0)
+    // the resumed crawl completes and never double-fetches anything
+    val io2 = crawl(wh)
+    val log = io2.readAll("fetch_log", TableIO.FetchLogSchema)
+      .filter("status = 200").select("url").collect().map(_.getString(0))
+    assert(log.length == log.distinct.length, "no url fetched twice")
+  }
+
   // ---- documents removal ---------------------------------------------------
 
   test("dropDocuments rewrites the documents table without the targets") {
