@@ -87,6 +87,20 @@ class SeenMaintenanceSpec extends AnyFunSuite {
     (1L to 10000L).foreach(k => assert(cf.add(k * 0x517cc1b727220a95L)))
   }
 
+  test("addAll saturation fence: an overfull cuckoo bucket answers maybe" +
+      " for every key instead of going false-negative") {
+    val tiny = CuckooFilter64.forCapacity(8) // 4 buckets * 4 slots
+    val fb0 = FilterBucket.ofCuckoo(0, tiny)
+    val keys = (1L to 200L).map(_ * 0x9e3779b97f4a7c15L)
+    val fb = fb0.addAll(keys.iterator)
+    assert(fb.saturated, "200 keys into 16 slots must saturate")
+    keys.foreach(k => assert(fb.filter.mightContain(k)))
+    // removes on a saturated bucket are refused (stay maybe-for-all)
+    val after = fb.removeAll(keys.take(3).iterator)
+    assert(after.saturated)
+    keys.foreach(k => assert(after.filter.mightContain(k)))
+  }
+
   // ---- forget + reseed (recrawl) ------------------------------------------
 
   test("forget+reseed re-fetches exactly the forgotten urls; changed content" +
@@ -277,6 +291,35 @@ class SeenMaintenanceSpec extends AnyFunSuite {
     val docs1 = io.readAll("documents", TableIO.DocumentsSchema)
       .select("doc_id").collect().map(_.getString(0)).toSet
     assert(docs1 == docs0 - target)
+  }
+
+  // ---- saturated-bucket self-heal ------------------------------------------
+
+  test("a saturated bucket is healed from the seen table on the next wave") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-heal").toString
+    val io = crawl(wh)
+    val c0 = io.committedWave
+    val nb = io.stat("bloom_buckets").get.toInt
+    // force-saturate one committed bucket via the maintenance primitives
+    // (the same atomic path a real saturation would have persisted through)
+    val buckets0 = bucketsOf(io)
+    val victim = buckets0.keys.min
+    val poisoned = buckets0.values.toSeq
+      .map(b => if (b.bucket == victim) b.copy(saturated = true) else b)
+    val (k, v) = io.stageGeneration("blooms", c0, poisoned.toDS().toDF())
+    io.mergeStats(Map(k -> v))
+    assert(bucketsOf(io)(victim).saturated)
+
+    // drive one real wave (reseed a page) — readBlooms must heal the
+    // bucket: rebuilt as unsaturated cuckoo over its seen hashes
+    SeenMaintenance.forgetUrls(spark, wh, Seq(url(3)), reseed = true)
+    val io2 = crawl(wh)
+    assert(io2.committedWave > c0)
+    val healed = bucketsOf(io2)(victim)
+    assert(!healed.saturated, "heal must clear saturation")
+    assert(healed.kind == FilterBucket.KindCuckoo)
+    assertNoFalseNegatives(io2)
   }
 
   // ---- maintenance-commit atomicity ---------------------------------------
