@@ -95,6 +95,31 @@ object SeenMaintenance {
     forget(spark, io, targets, reseed, dropDocuments)
   }
 
+  /** Fold a grow-only set table's per-wave partitions into ONE wave-0
+    * partition behind the atomic generation flip — `seen` and
+    * `unique_blocks` grow a partition directory per wave, so a crawl of W
+    * waves pays O(W) driver `exists()` calls on every `readAll` and O(W)
+    * parquet footers per scan; a 10^4-wave crawl wants this periodically.
+    * Lossless for set-semantics tables (their rows carry no wave column).
+    * Returns the row count of the compacted snapshot.
+    */
+  def compactTable(spark: SparkSession, warehouse: String,
+      name: String): Long = {
+    require(name == "seen" || name == "unique_blocks",
+      s"compactTable supports the grow-only set tables, not '$name'")
+    val io = new TableIO(warehouse, spark)
+    require(io.committedWave >= -1, "compact needs a bootstrapped warehouse")
+    val schema = if (name == "seen") TableIO.SeenSchema
+                 else TableIO.UniqueBlocksSchema
+    val all = io.readAll(name, schema, lookahead = 1)
+    val (genKey, genVal) = io.stageGeneration(name, atWave = 0, all)
+    io.mergeStats(Map(genKey -> genVal))
+    io.dropOldGenerations(name)
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(s"$warehouse/${name}_g$genVal/w0").count()
+  }
+
   /** Core operation over frontier-shaped target rows. */
   private def forget(spark: SparkSession, io: TableIO, targets: DataFrame,
       reseed: Boolean, dropDocuments: Boolean): ForgetReport = {

@@ -322,6 +322,41 @@ class SeenMaintenanceSpec extends AnyFunSuite {
     assertNoFalseNegatives(io2)
   }
 
+  // ---- table compaction ------------------------------------------------------
+
+  test("compactTable folds per-wave partitions into one and the crawl" +
+      " resumes on the compacted snapshot") {
+    val wh = Files.createTempDirectory("graft-compact").toString
+    val io = crawl(wh)
+    val seen0 = seenOf(io)
+    val blocks0 = io.readAll("unique_blocks", TableIO.UniqueBlocksSchema)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def waveDirs(name: String): Int =
+      new java.io.File(wh).listFiles()
+        .filter(d => d.getName == name || d.getName.startsWith(name + "_g"))
+        .flatMap(_.listFiles()).count(_.getName.startsWith("w"))
+    assert(waveDirs("seen") > 1, "fixture crawl must span several waves")
+
+    assert(SeenMaintenance.compactTable(spark, wh, "seen") == seen0.size)
+    assert(SeenMaintenance.compactTable(spark, wh, "unique_blocks") ==
+      blocks0.size)
+    assert(waveDirs("seen") == 1)
+    assert(waveDirs("unique_blocks") == 1)
+    assert(seenOf(io) == seen0)
+    assert(io.readAll("unique_blocks", TableIO.UniqueBlocksSchema)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == blocks0)
+
+    // the engine keeps working against the compacted generations
+    val c0 = io.committedWave
+    SeenMaintenance.forgetUrls(spark, wh, Seq(url(9)), reseed = true)
+    val io2 = crawl(wh)
+    val refetched = io2.readAll("fetch_log", TableIO.FetchLogSchema)
+      .filter(s"wave > $c0").select("url").collect().map(_.getString(0)).toSet
+    assert(refetched == Set(url(9)))
+    assert(seenOf(io2) == seen0)
+    assertNoFalseNegatives(io2)
+  }
+
   // ---- maintenance-commit atomicity ---------------------------------------
 
   test("a staged generation is invisible until the atomic manifest flip") {
