@@ -26,7 +26,7 @@ object Bench {
     "q_lang_histogram", "q_split_assign", "q_doc_stats", "q_quality",
     "q_pii_scrub", "q_repetition", "q_normalize_text", "q_bpe_tokens",
     "q_lang_guess", "q_dedup_exact", "q_decontam", "q_jaccard_pairs",
-    "q_minhash_lsh",
+    "q_minhash_lsh", "q_exact_substr",
     "q_lm_typicality", "q_simhash_pairs", "q_dedup_clusters", "q_winnow_pairs",
     "q_neardup_export", "q_pipeline_stats", "q_cosine_topk",
     "q_embedding_neardup", "q_ann_lsh", "q_ivf_topk", "q_pq_topk",

@@ -308,6 +308,18 @@ object SparkEntry {
       Dedup.jaccardForPairs(cand, docs, "doc_id", "text", n = 3)
     }),
 
+    "q_exact_substr" -> ((s, dir) => {
+      // cross-document exact-substring duplicates (Lee et al. 2022
+      // ExactSubstr at word level): one row per duplicated 20-token window
+      // occurrence that is not the retained first-occurrence copy. Every
+      // row carries md5 of BOTH sides' token slices, so the DuckDB oracle
+      // re-derives win_md5 and owner_md5 from the documents table and a
+      // hash match proves each emitted row is a genuine byte-equal
+      // cross-document duplicate.
+      Dedup.exactSubstrMatches(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20)
+    }),
+
     "q_simhash_pairs" -> ((s, dir) => {
       // maxHamming = 7 is the contractual radius: 4 blocks of 16 bits with
       // single-bit-flip probe keys GUARANTEE recall up to Hamming 7 while
@@ -1101,6 +1113,20 @@ object SparkEntry {
         |LEFT JOIN aud a ON a.id = p.id
         |LEFT JOIN vid v ON v.id = p.id
         |ORDER BY o.media_id""".stripMargin,
+
+    "q_exact_substr" ->
+      """WITH out AS (
+        |  SELECT doc_id, start_tok, len_tok, owner_id, owner_start
+        |  FROM '__VERIFY_OUT__/q_exact_substr/*.parquet'),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM out UNION SELECT owner_id FROM out))
+        |SELECT o.doc_id, o.start_tok, o.len_tok, o.owner_id, o.owner_start,
+        |       md5(array_to_string(d.t[o.start_tok + 1 : o.start_tok + o.len_tok], ' ')) AS win_md5,
+        |       md5(array_to_string(w.t[o.owner_start + 1 : o.owner_start + o.len_tok], ' ')) AS owner_md5
+        |FROM out o JOIN toks d ON d.doc_id = o.doc_id
+        |           JOIN toks w ON w.doc_id = o.owner_id""".stripMargin,
 
     "q_simhash_pairs" ->
       """WITH out AS (

@@ -504,4 +504,119 @@ object Dedup {
       .drop("__cc_id")
       .withColumn("is_canonical", col("cluster") === col(idCol))
   }
+
+  /** Tokens + duplicated-window marks shared by the exact-substring ops:
+    * every length-`minTokens` word window occurring in ≥2 DISTINCT
+    * documents is marked at each non-owner occurrence, owner = the
+    * lexicographically first (doc_id, start) occurrence — the passage's
+    * one retained copy (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", ExactSubstr — re-expressed as two
+    * hash-keyed shuffles instead of a suffix array: window rows are
+    * O(total tokens), the groupBy is map-side-combined on a 64-bit window
+    * hash, and nothing pairwise ever materializes).
+    *
+    * Within-document repetition is deliberately out of scope (ndocs
+    * counts DISTINCT docs) — [[TextOps]]' repetition scoring covers it.
+    */
+  private def exactSubstrMarked(df: DataFrame, idCol: String,
+      textCol: String, minTokens: Int,
+      maxOccurrences: Long): (DataFrame, DataFrame) = {
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= minTokens)
+    // (doc_id, start_tok, win_hash) — the ONLY columns that shuffle; the
+    // window text itself never leaves its partition (re-derived later for
+    // the rows that survive)
+    val wins = toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - minTokens)).as("start_tok"))
+      .withColumn("win_hash",
+        xxhash64(array_join(slice(col("toks"), col("start_tok") + 1, lit(minTokens)), " ")))
+      .select("doc_id", "start_tok", "win_hash")
+    val stats = wins.groupBy("win_hash").agg(
+      countDistinct(col("doc_id")).as("ndocs"),
+      min(struct(col("doc_id"), col("start_tok"))).as("owner"),
+      count(lit(1)).as("occ"))
+      .filter(col("ndocs") >= 2 && col("occ") <= maxOccurrences)
+    val marked = wins.join(stats, "win_hash")
+      .filter(!(col("doc_id") === col("owner.doc_id") &&
+        col("start_tok") === col("owner.start_tok")))
+      .select(col("doc_id"), col("start_tok"),
+        col("owner.doc_id").as("owner_id"),
+        col("owner.start_tok").as("owner_start"))
+    (toks, marked)
+  }
+
+  /** Cross-document exact-substring matches, one row per duplicated window
+    * occurrence that is NOT the retained owner copy. `win_md5` / `owner_md5`
+    * are the md5 of the space-joined token slices on each side — an
+    * external engine can re-derive both from the corpus, so every emitted
+    * row is independently verifiable as a genuine byte-equal duplicate
+    * (the recheck-oracle shape). Window hashes with more than
+    * `maxOccurrences` occurrences (site boilerplate) are excluded from the
+    * REPORT deterministically; the removal transform keeps them.
+    */
+  def exactSubstrMatches(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxOccurrences: Long = 1000L): DataFrame = {
+    val (toks, marked) =
+      exactSubstrMarked(df, idCol, textCol, minTokens, maxOccurrences)
+    val slice_md5 = (t: Column, s: Column) =>
+      md5(array_join(slice(t, s + 1, lit(minTokens)), " "))
+    marked
+      .join(toks, "doc_id")
+      .withColumn("win_md5", slice_md5(col("toks"), col("start_tok")))
+      .drop("toks")
+      .join(toks.select(col("doc_id").as("owner_id"), col("toks").as("otoks")),
+        "owner_id")
+      .withColumn("owner_md5", slice_md5(col("otoks"), col("owner_start")))
+      .select(col("doc_id"), col("start_tok").cast("int").as("start_tok"),
+        lit(minTokens).as("len_tok"), col("owner_id"),
+        col("owner_start").cast("int").as("owner_start"),
+        col("win_md5"), col("owner_md5"))
+  }
+
+  /** Remove duplicated passages: every marked window position is merged
+    * into maximal token intervals per document and those tokens are cut,
+    * so exactly one copy of each repeated passage survives corpus-wide
+    * (at its first occurrence). Output: doc_id, text (rebuilt),
+    * dup_tokens_removed. Documents below `minTokens` pass through.
+    * Idempotent: a second pass finds nothing (the survivors are single
+    * copies).
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    val (_, marked) =
+      exactSubstrMarked(df, idCol, textCol, minTokens, Long.MaxValue)
+    val perDoc = marked.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("start_tok"))).as("starts"))
+      .withColumnRenamed("doc_id", "__esd_mid") // callers may keep their own doc_id column
+    val L = minTokens
+    val cut = udf { (text: String, starts: Seq[Int]) =>
+      val toks = text.split("\\s+")
+      // merge window starts into maximal [s, e] token intervals
+      val intervals = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      starts.foreach { s =>
+        val e = s + L - 1
+        if (intervals.nonEmpty && s <= intervals.last._2 + 1)
+          intervals(intervals.length - 1) =
+            (intervals.last._1, math.max(intervals.last._2, e))
+        else intervals += ((s, e))
+      }
+      val drop = Array.fill(toks.length)(false)
+      intervals.foreach { case (s, e) =>
+        (s to math.min(e, toks.length - 1)).foreach(drop(_) = true)
+      }
+      val kept = toks.indices.collect { case i if !drop(i) => toks(i) }
+      (kept.mkString(" "), drop.count(identity))
+    }
+    df.withColumn("__esd_id", col(idCol).cast("long"))
+      .join(perDoc, col("__esd_id") === col("__esd_mid"), "left")
+      .withColumn("__cut",
+        when(col("starts").isNull, struct(col(textCol).as("_1"), lit(0).as("_2")))
+          .otherwise(cut(col(textCol), col("starts"))))
+      .withColumn(textCol, col("__cut._1"))
+      .withColumn("dup_tokens_removed", col("__cut._2"))
+      .drop("__esd_id", "__esd_mid", "starts", "__cut")
+  }
 }

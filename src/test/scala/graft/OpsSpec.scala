@@ -926,6 +926,65 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- exact-substring dedup (Lee et al. ExactSubstr shape) ----------------
+
+  private def passageCorpus: DataFrame = {
+    // a 25-token passage planted verbatim inside three documents at
+    // different offsets; the rest of every document is unique tokens
+    val passage = (0 until 25).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (0 until n).map(i => s"u_${tag}_$i").mkString(" ")
+    Seq(
+      (1L, uniq("a", 10) + " " + passage + " " + uniq("a2", 10)),
+      (2L, uniq("b", 4) + " " + passage + " " + uniq("b2", 20)),
+      (3L, passage + " " + uniq("c", 30)),
+      (4L, uniq("d", 40))).toDF("doc_id", "text")
+  }
+
+  test("exactSubstrMatches: every emitted row is a byte-equal cross-doc" +
+      " duplicate and the first occurrence is never emitted") {
+    val m = Dedup.exactSubstrMatches(passageCorpus, "doc_id", "text",
+      minTokens = 20).collect()
+    assert(m.nonEmpty)
+    // owner = lexicographically first (doc_id, start): doc 1 holds every
+    // window of the passage first, so it is never a non-owner occurrence
+    assert(m.forall(_.getAs[Long]("owner_id") == 1L))
+    assert(m.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 3L))
+    // per-row verifiability: both md5 columns agree (genuine duplicates)
+    m.foreach(r =>
+      assert(r.getAs[String]("win_md5") == r.getAs[String]("owner_md5")))
+    // the 25-token passage yields exactly 6 windows of 20 per copy
+    assert(m.count(_.getAs[Long]("doc_id") == 2L) == 6)
+    assert(m.count(_.getAs[Long]("doc_id") == 3L) == 6)
+    // offsets point at the real passage positions, same diagonal as owner
+    m.foreach { r =>
+      val passageStart = if (r.getAs[Long]("doc_id") == 2L) 4 else 0
+      val w = r.getAs[Int]("start_tok") - passageStart
+      assert(w >= 0 && w <= 5, s"window start inside the passage, got $w")
+      assert(r.getAs[Int]("owner_start") == 10 + w)
+    }
+  }
+
+  test("exactSubstrDedup removes all-but-first copies of the passage," +
+      " leaves everything else byte-identical, and is idempotent") {
+    val passage = (0 until 25).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (0 until n).map(i => s"u_${tag}_$i").mkString(" ")
+    val out = Dedup.exactSubstrDedup(passageCorpus, "doc_id", "text",
+      minTokens = 20)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Int]("dup_tokens_removed")))).toMap
+    // doc 1 (first occurrence) keeps the passage; docs 2/3 lose exactly it
+    assert(byId(1L) == ((uniq("a", 10) + " " + passage + " " + uniq("a2", 10), 0)))
+    assert(byId(2L) == ((uniq("b", 4) + " " + uniq("b2", 20), 25)))
+    assert(byId(3L) == ((uniq("c", 30), 25)))
+    assert(byId(4L) == ((uniq("d", 40), 0)))
+    // idempotent: the surviving single copy is not removed by a second pass
+    val again = Dedup.exactSubstrDedup(
+      out.select("doc_id", "text"), "doc_id", "text", minTokens = 20)
+    assert(again.agg(sum($"dup_tokens_removed")).head().getLong(0) == 0L)
+  }
+
   test("ngram LM: gibberish scores below every typical document") {
     val typical = (0L until 40L).map(i =>
       i -> s"the quick brown fox jumps over the lazy dog near the river bank ${i % 3}")
