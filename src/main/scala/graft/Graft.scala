@@ -98,6 +98,35 @@ object Graft {
   def errorLog(spark: SparkSession, warehouse: String): DataFrame =
     new TableIO(warehouse, spark).readAll("errors", TableIO.ErrorsSchema)
 
+  // ---- warehouse maintenance (engine extensions; see SeenMaintenance) ----
+
+  /** Recrawl a site section NOW: the matching crawled urls are re-staged
+    * into the frontier and re-fetched by the next `crawl`/`continueCrawl`
+    * under the same politeness machinery (changed content yields new
+    * document rows; unchanged content is gated by first-wins text dedup).
+    */
+  def recrawlPrefix(spark: SparkSession, warehouse: String,
+      prefix: String): SeenMaintenance.ForgetReport =
+    SeenMaintenance.forgetPrefix(spark, warehouse, prefix, reseed = true)
+
+  /** Retract urls from the URL-seen set (removal request / undo): they
+    * become crawlable again the next time a link to them is discovered;
+    * `dropDocuments = true` also rewrites the documents table without
+    * their rows (copy-on-write delete).
+    */
+  def forgetUrls(spark: SparkSession, warehouse: String, urls: Seq[String],
+      dropDocuments: Boolean = false): SeenMaintenance.ForgetReport =
+    SeenMaintenance.forgetUrls(spark, warehouse, urls, reseed = false,
+      dropDocuments = dropDocuments)
+
+  /** Fold a grow-only set table (`seen`, `unique_blocks`) into one
+    * partition — run periodically on long crawls (a W-wave crawl pays
+    * O(W) file listings per read until compacted). Atomic; safe between
+    * runs.
+    */
+  def compactTable(spark: SparkSession, warehouse: String, name: String): Long =
+    SeenMaintenance.compactTable(spark, warehouse, name)
+
   /** The `dataset` entry point (§3.3): filter + gate + split + export. */
   def exportDataset(docs: DataFrame, outDir: String,
       lang: Option[String] = None, minDocsPerSite: Long = 50L): Unit =

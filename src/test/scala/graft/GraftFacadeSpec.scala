@@ -111,6 +111,20 @@ class GraftFacadeSpec extends AnyFunSuite {
       java.nio.file.Paths.get(names.head)).take(3)
     assert(firstBytes.sameElements(
       Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)))
+
+    // maintenance surfaces: recrawl through the facade re-fetches exactly
+    // the requested section; forget retracts; compaction is lossless
+    val seenBefore = Graft.seenHashes(spark, wh).count()
+    val rec = Graft.recrawlPrefix(spark, wh, docs.head.doc_id)
+    assert(rec.reseeded == 1)
+    val r5 = Graft.crawl(spark, config, fetcher, wh, numPartitions = 4)
+    assert(r5.wavesProcessed >= 1)
+    assert(Graft.seenHashes(spark, wh).count() == seenBefore)
+    val fg = Graft.forgetUrls(spark, wh, Seq(docs.head.doc_id))
+    assert(fg.retractedSeen == 1)
+    assert(Graft.seenHashes(spark, wh).count() == seenBefore - 1)
+    assert(Graft.compactTable(spark, wh, "seen") == seenBefore - 1)
+    assert(Graft.seenHashes(spark, wh).count() == seenBefore - 1)
   }
 
   test("errors log: failed fetches persist class+message per wave, resume carries") {
