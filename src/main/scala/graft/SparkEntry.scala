@@ -143,6 +143,17 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q_pack_sequences" -> ((s, dir) => {
+      // context-window sequence packing (FFD per hash-routed partition):
+      // the oracle re-derives every row's token count from the documents
+      // table and re-aggregates the emitted bins, so the capacity
+      // constraint and the fill accounting are externally verified even
+      // though the assignment itself is the engine's own
+      TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 512, numPartitions = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- text analysis (A5/C10 + pipeline ops) --------------------------
     "q_doc_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -758,6 +769,21 @@ object SparkEntry {
         |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 = 8 THEN 'valid'
         |    ELSE 'test' END AS split
         |  FROM documents) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH out AS (
+        |  SELECT doc_id, bin_id FROM '__VERIFY_OUT__/q_pack_sequences/*.parquet'),
+        |n AS (
+        |  SELECT o.doc_id, o.bin_id,
+        |         CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM out o JOIN documents d ON d.doc_id = o.doc_id),
+        |b AS (SELECT bin_id, CAST(sum(n_tokens) AS BIGINT) AS bin_total,
+        |             count(*) AS bin_docs
+        |      FROM n GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, n.bin_id, b.bin_total, b.bin_docs,
+        |       b.bin_total <= 512 AS fits
+        |FROM n JOIN b USING (bin_id)""".stripMargin,
 
     "q_doc_stats" ->
       """SELECT doc_id, length(text) AS chars,

@@ -117,4 +117,54 @@ object TextOps {
       .when(de > 0, lit("de"))
       .otherwise(lit("?"))
   }
+
+  /** Greedy sequence packing — the context-window fill step between the
+    * cleaning pipeline and training: documents are grouped into bins whose
+    * summed whitespace-token counts stay ≤ `capacity`, maximizing fill.
+    *
+    * Exact bin packing is NP-hard and inherently sequential, so the
+    * standard distributed compromise applies: FIRST-FIT-DECREASING within
+    * each hash-routed partition. Deterministic for a given
+    * (ids, capacity, parts): ids route by `xxhash64(id) mod parts`, docs
+    * sort by (n_tokens desc, id), bins are partition-local and numbered
+    * `partition << 32 | index`. Oversize docs (> capacity tokens) become
+    * single-doc bins flagged by `fits = false` (callers chunk or drop
+    * them); every other bin satisfies the capacity constraint by
+    * construction — and the constraint itself is re-derivable by an
+    * external engine from just the emitted (id, bin_id) assignment, which
+    * is what the q_pack_sequences recheck oracle does.
+    *
+    * Output: (id, n_tokens, bin_id, bin_total, bin_docs, fits).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val assigned = df
+      .select(col(idCol).cast("long").as("id"),
+        wordCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartition(parts, pmod(xxhash64(col("id")), lit(parts)))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val docs = it.toArray.sortBy { case (id, n) => (-n, id) }
+        // first-fit-decreasing: remaining capacity per open bin
+        val room = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        docs.iterator.map { case (id, n) =>
+          var b = 0
+          while (b < room.length && room(b) < n) b += 1
+          if (b == room.length) room += capacity.toLong
+          room(b) = if (n > capacity) -1L else room(b) - n // oversize bin closes
+          (id, n, (pid << 32) | b.toLong)
+        }
+      }.toDF("id", "n_tokens", "bin_id")
+    val bins = assigned.groupBy(col("bin_id")).agg(
+      sum(col("n_tokens")).as("bin_total"),
+      count(lit(1)).as("bin_docs"))
+    assigned.join(bins, "bin_id")
+      .withColumn("fits", col("bin_total") <= capacity)
+      .select("id", "n_tokens", "bin_id", "bin_total", "bin_docs", "fits")
+  }
 }

@@ -985,6 +985,40 @@ class OpsSpec extends AnyFunSuite {
     assert(again.agg(sum($"dup_tokens_removed")).head().getLong(0) == 0L)
   }
 
+  test("packSequences: every bin fits or is a single oversize doc, every" +
+      " doc packs exactly once, and the assignment is deterministic") {
+    val docs = (0 until 200).map { i =>
+      // lengths 1..100 words, plus two oversize docs of 150
+      val n = if (i >= 198) 150 else 1 + (i * 37) % 100
+      (i.toLong, (0 until n).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val packed = TextOps.packSequences(docs, "doc_id", "text",
+      capacity = 128, numPartitions = 4).collect()
+    assert(packed.length == 200)
+    assert(packed.map(_.getAs[Long]("id")).distinct.length == 200)
+    packed.groupBy(_.getAs[Long]("bin_id")).foreach { case (_, rows) =>
+      val total = rows.head.getAs[Long]("bin_total")
+      assert(total == rows.map(_.getAs[Long]("n_tokens")).sum)
+      assert(rows.head.getAs[Long]("bin_docs") == rows.length)
+      if (total > 128) {
+        assert(rows.length == 1 && !rows.head.getAs[Boolean]("fits"),
+          "over-capacity bins must be single oversize docs")
+      } else assert(rows.head.getAs[Boolean]("fits"))
+    }
+    // both oversize docs landed alone
+    assert(packed.filter(_.getAs[Long]("n_tokens") == 150L)
+      .forall(r => r.getAs[Long]("bin_docs") == 1L && !r.getAs[Boolean]("fits")))
+    // FFD actually packs: far fewer bins than docs
+    assert(packed.map(_.getAs[Long]("bin_id")).distinct.length < 120)
+    // deterministic across runs
+    val again = TextOps.packSequences(docs, "doc_id", "text",
+      capacity = 128, numPartitions = 4).collect()
+    assert(packed.map(r => (r.getAs[Long]("id"), r.getAs[Long]("bin_id")))
+      .sortBy(_._1).toSeq ==
+      again.map(r => (r.getAs[Long]("id"), r.getAs[Long]("bin_id")))
+        .sortBy(_._1).toSeq)
+  }
+
   test("ngram LM: gibberish scores below every typical document") {
     val typical = (0L until 40L).map(i =>
       i -> s"the quick brown fox jumps over the lazy dog near the river bank ${i % 3}")
