@@ -143,6 +143,19 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q_lang_rebalance" -> ((s, dir) => {
+      // multilingual rebalancing to a target mix (largest achievable size,
+      // no upsampling) — the keep decision is the portable md5-prefix
+      // uniform, so counts, rates, and decisions re-derive in plain SQL
+      TextOps.langRebalance(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.4, "fr" -> 0.15, "de" -> 0.15, "es" -> 0.15,
+          "zh" -> 0.15))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // context-window sequence packing (FFD per hash-routed partition):
       // the oracle re-derives every row's token count from the documents
@@ -769,6 +782,26 @@ object SparkEntry {
         |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 = 8 THEN 'valid'
         |    ELSE 'test' END AS split
         |  FROM documents) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lang_rebalance" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |t(lang, share) AS (VALUES
+        |  ('en', CAST(0.4 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('de', CAST(0.15 AS DOUBLE)), ('es', CAST(0.15 AS DOUBLE)),
+        |  ('zh', CAST(0.15 AS DOUBLE))),
+        |r0 AS (SELECT c.lang, c.n, t.share, c.n / t.share AS np
+        |       FROM counts c JOIN t USING (lang) WHERE c.n > 0),
+        |rates AS (
+        |  SELECT lang, share * (SELECT min(np) FROM r0) / n AS rate FROM r0),
+        |kept AS (
+        |  SELECT d.lang,
+        |    (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT AS DOUBLE)
+        |       / CAST(65536 AS DOUBLE)) < r.rate AS kept
+        |  FROM documents d JOIN rates r ON r.lang = d.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH out AS (

@@ -118,6 +118,42 @@ object TextOps {
       .otherwise(lit("?"))
   }
 
+  /** Language-balanced resampling — the multilingual-rebalancing step of a
+    * CC-style pipeline (cf. Wenzek et al. 2020; Xue et al. 2021 sampling
+    * temperature): given target SHARES per language, downsample each
+    * language deterministically so the kept corpus matches the target mix
+    * at the largest achievable size. No upsampling: the output size is
+    * N' = min over targeted languages of n_l / t_l, and language l keeps
+    * each doc with probability t_l · N' / n_l (≤ 1 by construction), via
+    * the portable md5-prefix uniform — the same seeded-hash trick as the
+    * 80/10/10 split, so the whole operator (counts, rates, keep decision)
+    * is re-derivable in plain SQL. Languages absent from `targetShares`
+    * keep nothing. Only the per-language count map touches the driver
+    * (bounded by the language inventory, never by rows).
+    *
+    * Output: input rows + `kept` flag.
+    */
+  def langRebalance(df: DataFrame, idCol: String, langCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.values.forall(t => t > 0 && t <= 1.0)
+      && math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      "targetShares must be positive and sum to 1")
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetShares.filter { case (l, _) => counts.getOrElse(l, 0L) > 0 }
+    require(present.nonEmpty, "no targeted language present in the corpus")
+    val nPrime = present.map { case (l, t) => counts(l) / t }.min
+    val keepRate = present.map { case (l, t) => l -> t * nPrime / counts(l) }
+    // uniform in [0, 1): md5 hex prefix (16 bits) / 65536 — mirrored by the
+    // oracle bit for bit
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val rate = keepRate.foldLeft(lit(0.0)) { case (acc, (l, r)) =>
+      when(col(langCol) === l, lit(r)).otherwise(acc)
+    }
+    df.withColumn("kept", u < rate)
+  }
+
   /** Greedy sequence packing — the context-window fill step between the
     * cleaning pipeline and training: documents are grouped into bins whose
     * summed whitespace-token counts stay ≤ `capacity`, maximizing fill.

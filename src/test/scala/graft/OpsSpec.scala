@@ -985,6 +985,34 @@ class OpsSpec extends AnyFunSuite {
     assert(again.agg(sum($"dup_tokens_removed")).head().getLong(0) == 0L)
   }
 
+  test("langRebalance: kept corpus matches the target mix at the largest" +
+      " achievable size; binding language keeps everything; untargeted" +
+      " languages keep nothing") {
+    val rnd = new java.util.Random(11)
+    val rows = Seq(("en", 4000), ("fr", 600), ("de", 1400), ("xx", 300))
+      .flatMap { case (l, n) => (0 until n).map(_ => l) }
+    val docs = rows.zipWithIndex
+      .map { case (l, i) => (i.toLong + rnd.nextInt(3) * 100000L, l) }
+      .map { case (id, l) => (id, l) }
+      .toDF("doc_id", "lang")
+    val out = TextOps.langRebalance(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+    val kept = out.filter(col("kept"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N' = min(4000/.5, 600/.2, 1400/.3) = 3000 (fr binding): fr keeps all
+    assert(kept("fr") == 600)
+    assert(!kept.contains("xx"), "untargeted language must keep nothing")
+    // achieved mix ~ targets on N'=3000 (hash-uniform => few-% tolerance)
+    assert(math.abs(kept("en") - 1500.0) / 1500.0 < 0.08, s"en=${kept("en")}")
+    assert(math.abs(kept("de") - 900.0) / 900.0 < 0.08, s"de=${kept("de")}")
+    // deterministic
+    val again = TextOps.langRebalance(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+      .filter(col("kept")).count()
+    assert(again == kept.values.sum)
+  }
+
   test("packSequences: every bin fits or is a single oversize doc, every" +
       " doc packs exactly once, and the assignment is deterministic") {
     val docs = (0 until 200).map { i =>
