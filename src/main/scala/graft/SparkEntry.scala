@@ -795,10 +795,12 @@ object SparkEntry {
         |rates AS (
         |  SELECT lang, share * (SELECT min(np) FROM r0) / n AS rate FROM r0),
         |kept AS (
+        |  -- LEFT JOIN + coalesce(rate, 0) mirrors the engine's otherwise(0.0)
+        |  -- fold: untargeted (or null) languages keep nothing but still count
         |  SELECT d.lang,
         |    (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT AS DOUBLE)
-        |       / CAST(65536 AS DOUBLE)) < r.rate AS kept
-        |  FROM documents d JOIN rates r ON r.lang = d.lang)
+        |       / CAST(65536 AS DOUBLE)) < coalesce(r.rate, CAST(0 AS DOUBLE)) AS kept
+        |  FROM documents d LEFT JOIN rates r ON r.lang = d.lang)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,

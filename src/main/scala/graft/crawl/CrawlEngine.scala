@@ -196,8 +196,12 @@ final class CrawlEngine(
       if (sat.isEmpty) persisted
       else {
         val satB = spark.sparkContext.broadcast(sat)
+        // map-side filter BEFORE the shuffle: only the saturated buckets'
+        // hashes move (1/nb of the seen set per saturated bucket), not the
+        // whole table
         val healed = io.readAll("seen", TableIO.SeenSchema, lookahead = 1)
           .select($"url_hash").as[Long]
+          .filter(h => satB.value.contains(CrawlEngine.bloomBucket(h, nb)))
           .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
           .flatMapGroups { (b, hs) =>
             if (!satB.value.contains(b)) Iterator.empty

@@ -111,7 +111,12 @@ object SeenMaintenance {
     require(io.committedWave >= -1, "compact needs a bootstrapped warehouse")
     val schema = if (name == "seen") TableIO.SeenSchema
                  else TableIO.UniqueBlocksSchema
-    val all = io.readAll(name, schema, lookahead = 1)
+    // lookahead mirrors each table's staging contract: seen is staged one
+    // wave AHEAD (visible at committedWave+1); unique_blocks is staged at
+    // the current wave, so a lookahead read could promote a killed
+    // attempt's uncommitted staged partition into the committed snapshot
+    val all = io.readAll(name, schema,
+      lookahead = if (name == "seen") 1 else 0)
     val (genKey, genVal) = io.stageGeneration(name, atWave = 0, all)
     io.mergeStats(Map(genKey -> genVal))
     io.dropOldGenerations(name)
@@ -338,16 +343,15 @@ object SeenMaintenance {
     val rebuildB = spark.sparkContext.broadcast(rebuildSet)
     val rebuilt = if (rebuildSet.isEmpty) spark.emptyDataset[FilterBucket]
     else newSeen.select($"url_hash").as[Long]
+      // map-side filter before the shuffle: only rebuild buckets' hashes move
+      .filter(h => rebuildB.value.contains(CrawlEngine.bloomBucket(h, nb)))
       .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
-      .flatMapGroups { (b, hs) =>
-        if (!rebuildB.value.contains(b)) Iterator.empty
-        else {
-          val all = hs.toArray
-          val cf = CuckooFilter64.forCapacity(math.max(perBucketCap, all.length.toLong))
-          var sat = false
-          all.foreach { h => if (!cf.add(h)) sat = true }
-          Iterator(FilterBucket.ofCuckoo(b, cf, sat))
-        }
+      .mapGroups { (b, hs) =>
+        val all = hs.toArray
+        val cf = CuckooFilter64.forCapacity(math.max(perBucketCap, all.length.toLong))
+        var sat = false
+        all.foreach { h => if (!cf.add(h)) sat = true }
+        FilterBucket.ofCuckoo(b, cf, sat)
       }
 
     // incremental class: removes hit only Cuckoo-unsaturated buckets (the

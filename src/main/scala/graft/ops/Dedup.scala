@@ -521,8 +521,11 @@ object Dedup {
   private def exactSubstrMarked(df: DataFrame, idCol: String,
       textCol: String, minTokens: Int,
       maxOccurrences: Long): (DataFrame, DataFrame) = {
+    // id stays its native type (the crawl documents table's doc_id is a URL
+    // string; the sf tables' is a long) — min(struct(...)) orders any
+    // orderable id deterministically
     val toks = df
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(col(idCol).as("doc_id"),
         split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minTokens)
     // (doc_id, start_tok, win_hash) — the ONLY columns that shuffle; the
@@ -610,7 +613,7 @@ object Dedup {
       val kept = toks.indices.collect { case i if !drop(i) => toks(i) }
       (kept.mkString(" "), drop.count(identity))
     }
-    df.withColumn("__esd_id", col(idCol).cast("long"))
+    df.withColumn("__esd_id", col(idCol))
       .join(perDoc, col("__esd_id") === col("__esd_mid"), "left")
       .withColumn("__cut",
         when(col("starts").isNull, struct(col(textCol).as("_1"), lit(0).as("_2")))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines, built
@@ -161,45 +162,52 @@ object TextOps {
     * Exact bin packing is NP-hard and inherently sequential, so the
     * standard distributed compromise applies: FIRST-FIT-DECREASING within
     * each hash-routed partition. Deterministic for a given
-    * (ids, capacity, parts): ids route by `xxhash64(id) mod parts`, docs
-    * sort by (n_tokens desc, id), bins are partition-local and numbered
-    * `partition << 32 | index`. Oversize docs (> capacity tokens) become
-    * single-doc bins flagged by `fits = false` (callers chunk or drop
-    * them); every other bin satisfies the capacity constraint by
-    * construction — and the constraint itself is re-derivable by an
-    * external engine from just the emitted (id, bin_id) assignment, which
-    * is what the q_pack_sequences recheck oracle does.
+    * (ids, capacity, parts): ids route by `hash(id) mod parts` (plain
+    * column repartition — NOT repartition-on-pmod, whose re-hash collapses
+    * buckets and skews partitions ~3x), docs sort by (n_tokens desc,
+    * id-string), bins are partition-local and numbered
+    * `partition << 32 | index`. The id keeps its native type (URL strings
+    * on the crawl documents table, longs on the sf tables). Oversize docs
+    * (> capacity tokens) become single-doc bins flagged by `fits = false`
+    * (callers chunk or drop them); every other bin satisfies the capacity
+    * constraint by construction — and the constraint itself is
+    * re-derivable by an external engine from just the emitted (id, bin_id)
+    * assignment, which is what the q_pack_sequences recheck oracle does.
     *
-    * Output: (id, n_tokens, bin_id, bin_total, bin_docs, fits).
+    * Output: (id, n_tokens, bin_id, bin_total, bin_docs, fits) — the bin
+    * aggregates ride a window over bin_id, so the packing pass runs once.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       capacity: Int, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val assigned = df
-      .select(col(idCol).cast("long").as("id"),
+    val routed = df
+      .select(col(idCol).as("id"),
         wordCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartition(parts, pmod(xxhash64(col("id")), lit(parts)))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val docs = it.toArray.sortBy { case (id, n) => (-n, id) }
-        // first-fit-decreasing: remaining capacity per open bin
-        val room = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        docs.iterator.map { case (id, n) =>
-          var b = 0
-          while (b < room.length && room(b) < n) b += 1
-          if (b == room.length) room += capacity.toLong
-          room(b) = if (n > capacity) -1L else room(b) - n // oversize bin closes
-          (id, n, (pid << 32) | b.toLong)
-        }
-      }.toDF("id", "n_tokens", "bin_id")
-    val bins = assigned.groupBy(col("bin_id")).agg(
-      sum(col("n_tokens")).as("bin_total"),
-      count(lit(1)).as("bin_docs"))
-    assigned.join(bins, "bin_id")
+      .repartition(parts, col("id"))
+    val outSchema = StructType(routed.schema.fields :+
+      StructField("bin_id", LongType, nullable = false))
+    val packed = routed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val docs = it.toArray
+        .sortBy(r => (-r.getLong(1), String.valueOf(r.get(0))))
+      // first-fit-decreasing: remaining capacity per open bin
+      val room = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { r =>
+        val n = r.getLong(1)
+        var b = 0
+        while (b < room.length && room(b) < n) b += 1
+        if (b == room.length) room += capacity.toLong
+        room(b) = if (n > capacity) -1L else room(b) - n // oversize bin closes
+        Row(r.get(0), n, (pid.toLong << 32) | b.toLong)
+      }
+    }
+    val w = Window.partitionBy(col("bin_id"))
+    spark.createDataFrame(packed, outSchema)
+      .withColumn("bin_total", sum(col("n_tokens")).over(w))
+      .withColumn("bin_docs", count(lit(1)).over(w))
       .withColumn("fits", col("bin_total") <= capacity)
       .select("id", "n_tokens", "bin_id", "bin_total", "bin_docs", "fits")
   }

@@ -1047,6 +1047,32 @@ class OpsSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq)
   }
 
+  test("exactSubstr and packSequences work over URL-string doc ids (the" +
+      " crawl documents table's id type)") {
+    val passage = (0 until 25).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      ("https://a.example.com/p1.html", "x1 x2 " + passage),
+      ("https://b.example.com/p2.html", passage + " y1 y2"),
+      ("https://c.example.com/p3.html", (0 until 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Dedup.exactSubstrMatches(docs, "doc_id", "text", minTokens = 20)
+      .collect()
+    assert(m.nonEmpty)
+    // owner = lexicographic min (doc_id, start): the a.example.com doc
+    assert(m.forall(_.getAs[String]("owner_id") == "https://a.example.com/p1.html"))
+    assert(m.forall(r => r.getAs[String]("win_md5") == r.getAs[String]("owner_md5")))
+    val deduped = Dedup.exactSubstrDedup(docs, "doc_id", "text", minTokens = 20)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Int]("dup_tokens_removed")).toMap
+    assert(deduped("https://b.example.com/p2.html") == 25)
+    assert(deduped("https://a.example.com/p1.html") == 0)
+
+    val packed = TextOps.packSequences(docs, "doc_id", "text", capacity = 40)
+      .collect()
+    assert(packed.length == 3)
+    assert(packed.map(_.getAs[String]("id")).toSet.size == 3)
+    packed.foreach(r => assert(r.getAs[Boolean]("fits")))
+  }
+
   test("ngram LM: gibberish scores below every typical document") {
     val typical = (0L until 40L).map(i =>
       i -> s"the quick brown fox jumps over the lazy dog near the river bank ${i % 3}")

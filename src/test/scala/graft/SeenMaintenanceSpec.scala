@@ -338,6 +338,12 @@ class SeenMaintenanceSpec extends AnyFunSuite {
     assert(waveDirs("seen") > 1, "fixture crawl must span several waves")
 
     assert(SeenMaintenance.compactTable(spark, wh, "seen") == seen0.size)
+    // a killed attempt's staged (uncommitted) unique_blocks partition must
+    // NOT be promoted into the committed snapshot by compaction
+    // (unique_blocks is staged at the CURRENT wave, so it has no lookahead)
+    import spark.implicits._
+    io.stage("unique_blocks", io.committedWave + 1,
+      Seq((999999L, 42)).toDF("text_hash", "words"))
     assert(SeenMaintenance.compactTable(spark, wh, "unique_blocks") ==
       blocks0.size)
     assert(waveDirs("seen") == 1)
