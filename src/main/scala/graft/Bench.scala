@@ -24,6 +24,7 @@ object Bench {
     "q_first_wins", "q_anti_join", "q_semi_join", "q_join_agg",
     "q_topk_per_group", "q_global_topk", "q_hourly_events",
     "q_lang_histogram", "q_split_assign", "q_lang_rebalance", "q_pack_sequences",
+    "q_chunk_docs",
     "q_doc_stats", "q_quality",
     "q_pii_scrub", "q_repetition", "q_normalize_text", "q_bpe_tokens",
     "q_lang_guess", "q_dedup_exact", "q_decontam", "q_jaccard_pairs",

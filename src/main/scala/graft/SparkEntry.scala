@@ -143,6 +143,14 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q_chunk_docs" -> ((s, dir) => {
+      // overlapping token-window chunking (64-token windows, 16 overlap):
+      // boundaries, sizes, and every chunk's md5 re-derive in plain SQL
+      TextOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_lang_rebalance" -> ((s, dir) => {
       // multilingual rebalancing to a target mix (largest achievable size,
       // no upsampling) — the keep decision is the portable md5-prefix
@@ -782,6 +790,20 @@ object SparkEntry {
         |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 = 8 THEN 'valid'
         |    ELSE 'test' END AS split
         |  FROM documents) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |         CAST(u.i AS INT) AS start_tok,
+        |         CAST(u.i / 48 AS INT) AS chunk_index
+        |  FROM toks, unnest(range(0, greatest(len(t) - 16 - 1, 0) + 1, 48)) u(i))
+        |SELECT doc_id, chunk_index, start_tok,
+        |       CAST(least(64, len(t) - start_tok) AS INT) AS chunk_tokens,
+        |       md5(array_to_string(t[start_tok + 1 : start_tok + 64], ' ')) AS chunk_md5
+        |FROM starts""".stripMargin,
 
     "q_lang_rebalance" ->
       """WITH counts AS (

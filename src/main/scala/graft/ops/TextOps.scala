@@ -155,6 +155,38 @@ object TextOps {
     df.withColumn("kept", u < rate)
   }
 
+  /** Overlapping token-window chunking — the oversize-document companion to
+    * [[packSequences]] (and the retrieval-indexing shape): each document
+    * splits into windows of `maxTokens` whitespace tokens advancing by
+    * stride = maxTokens − overlap, so consecutive chunks share `overlap`
+    * tokens of context. A document of ≤ maxTokens yields one chunk; every
+    * chunk past the first contributes at least one new token. Pure codegen
+    * expressions (split/sequence/posexplode/slice), fully re-derivable in
+    * SQL — chunk boundaries, sizes, and the md5 of every chunk's text.
+    *
+    * Output: (id, chunk_index, start_tok, chunk_tokens, chunk_md5).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) > 0 && length(concat_ws("", col("toks"))) > 0)
+    toks
+      .select(col("id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - overlap - 1, lit(0)), lit(stride))))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "start_tok")
+      .withColumn("chunk_tokens",
+        least(lit(maxTokens), size(col("toks")) - col("start_tok")))
+      .withColumn("chunk_md5",
+        md5(array_join(slice(col("toks"), col("start_tok") + 1, lit(maxTokens)), " ")))
+      .select("id", "chunk_index", "start_tok", "chunk_tokens", "chunk_md5")
+  }
+
   /** Greedy sequence packing — the context-window fill step between the
     * cleaning pipeline and training: documents are grouped into bins whose
     * summed whitespace-token counts stay ≤ `capacity`, maximizing fill.

@@ -1013,6 +1013,41 @@ class OpsSpec extends AnyFunSuite {
     assert(again == kept.values.sum)
   }
 
+  test("chunkDocs: boundaries, overlap, full coverage, md5 of each window") {
+    val docs = Seq(
+      (1L, (0 until 100).map(i => s"t$i").mkString(" ")),
+      (2L, (0 until 10).map(i => s"s$i").mkString(" ")),
+      (3L, (0 until 64).map(i => s"u$i").mkString(" ")),
+      (4L, (0 until 65).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text",
+      maxTokens = 64, overlap = 16).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_index"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_tokens"),
+        r.getAs[String]("chunk_md5")))
+    val by = out.groupBy(_._1)
+    // stride 48: doc1 (100 toks) → chunks at 0 (64) and 48 (52)
+    assert(by(1L).map(c => (c._2, c._3, c._4)).sorted.toSeq ==
+      Seq((0, 0, 64), (1, 48, 52)))
+    // short and exactly-max docs → single chunk
+    assert(by(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 0, 10)))
+    assert(by(3L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 0, 64)))
+    // one token past max → a second chunk contributing that one new token
+    assert(by(4L).map(c => (c._2, c._3, c._4)).sorted.toSeq ==
+      Seq((0, 0, 64), (1, 48, 17)))
+    // full coverage: the union of [start, start+tokens) is [0, n)
+    by.foreach { case (id, chunks) =>
+      val n = Map(1L -> 100, 2L -> 10, 3L -> 64, 4L -> 65)(id)
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0 until n).toSet, s"coverage for doc $id")
+    }
+    // md5 is of the actual window text
+    val c1 = by(1L).find(_._3 == 48).get
+    val expect = (48 until 100).map(i => s"t$i").mkString(" ")
+    assert(c1._5 == java.security.MessageDigest.getInstance("MD5")
+      .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("packSequences: every bin fits or is a single oversize doc, every" +
       " doc packs exactly once, and the assignment is deterministic") {
     val docs = (0 until 200).map { i =>
