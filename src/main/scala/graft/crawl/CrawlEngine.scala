@@ -262,6 +262,18 @@ final class CrawlEngine(
     while (continue) {
       val hadWork = runWave(wave)
       if (hadWork) processed += 1
+      // periodic set-table compaction (compactEveryWaves > 0): a W-wave
+      // crawl otherwise accumulates W partition directories per grow-only
+      // table — O(W) listings per read. Runs strictly AFTER the wave
+      // committed, through the same atomic generation flip as manual
+      // maintenance; a kill inside it leaves the committed snapshot intact.
+      if (hadWork && config.compactEveryWaves > 0 &&
+          (wave + 1) % config.compactEveryWaves == 0) {
+        timed(wave, "compact") {
+          SeenMaintenance.compactWith(spark, io, "seen")
+          SeenMaintenance.compactWith(spark, io, "unique_blocks")
+        }
+      }
       wave += 1
       continue = hadWork && stopReason.isEmpty &&
         wave < config.maxWaves && processed < maxWavesThisRun

@@ -280,6 +280,11 @@ final case class CrawlConfig(
     // the partition-local filters pay for themselves. The broadcast-vs-
     // shuffle-join selection analog. 0 = always engage (parity tests).
     bloomMinSeenRows: Long = 200000L,
+    // fold the grow-only set tables (seen, unique_blocks) into one
+    // partition every N committed waves (0 = off): a W-wave crawl
+    // otherwise pays O(W) partition listings per read — long crawls want
+    // this on (SeenMaintenance.compactWith, atomic generation flip)
+    compactEveryWaves: Int = 0,
     // request-log table (S9 analog of the reference's 13-column request log,
     // WebsiteTextExtractor.cs:415-474); off in benchmarks
     logFetches: Boolean = true,
@@ -376,6 +381,7 @@ object CrawlConfigCodec {
       s""""waveBudgetMs":${c.waveBudgetMs},"maxWaves":${c.maxWaves},""" +
       s""""bloomCapacity":${c.bloomCapacity},"bloomFpr":${c.bloomFpr},""" +
       s""""bloomMinSeenRows":${c.bloomMinSeenRows},""" +
+      s""""compactEveryWaves":${c.compactEveryWaves},""" +
       s""""logFetches":${c.logFetches}}"""
   }
 
@@ -388,6 +394,10 @@ object CrawlConfigCodec {
       ("\"" + k + "\"\\s*:\\s*([-0-9.eE]+|true|false)").r
         .findFirstMatchIn(json).map(_.group(1))
         .getOrElse(throw new IllegalArgumentException(s"missing $k"))
+    // fields added after round 6: absent in older warehouses' config.json
+    def numOr(k: String, d: String): String =
+      ("\"" + k + "\"\\s*:\\s*([-0-9.eE]+|true|false)").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse(d)
     val scope = str("scope") match {
       case "domain" => ScopeFilter.Domain
       case "subdomain" => ScopeFilter.SubDomain
@@ -412,6 +422,7 @@ object CrawlConfigCodec {
       bloomCapacity = num("bloomCapacity").toLong,
       bloomFpr = num("bloomFpr").toDouble,
       bloomMinSeenRows = num("bloomMinSeenRows").toLong,
+      compactEveryWaves = numOr("compactEveryWaves", "0").toInt,
       logFetches = num("logFetches").toBoolean)
   }
 }

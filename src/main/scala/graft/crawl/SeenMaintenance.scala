@@ -104,10 +104,16 @@ object SeenMaintenance {
     * Returns the row count of the compacted snapshot.
     */
   def compactTable(spark: SparkSession, warehouse: String,
+      name: String): Long =
+    compactWith(spark, new TableIO(warehouse, spark), name)
+
+  /** Same, over an existing TableIO — the engine's auto-compaction hook
+    * (`CrawlConfig.compactEveryWaves`) runs this between wave commits.
+    */
+  private[graft] def compactWith(spark: SparkSession, io: TableIO,
       name: String): Long = {
     require(name == "seen" || name == "unique_blocks",
       s"compactTable supports the grow-only set tables, not '$name'")
-    val io = new TableIO(warehouse, spark)
     require(io.committedWave >= -1, "compact needs a bootstrapped warehouse")
     val schema = if (name == "seen") TableIO.SeenSchema
                  else TableIO.UniqueBlocksSchema
@@ -122,7 +128,7 @@ object SeenMaintenance {
     io.dropOldGenerations(name)
     spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .parquet(s"$warehouse/${name}_g$genVal/w0").count()
+      .parquet(s"${io.warehouse}/${name}_g$genVal/w0").count()
   }
 
   /** Core operation over frontier-shaped target rows. */

@@ -363,6 +363,38 @@ class SeenMaintenanceSpec extends AnyFunSuite {
     assertNoFalseNegatives(io2)
   }
 
+  test("auto-compaction (compactEveryWaves) changes nothing observable and" +
+      " bounds the partition-directory count") {
+    val whPlain = Files.createTempDirectory("graft-autocompact-base").toString
+    val whAuto = Files.createTempDirectory("graft-autocompact").toString
+    val ioPlain = crawl(whPlain)
+    val ioAuto = new TableIO(whAuto, spark)
+    new CrawlEngine(spark, ioAuto, config.copy(compactEveryWaves = 2),
+      new SyntheticFetcher(site.pages, robots), numPartitions = 4).run()
+    assert(ioAuto.committedWave == ioPlain.committedWave)
+    assert(seenOf(ioAuto) == seenOf(ioPlain))
+    val docsOf = (io: TableIO) =>
+      io.readAll("documents", TableIO.DocumentsSchema)
+        .select("doc_id", "seq", "wave").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(docsOf(ioAuto) == docsOf(ioPlain))
+    assertNoFalseNegatives(ioAuto)
+    // compaction bounded the per-table partition count: at most the waves
+    // since the last compact (+1 lookahead for seen)
+    def waveDirs(wh: String, name: String): Int =
+      new java.io.File(wh).listFiles()
+        .filter(d => d.getName == name || d.getName.startsWith(name + "_g"))
+        .flatMap(_.listFiles()).count(_.getName.startsWith("w"))
+    assert(waveDirs(whAuto, "seen") <= 4)
+    assert(waveDirs(whAuto, "seen") < waveDirs(whPlain, "seen"))
+    // config round-trips (legacy config.json without the field still parses)
+    assert(CrawlConfigCodec.fromJson(CrawlConfigCodec.toJson(
+      config.copy(compactEveryWaves = 2))).compactEveryWaves == 2)
+    assert(CrawlConfigCodec.fromJson(
+      CrawlConfigCodec.toJson(config).replace(""""compactEveryWaves":0,""", ""))
+      .compactEveryWaves == 0)
+  }
+
   // ---- maintenance-commit atomicity ---------------------------------------
 
   test("a staged generation is invisible until the atomic manifest flip") {
