@@ -794,7 +794,7 @@ object SparkEntry {
     "q_chunk_docs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE len(trim(text)) > 0),
+        |  FROM documents WHERE regexp_matches(text, '\S')),
         |starts AS (
         |  SELECT doc_id, t,
         |         CAST(u.i AS INT) AS start_tok,

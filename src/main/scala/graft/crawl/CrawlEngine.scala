@@ -203,16 +203,13 @@ final class CrawlEngine(
           .select($"url_hash").as[Long]
           .filter(h => satB.value.contains(CrawlEngine.bloomBucket(h, nb)))
           .groupByKey(h => CrawlEngine.bloomBucket(h, nb))
-          .flatMapGroups { (b, hs) =>
-            if (!satB.value.contains(b)) Iterator.empty
-            else {
-              val all = hs.toArray
-              val cf = graft.core.CuckooFilter64
-                .forCapacity(math.max(cap, all.length * 2L))
-              var stillSat = false
-              all.foreach { h => if (!cf.add(h)) stillSat = true }
-              Iterator(FilterBucket.ofCuckoo(b, cf, stillSat))
-            }
+          .mapGroups { (b, hs) =>
+            val all = hs.toArray
+            val cf = graft.core.CuckooFilter64
+              .forCapacity(math.max(cap, all.length * 2L))
+            var stillSat = false
+            all.foreach { h => if (!cf.add(h)) stillSat = true }
+            FilterBucket.ofCuckoo(b, cf, stillSat)
           }
         persisted.filter(!$"saturated").union(healed)
       }

@@ -104,14 +104,22 @@ object SeenMaintenance {
     * Returns the row count of the compacted snapshot.
     */
   def compactTable(spark: SparkSession, warehouse: String,
-      name: String): Long =
-    compactWith(spark, new TableIO(warehouse, spark), name)
+      name: String): Long = {
+    val io = new TableIO(warehouse, spark)
+    val (schema, genVal) = compactWith(spark, io, name)
+    // the read-back count is the OPERATOR's confirmation — the engine's
+    // auto-compaction hook calls compactWith directly and skips this job
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(s"${io.warehouse}/${name}_g$genVal/w0").count()
+  }
 
-  /** Same, over an existing TableIO — the engine's auto-compaction hook
-    * (`CrawlConfig.compactEveryWaves`) runs this between wave commits.
+  /** Same, over an existing TableIO and without the read-back count — the
+    * engine's auto-compaction hook (`CrawlConfig.compactEveryWaves`) runs
+    * this between wave commits. Returns (schemaDdl, newGeneration).
     */
   private[graft] def compactWith(spark: SparkSession, io: TableIO,
-      name: String): Long = {
+      name: String): (String, Long) = {
     require(name == "seen" || name == "unique_blocks",
       s"compactTable supports the grow-only set tables, not '$name'")
     require(io.committedWave >= -1, "compact needs a bootstrapped warehouse")
@@ -126,9 +134,7 @@ object SeenMaintenance {
     val (genKey, genVal) = io.stageGeneration(name, atWave = 0, all)
     io.mergeStats(Map(genKey -> genVal))
     io.dropOldGenerations(name)
-    spark.read
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .parquet(s"${io.warehouse}/${name}_g$genVal/w0").count()
+    (schema, genVal)
   }
 
   /** Core operation over frontier-shaped target rows. */

@@ -521,34 +521,54 @@ object Dedup {
   private def exactSubstrMarked(df: DataFrame, idCol: String,
       textCol: String, minTokens: Int,
       maxOccurrences: Long): (DataFrame, DataFrame) = {
-    // id stays its native type (the crawl documents table's doc_id is a URL
-    // string; the sf tables' is a long) — min(struct(...)) orders any
-    // orderable id deterministically
+    val spark = df.sparkSession
+    // The per-token-window rows are the dominant shuffle, so they carry an
+    // 8-byte dense surrogate (did), never the native id (the crawl
+    // documents table's doc_id is a ~60-char URL — carrying it would widen
+    // the O(total tokens) shuffle ~8x). The dictionary is built by sorting
+    // the distinct ids and numbering them (deterministic, collision-free),
+    // so min(struct(did, start)) picks the SAME owner as ordering by the
+    // native id would; the small marked set joins the dictionary back at
+    // the end.
+    val idDict = {
+      val ids = df.select(col(idCol).as("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
+        org.apache.spark.sql.types.StructField("did",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        ids.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i)
+        }, schema)
+    }
     val toks = df
       .select(col(idCol).as("doc_id"),
         split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minTokens)
-    // (doc_id, start_tok, win_hash) — the ONLY columns that shuffle; the
+      .join(idDict, "doc_id")
+    // (did, start_tok, win_hash) — the ONLY columns that shuffle; the
     // window text itself never leaves its partition (re-derived later for
     // the rows that survive)
     val wins = toks
-      .select(col("doc_id"), col("toks"),
+      .select(col("did"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - minTokens)).as("start_tok"))
       .withColumn("win_hash",
         xxhash64(array_join(slice(col("toks"), col("start_tok") + 1, lit(minTokens)), " ")))
-      .select("doc_id", "start_tok", "win_hash")
+      .select("did", "start_tok", "win_hash")
     val stats = wins.groupBy("win_hash").agg(
-      countDistinct(col("doc_id")).as("ndocs"),
-      min(struct(col("doc_id"), col("start_tok"))).as("owner"),
+      countDistinct(col("did")).as("ndocs"),
+      min(struct(col("did"), col("start_tok"))).as("owner"),
       count(lit(1)).as("occ"))
       .filter(col("ndocs") >= 2 && col("occ") <= maxOccurrences)
     val marked = wins.join(stats, "win_hash")
-      .filter(!(col("doc_id") === col("owner.doc_id") &&
+      .filter(!(col("did") === col("owner.did") &&
         col("start_tok") === col("owner.start_tok")))
+      .join(idDict, "did")
+      .join(idDict.select(col("doc_id").as("owner_id"),
+        col("did").as("__odid")), col("owner.did") === col("__odid"))
       .select(col("doc_id"), col("start_tok"),
-        col("owner.doc_id").as("owner_id"),
-        col("owner.start_tok").as("owner_start"))
-    (toks, marked)
+        col("owner_id"), col("owner.start_tok").as("owner_start"))
+    (toks.drop("did"), marked)
   }
 
   /** Cross-document exact-substring matches, one row per duplicated window

@@ -171,9 +171,13 @@ object TextOps {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
-    val toks = df.select(col(idCol).as("id"),
+    // keep docs with any non-whitespace content — rlike("\\S") evaluates
+    // identically in Spark and the DuckDB oracle (trim() alone strips only
+    // spaces in BOTH engines, so a tabs/newlines-only doc would diverge)
+    val toks = df
+      .filter(col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
-      .filter(size(col("toks")) > 0 && length(concat_ws("", col("toks"))) > 0)
     toks
       .select(col("id"), col("toks"),
         posexplode(sequence(lit(0),
