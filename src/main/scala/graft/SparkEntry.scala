@@ -15,8 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // floor scan parallelism at the session's core count (guide §6: "
+    // spark.sql.files.minPartitionNum sets a floor on scan parallelism"):
+    // a single mid-size parquet file otherwise scans as ONE task no matter
+    // how many cores the session has. Derived from defaultParallelism —
+    // never a constant — and a no-op at scale, where inputs already split
+    // into far more partitions than cores.
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      spark.sparkContext.defaultParallelism)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The documents table spread to full width (Par.spread) — for queries
+    * whose dominant cost is per-row column expressions (regex extraction,
+    * normalization, splitting) that would otherwise run inside a narrow
+    * scan stage. No-op at scale.
+    */
+  private def tSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.Par.spread(t(spark, dir, name))
 
   /** Flagship: the north-rule interleaved documents table
     * (doc_id, spans array<struct<kind,text,media_ref,offset>>) produced by
@@ -177,7 +194,7 @@ object SparkEntry {
 
     // ---- text analysis (A5/C10 + pipeline ops) --------------------------
     "q_doc_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tSpread(s, dir, "documents")
       d.select(col("doc_id"),
         length(col("text")).as("chars"),
         TextOps.wordCount(col("text")).as("words"),
@@ -186,7 +203,7 @@ object SparkEntry {
     }),
 
     "q_quality" -> ((s, dir) => {
-      TextOps.withQuality(t(s, dir, "documents"), "text")
+      TextOps.withQuality(tSpread(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_words"), col("avg_word_len"),
           col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"),
           col("quality_ok"))
@@ -205,7 +222,7 @@ object SparkEntry {
     }),
 
     "q_lang_guess" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), TextOps.langGuess(col("text")).as("lang_guess"))
     }),
 
@@ -285,7 +302,7 @@ object SparkEntry {
       import graft.functions.UnicodeNormalize.{nfc, foldAccents}
       val raw = concat(col("text"),
         lit(" résumé Å naïve piñata"))
-      t(s, dir, "documents").select(
+      tSpread(s, dir, "documents").select(
           col("doc_id"),
           length(raw).as("n_raw"),
           nfc(raw).as("norm_text"),

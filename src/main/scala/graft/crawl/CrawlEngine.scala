@@ -715,10 +715,27 @@ final class CrawlEngine(
     def staged(step: String)(f: => Unit): Unit =
       stageJobs += Future(timed(wave, step)(f))(stageEc)
 
-    staged("stage:docs")(io.stage("documents", wave, docs))
+    // Write-side file sizing (guide §6 "aim for right-sized output files"):
+    // a wave's staged tables are tiny locally but arbitrarily large at
+    // scale, so each write coalesces to a task count derived from an
+    // ESTIMATED byte volume (clamped to [1, numPartitions] — at scale the
+    // estimate exceeds the cap and the write keeps full width). Replaces
+    // numPartitions near-empty shards per table per wave with a few
+    // right-sized files — cheaper write jobs now, cheaper O(waves)
+    // readAll listings/scans later. Estimates only shape file counts;
+    // correctness never depends on them.
+    def sized(df: DataFrame, estBytes: Long): DataFrame = {
+      val p = math.max(1L, math.min(numPartitions.toLong,
+        estBytes / (64L << 20) + 1)).toInt
+      if (p < numPartitions) df.coalesce(p) else df
+    }
+
+    staged("stage:docs")(io.stage("documents", wave,
+      sized(docs, pagesFetched * 4096L)))
     staged("stage:blocks")(io.stage("unique_blocks", wave,
-      newUnique.select($"text_hash", $"words")))
-    staged("stage:seen")(io.stage("seen", wave + 1, seenAdds))
+      sized(newUnique.select($"text_hash", $"words"), pagesFetched * 240L)))
+    staged("stage:seen")(io.stage("seen", wave + 1,
+      sized(seenAdds, seenAddedWave * 16L)))
     if (newHostsCount > 0 && !hostsStagedEarly) {
       // the >64 branch already staged the fetch snapshot (and is READING
       // from that file — re-staging would overwrite its own input)
@@ -735,7 +752,8 @@ final class CrawlEngine(
         $"total_words", round($"fetch_ms", 3).as("fetch_ms"),
         round($"extract_ms", 3).as("extract_ms"),
         round($"css_ms", 3).as("css_ms"))
-      staged("stage:fetchlog")(io.stage("fetch_log", wave, fetchLog))
+      staged("stage:fetchlog")(io.stage("fetch_log", wave,
+        sized(fetchLog, pagesFetched * 256L)))
     }
     if (errorsWave > 0) {
       // error-detail log (S9 remainder): the WHY of each error row —
@@ -746,7 +764,8 @@ final class CrawlEngine(
       val errorLog = results.toDF().filter($"is_error").select(
         $"wave", $"seq", $"url", $"host", $"status",
         $"error_class", $"error_message", $"error_stack", $"retry_count")
-      staged("stage:errors")(io.stage("errors", wave, errorLog))
+      staged("stage:errors")(io.stage("errors", wave,
+        sized(errorLog, errorsWave * 512L)))
     } else {
       // data-dependent staging: a killed earlier attempt of THIS wave may
       // have staged errors that the re-run no longer produces (transient
@@ -796,26 +815,51 @@ final class CrawlEngine(
       staged("stage:blooms")(io.stage("blooms", wave, newBlooms))
     }
     // seqs are assigned BEFORE the retroactive exclude filter (the oracle's
-    // seq counter is monotonic over assignments, not survivors)
-    val newFrontierP = newFrontier.persist()
-    val newAssigned = newFrontierP.count()
-    // new exclude applies retroactively to the pending frontier
-    // (Scheduler.FilterAllowedUrlsAfterConfig analog, Scheduler.cs:123-139)
-    val nextFrontierAll0 = carry.unionByName(newFrontierP)
-    val nextFrontierAll =
-      if (retryEntries != null) nextFrontierAll0.unionByName(retryEntries)
-      else nextFrontierAll0
-    val nextFrontierOut = newExclude match {
-      case Some(lcp) => nextFrontierAll.filter(!$"url".startsWith(lcp))
-      case None => nextFrontierAll
+    // seq counter is monotonic over assignments, not survivors).
+    //
+    // Both frontier counts (seqs assigned; rows staged) ride the ONE
+    // staging write as observe() metrics instead of separate persist() +
+    // count() rounds — two fewer jobs and two fewer cached copies per
+    // wave, with byte-identical results (the counts are the same
+    // aggregates, collected during the write job). The rare new-exclude
+    // wave keeps the materialized path: the retroactive filter must not
+    // risk being planned below the pre-filter count.
+    val nextCountF: Future[(Long, Long)] = newExclude match {
+      case Some(lcp) =>
+        val newFrontierP = newFrontier.persist()
+        val newAssigned = newFrontierP.count()
+        val nextFrontierAll0 = carry.unionByName(newFrontierP)
+        val nextFrontierAll =
+          if (retryEntries != null) nextFrontierAll0.unionByName(retryEntries)
+          else nextFrontierAll0
+        // new exclude applies retroactively to the pending frontier
+        // (Scheduler.FilterAllowedUrlsAfterConfig analog, Scheduler.cs:123-139)
+        val nextFrontierOut = nextFrontierAll.filter(!$"url".startsWith(lcp))
+        Future(timed(wave, "stage:frontier") {
+          io.stage("frontier", wave + 1, nextFrontierOut)
+          val n = nextFrontierOut.count()
+          newFrontierP.unpersist()
+          (newAssigned, n)
+        })(stageEc)
+      case None =>
+        val obsNew = org.apache.spark.sql.Observation()
+        val obsNext = org.apache.spark.sql.Observation()
+        val newFrontierO = newFrontier.observe(obsNew, count(lit(1)).as("n"))
+        val nextFrontierAll0 = carry.unionByName(newFrontierO)
+        val nextFrontierAll =
+          if (retryEntries != null) nextFrontierAll0.unionByName(retryEntries)
+          else nextFrontierAll0
+        val nextFrontierOut = nextFrontierAll
+          .observe(obsNext, count(lit(1)).as("n"))
+        Future(timed(wave, "stage:frontier") {
+          io.stage("frontier", wave + 1,
+            sized(nextFrontierOut, (seenAddedWave + pagesFetched) * 256L))
+          (obsNew.get("n").asInstanceOf[Long],
+            obsNext.get("n").asInstanceOf[Long])
+        })(stageEc)
     }
-    val nextFrontierP = nextFrontierOut.persist()
-    val nextCountF = Future(timed(wave, "stage:frontier") {
-      io.stage("frontier", wave + 1, nextFrontierP)
-      nextFrontierP.count()
-    })(stageEc)
     stageJobs.result().foreach(Await.result(_, Duration.Inf))
-    val nextCount = Await.result(nextCountF, Duration.Inf)
+    val (newAssigned, nextCount) = Await.result(nextCountF, Duration.Inf)
     seenRowsTotal += seenAddedWave
     val baseStats = Map(
       "pages" -> pagesFetched,
@@ -843,8 +887,6 @@ final class CrawlEngine(
     fetchedP.unpersist()
     newUnique.unpersist()
     notSeen.unpersist()
-    newFrontierP.unpersist()
-    nextFrontierP.unpersist()
     true
   }
 }

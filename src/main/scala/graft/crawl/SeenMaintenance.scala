@@ -211,22 +211,30 @@ object SeenMaintenance {
       // merge with any reseed rows already pending for this wave (repeated
       // forgets before the next run) — the reseed table is generation-
       // flipped like the others, so the merge is crash-atomic too
-      val pending =
+      val pending0 =
         if (io.stat("reseed_wave").contains(reseedWave.toLong) &&
             io.waveExists("reseed", reseedWave, lookahead = 1))
           io.readWave("reseed", reseedWave, TableIO.FrontierSchema, lookahead = 1)
-            .join(known, Seq("url_hash"), "left_anti") // re-forgotten: new row wins
         else TableIO.emptyDf(spark, TableIO.FrontierSchema)
+      val pending = pending0
+        .join(known, Seq("url_hash"), "left_anti") // re-forgotten: new row wins
       val merged = pending.unionByName(assigned).persist()
       val n = merged.count()
-      val nAssigned = n - pending.count()
+      val pendingKept = pending.count()
+      val nAssigned = n - pendingKept
+      // pending rows REPLACED by this forget ("new row wins") contributed
+      // +1 to next_frontier at their earlier forget, and their replacements
+      // count again inside nAssigned — subtract them or repeated forgets
+      // drift the fast-empty-gate stat upward (ADVICE r06; the pure-
+      // retraction branch above already decrements symmetrically)
+      val replacedPending = pending0.count() - pendingKept
       if (n > 0) {
         stats += io.stageGeneration("reseed", atWave = reseedWave, merged)
         stats += ("reseed_wave" -> reseedWave.toLong)
         stats += ("max_seq" -> (maxSeq + nAssigned))
         // the run-loop fast-empty gate must see the injected work
-        stats += ("next_frontier" ->
-          (io.stat("next_frontier").getOrElse(0L) + nAssigned))
+        stats += ("next_frontier" -> math.max(0L,
+          io.stat("next_frontier").getOrElse(0L) + nAssigned - replacedPending))
       }
       val hs = merged.select($"url_hash").distinct().persist()
       hs.count() // materialize before merged is unpersisted

@@ -284,6 +284,9 @@ object HtmlToSpans {
     }
 
     private def parseRules(cssText: String): Vector[(SimpleSel, String, String, Boolean)] = {
+      // Stripped ONCE up front (both replaces are idempotent, so this is
+      // identical to the retired per-recursion stripping, minus its O(n²)
+      // regex cost on deeply nested sheets):
       val css = cssText.replaceAll("(?s)/\\*.*?\\*/", " ")
         // brace-less at-statements (@charset "x"; @import url(...);
         // @namespace ...;) end at ';' — left in place they'd glue onto the
@@ -291,42 +294,58 @@ object HtmlToSpans {
         // silently discarding that rule (real sheets open with @charset)
         .replaceAll("@(charset|import|namespace)[^;{}]*;", " ")
       val rules = Vector.newBuilder[(SimpleSel, String, String, Boolean)]
+      // Applying @media blocks are ENTERED IN PLACE via an explicit frame
+      // stack (resume-index, outer-limit) instead of recursion: rules keep
+      // their source-order cascade position, nesting depth is bounded by
+      // heap, not the JVM stack — a crafted sheet of ~10-20k nested
+      // '@media screen{' levels fits under MaxCssChars and would otherwise
+      // StackOverflowError, an Error nothing in the extract path catches
+      // (ADVICE r06).
       var i = 0
-      while (i < css.length) {
-        val ob = css.indexOf('{', i)
-        if (ob < 0) i = css.length
-        else {
-          val selText = css.substring(i, ob).trim
-          if (selText.startsWith("@")) {
-            var k = ob
-            var d = 0
-            var end = css.length
-            while (k < css.length && end == css.length) {
-              val c = css.charAt(k)
-              if (c == '{') d += 1
-              else if (c == '}') { d -= 1; if (d == 0) end = k }
-              k += 1
-            }
-            val lower = selText.toLowerCase
-            if (lower.startsWith("@media") &&
-                mediaAppliesToScreen(lower.substring("@media".length))) {
-              // recursive parse keeps the block's rules at their source
-              // position in the cascade (and handles nested @media)
-              rules ++= parseRules(css.substring(ob + 1, math.min(end, css.length)))
-            }
-            i = end + 1
-          } else {
-            val cb = css.indexOf('}', ob)
-            if (cb < 0) i = css.length
-            else {
-              val decls = parseDecls(css.substring(ob + 1, cb))
-                .filter(d => d._1 == "display" || d._1 == "visibility")
-              if (decls.nonEmpty)
-                selText.split(',').map(_.trim).filter(_.nonEmpty)
-                  .flatMap(parseSimpleSel).foreach { ss =>
-                    decls.foreach { case (p, v, imp) => rules += ((ss, p, v, imp)) }
-                  }
-              i = cb + 1
+      var limit = css.length
+      var frames = List.empty[(Int, Int)]
+      var done = false
+      while (!done) {
+        if (i >= limit) {
+          frames match {
+            case (ri, rl) :: tail => i = ri; limit = rl; frames = tail
+            case Nil => done = true
+          }
+        } else {
+          val ob = css.indexOf('{', i)
+          if (ob < 0 || ob >= limit) i = limit
+          else {
+            val selText = css.substring(i, ob).trim
+            if (selText.startsWith("@")) {
+              var k = ob
+              var d = 0
+              var end = limit
+              while (k < limit && end == limit) {
+                val c = css.charAt(k)
+                if (c == '{') d += 1
+                else if (c == '}') { d -= 1; if (d == 0) end = k }
+                k += 1
+              }
+              val lower = selText.toLowerCase
+              if (lower.startsWith("@media") &&
+                  mediaAppliesToScreen(lower.substring("@media".length))) {
+                frames = (end + 1, limit) :: frames
+                limit = end
+                i = ob + 1
+              } else i = end + 1
+            } else {
+              val cb = css.indexOf('}', ob)
+              if (cb < 0 || cb >= limit) i = limit
+              else {
+                val decls = parseDecls(css.substring(ob + 1, cb))
+                  .filter(d => d._1 == "display" || d._1 == "visibility")
+                if (decls.nonEmpty)
+                  selText.split(',').map(_.trim).filter(_.nonEmpty)
+                    .flatMap(parseSimpleSel).foreach { ss =>
+                      decls.foreach { case (p, v, imp) => rules += ((ss, p, v, imp)) }
+                    }
+                i = cb + 1
+              }
             }
           }
         }

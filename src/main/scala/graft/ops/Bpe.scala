@@ -164,7 +164,9 @@ object Bpe {
     import spark.implicits._
     val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // spread off a narrow scan: the greedy per-word merge loop is the
+    // kernel (no-op at scale)
+    Par.spread(df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val r = bc.value

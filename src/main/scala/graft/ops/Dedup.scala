@@ -70,8 +70,8 @@ object Dedup {
       n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
     // join/shuffle on the 64-bit shingle hash, not the string: same
     // intersection counts (collisions are ~n²·|sh|/2^64), far cheaper keys
-    val shAll = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("sh_str"))
+    val shAll = Par.spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(shingles(col(textCol), n)).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
     val sh = if (maxDocFreq > 0) {
       // shingles are per-doc distinct, so count(*) per shingle IS doc freq
@@ -110,8 +110,8 @@ object Dedup {
       benchmark: DataFrame, benchTextCol: String,
       n: Int = 8, minHits: Int = 1,
       broadcastBenchmark: Boolean = true): DataFrame = {
-    val docSh = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("sh_str"))
+    val docSh = Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(shingles(col(textCol), n)).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
     val benchSh0 = benchmark
       .select(explode(shingles(col(benchTextCol), n)).as("sh_str"))
@@ -134,7 +134,8 @@ object Dedup {
   def withMinHash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16): DataFrame = {
     val sh = explode(shingles(col(textCol), n))
-    val exploded = df.select(col(idCol).as("id"), sh.as("sh"))
+    val exploded = Par.spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), sh.as("sh"))
     // hash family i = xxhash64(i, shingle): independent, no overflow under
     // ANSI arithmetic (Spark 4 default), and stays in whole-stage codegen
     val minCols = (0 until k).map { i =>
@@ -186,7 +187,10 @@ object Dedup {
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
     jaccardForPairsOver(pairs,
-      docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs")))
+      // spread BEFORE building the gram sets so the zip_with chain runs
+      // post-exchange at full width, not on a narrow scan
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"), shingles(col(textCol), n).as("shs")))
 
   /** Exact Jaccard over arbitrary per-document gram SETS — the shared core
     * of [[jaccardForPairs]] (word n-grams) and
@@ -311,8 +315,14 @@ object Dedup {
           .otherwise(col("a.simhash")).as("sim_b"),
         // xor is symmetric, so hamming is pair-normalization-safe
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      // Hamming filter BEFORE the pair dedup (guide §2.3 "shuffle fewer
+      // bytes"): hamming is a pure function of the pair, identical on every
+      // duplicate row, so filter∘dropDuplicates ≡ dropDuplicates∘filter —
+      // but filtering first means only true near-dup rows (a tiny fraction
+      // of bucket collisions) pay the dedup exchange
+      .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
-    cand.filter(col("hamming") <= maxHamming)
+    cand
       .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"), col("hamming"))
   }
 
@@ -335,7 +345,12 @@ object Dedup {
     */
   def simHashPairsWithHashes(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
-    val withSh = withSimHash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    // spread BEFORE the hash UDF + 68-probe-key explode: both sides of the
+    // candidate self-join evaluate this subtree, and a narrow scan would
+    // run the whole kernel twice on one core (the repartition exchange is
+    // reused across the two sides)
+    val withSh = withSimHash(Par.spread(df.select(col(idCol), col(textCol))),
+      textCol).select(col(idCol).as("id"), col("simhash"))
     simHashCandidatePairs(withSh, maxHamming)
   }
 
@@ -442,6 +457,15 @@ object Dedup {
     // label init folds one propagation step: min local root across partitions
     var labels = stars.groupBy($"src".as("id")).agg(min($"dst").as("cluster"))
       .localCheckpoint(true)
+    // single-partition contraction is a GLOBAL union-find: the local roots
+    // are the true components and the init labels are already the fixpoint
+    // — skip the stitch machinery (its first round would only re-prove
+    // convergence). Only reachable for small edge sets (parts is sized
+    // from the edge count), so the 100-TB path is unchanged.
+    if (parts == 1 && contractionParts.isEmpty) {
+      GraftColumnBridge.unpersistCheckpoint(stars)
+      return labels.select($"id", $"cluster")
+    }
     // undirected star edges for the stitch loop
     val edges = stars.unionByName(stars.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst").distinct().localCheckpoint(true)
@@ -541,9 +565,8 @@ object Dedup {
           org.apache.spark.sql.Row(r.get(0), i)
         }, schema)
     }
-    val toks = df
-      .select(col(idCol).as("doc_id"),
-        split(col(textCol), "\\s+").as("toks"))
+    val toks = Par.spread(df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minTokens)
       .join(idDict, "doc_id")
     // (did, start_tok, win_hash) — the ONLY columns that shuffle; the

@@ -87,7 +87,10 @@ object Multimodal {
   def synthesizeMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // the encoders below are the expensive kernel (ImageIO PNG / animated
+    // GIF, AudioSystem WAV — milliseconds per row); a narrow input must not
+    // serialize them on one core (Par.spread is a no-op at scale)
+    Par.spread(df.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
       .as[(Long, String)]
       .map { case (id, t) =>
         // floorMod: Scala's % is dividend-signed, so a negative id would

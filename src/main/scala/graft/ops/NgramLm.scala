@@ -97,8 +97,9 @@ object NgramLm {
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE tokenizer everywhere (Bpe.normalizeWords) — unigram counting,
-    // bigram counting, and scoring must see identical tokens
-    val toks = docs.select(col(textCol).as("t")).as[String]
+    // bigram counting, and scoring must see identical tokens. Spread off a
+    // narrow scan so tokenization + map-side combine run at full width.
+    val toks = Par.spread(docs.select(col(textCol).as("t"))).as[String]
       .mapPartitions(_.flatMap(Bpe.normalizeWords)).toDF("w")
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c")).persist()
     // the literal token "<unk>" never enters the vocabulary — it would
@@ -119,7 +120,7 @@ object NgramLm {
     // bigram counts over mapped tokens: pairs emitted partition-locally
     // against the broadcast vocab, counted with map-side combine
     val bcVocab = spark.sparkContext.broadcast(vocab)
-    val pairs = docs.select(col(textCol).as("t")).as[String]
+    val pairs = Par.spread(docs.select(col(textCol).as("t"))).as[String]
       .mapPartitions { rows =>
         val v = bcVocab.value
         rows.flatMap { t =>
@@ -140,22 +141,31 @@ object NgramLm {
   }
 
   /** Score every document under a broadcast model: (id, n_words,
-    * n_bigrams, avg_logprob rounded to 6 places). No shuffle.
+    * n_bigrams, avg_logprob rounded to 6 places). No shuffle. The id
+    * keeps its NATIVE type (URL strings on the crawl documents table,
+    * longs on the sf tables) — same contract as packSequences /
+    * exactSubstrMatches; a forced long cast would silently null string
+    * ids (ADVICE r06).
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       model: LmModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val spark = docs.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        val m = bc.value
-        rows.map { case (id, t) =>
-          val (nw, nb, lp) = m.score(t)
-          (id, nw, nb, lp)
-        }
-      }.toDF("id", "n_words", "n_bigrams", "avg_logprob")
+    val in = Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+    val schema = StructType(Seq(in.schema.fields(0).copy(name = "id"),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("avg_logprob", DoubleType, nullable = false)))
+    val scored = in.rdd.mapPartitions { rows =>
+      val m = bc.value
+      rows.map { r =>
+        val (nw, nb, lp) = m.score(r.getString(1))
+        Row(r.get(0), nw, nb, lp)
+      }
+    }
+    spark.createDataFrame(scored, schema)
       // round via the SQL function so the rounding mode is bit-identical
       // with every other oracle-compared double in this repo
       .withColumn("avg_logprob", round(col("avg_logprob"), 6))

@@ -77,7 +77,11 @@ object Similarity {
       dim: Int, numPlanes: Int, numTables: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // spread off a narrow scan: the fused plane-matrix kernel runs per row
+    // and BOTH sides of the candidate self-join evaluate this subtree
+    // (per-row bucket math is partitioning-independent; no-op at scale)
+    val base = Par.spread(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
     // plane-index layout keeps table stride 64 so buckets match the previous
     // Column formulation for any numPlanes <= 64
     val planes: Array[Array[Double]] = Array.tabulate(numTables * numPlanes) { pi =>
@@ -126,8 +130,15 @@ object Similarity {
       dim: Int = -1, numPlanes: Int = -1, threshold: Double = 0.8,
       numTables: Int = 8): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val d = if (dim > 0) dim else base.select(size(col("vec"))).head().getInt(0)
-    val np = if (numPlanes > 0) numPlanes else planesFor(base.count())
+    // ONE job for both derived parameters instead of a head() plus a
+    // count() (vectors are uniform-width, so max(size) IS the dimension)
+    val (d, np) =
+      if (dim > 0 && numPlanes > 0) (dim, numPlanes)
+      else {
+        val r = base.agg(max(size(col("vec"))), count(lit(1))).head()
+        (if (dim > 0) dim else r.getInt(0),
+          if (numPlanes > 0) numPlanes else planesFor(r.getLong(1)))
+      }
     val b = lshBucketRows(df, idCol, vecCol, d, np, numTables)
     val candidates = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -66,7 +66,10 @@ object Winnowing {
     import spark.implicits._
     val fpUdf = udf((t: String) =>
       fingerprints(if (t == null) "" else t, k, w).toSeq)
-    val fpAll = df.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+    // spread before the rolling-hash UDF — the per-row kernel — so a narrow
+    // scan does not serialize it (no-op at scale)
+    val fpAll = Par.spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(fpUdf(col(textCol))).as("fp"))
     // frequency cap (same rationale as Dedup.jaccardPairs): a boilerplate
     // k-gram fingerprint shared by d docs costs d² join rows; similarity is
     // computed over the capped fingerprint sets on both sides
@@ -121,5 +124,8 @@ object Winnowing {
   def exactKGramJaccardForPairs(pairs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, k: Int = 8): DataFrame =
     Dedup.jaccardForPairsOver(pairs,
-      docs.select(col(idCol).as("id"), charGrams(col(textCol), k).as("shs")))
+      // spread BEFORE the per-char zip_with gram chain (the kernel) so it
+      // runs post-exchange at full width, not on a narrow scan
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"), charGrams(col(textCol), k).as("shs")))
 }
