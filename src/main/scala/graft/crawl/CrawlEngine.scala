@@ -561,16 +561,20 @@ final class CrawlEngine(
       waveDistinct.join(seenTable, Seq("url_hash"), "left_anti")
     }).persist()
 
-    // every evaluated candidate becomes known — pass or fail (AddKnownUri)
+    // every evaluated candidate becomes known — pass or fail (AddKnownUri).
+    // The wave's seen-added total rides the stage:seen write as an
+    // observe() metric (obsSeen, read after the staging futures complete)
+    // instead of a dedicated count job; the persisted notSeen is
+    // materialized lazily by its first staging consumer — concurrent
+    // cache-miss computation is serialized per block by the BlockManager
+    // (the step-8 staging contract). The retired design collect()ed
+    // per-host candidate counts here to scope a robots broadcast —
+    // O(wave candidate hosts) through the driver, the last crawl
+    // structure that grew with wave width. Gone: robots rules are a
+    // join column now, below.
+    val obsSeen = org.apache.spark.sql.Observation()
     val seenAdds = notSeen.select($"url_hash")
-
-    // the wave's seen-added total is a scalar agg — it also materializes
-    // the persisted notSeen for downstream reuse. (The retired design
-    // collect()ed per-host candidate counts here to scope a robots
-    // broadcast — O(wave candidate hosts) through the driver, the last
-    // crawl structure that grew with wave width. Gone: robots rules are
-    // a join column now, below.)
-    val seenAddedWave = timed(wave, "cand-count")(notSeen.count())
+      .observe(obsSeen, count(lit(1)).as("n"))
 
     // robots matching is a JOIN of candidates against the hosts TABLE on
     // `host` (plus this wave's freshly-fetched states, not yet committed),
@@ -735,7 +739,7 @@ final class CrawlEngine(
     staged("stage:blocks")(io.stage("unique_blocks", wave,
       sized(newUnique.select($"text_hash", $"words"), pagesFetched * 240L)))
     staged("stage:seen")(io.stage("seen", wave + 1,
-      sized(seenAdds, seenAddedWave * 16L)))
+      sized(seenAdds, pagesFetched * 1024L)))
     if (newHostsCount > 0 && !hostsStagedEarly) {
       // the >64 branch already staged the fetch snapshot (and is READING
       // from that file — re-staging would overwrite its own input)
@@ -852,14 +856,14 @@ final class CrawlEngine(
         val nextFrontierOut = nextFrontierAll
           .observe(obsNext, count(lit(1)).as("n"))
         Future(timed(wave, "stage:frontier") {
-          io.stage("frontier", wave + 1,
-            sized(nextFrontierOut, (seenAddedWave + pagesFetched) * 256L))
+          io.stage("frontier", wave + 1, sized(nextFrontierOut, pagesFetched * 2048L))
           (obsNew.get("n").asInstanceOf[Long],
             obsNext.get("n").asInstanceOf[Long])
         })(stageEc)
     }
     stageJobs.result().foreach(Await.result(_, Duration.Inf))
     val (newAssigned, nextCount) = Await.result(nextCountF, Duration.Inf)
+    val seenAddedWave = obsSeen.get("n").asInstanceOf[Long]
     seenRowsTotal += seenAddedWave
     val baseStats = Map(
       "pages" -> pagesFetched,
@@ -948,7 +952,7 @@ object CrawlEngine {
     * staging futures before committing.
     */
   private lazy val stageEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(4,
+    java.util.concurrent.Executors.newFixedThreadPool(8,
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger(0)
         def newThread(r: Runnable): Thread = {
