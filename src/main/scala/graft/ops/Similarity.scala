@@ -35,7 +35,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // spread the stream side: the |corpus|×|queries| cosine evaluations
+    // run in the scan stage of the broadcast join — a narrow scan would
+    // serialize them (no-op at scale)
+    val c = Par.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
@@ -309,7 +313,10 @@ object Similarity {
     */
   def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // spread: the O(n²) pairwise cosines evaluate in the stream-side scan
+    // stage of the nested-loop join — parallelize it off a narrow scan
+    // (bounded corpus by contract, so the quadratic itself is documented)
+    val b = Par.spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
     b.as("a").join(b.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.vec"), col("b.vec")).as("raw"))
