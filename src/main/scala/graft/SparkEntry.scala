@@ -120,6 +120,12 @@ object SparkEntry {
 
     // ---- sorts / top-k (O1/O2) -----------------------------------------
     "q_topk_per_group" -> ((s, dir) => {
+      // NOTE (r07): a two-phase salted top-k (guide §2.5 — l_returnflag
+      // has only 3 values, so the per-group sort serializes into 3 tasks
+      // at any scale) was implemented and measured 1.29s vs 0.89s here:
+      // locally the extra 600k-row exchange outweighs the parallel sort.
+      // Reverted; the salted pre-rank is the right move only once a
+      // group's rows exceed one task's sort budget.
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
           col("l_linenumber").asc)

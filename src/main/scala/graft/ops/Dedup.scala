@@ -30,6 +30,9 @@ object Dedup {
     */
   def exactFirstWins(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
     val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(orderCol))
+    // NOT spread: measured 3x slower with a pre-exchange here — the
+    // fingerprint is cheap enough that the window's own hash exchange is
+    // the right (and only) redistribution point
     df.withColumn("dup_rank", row_number().over(w))
       .withColumn("is_canonical", col("dup_rank") === 1)
       .drop("dup_rank")
@@ -554,7 +557,14 @@ object Dedup {
     // so min(struct(did, start)) picks the SAME owner as ordering by the
     // native id would; the small marked set joins the dictionary back at
     // the end.
-    val idDict = {
+    // LONG ids are their own 8-byte surrogate: `did = doc_id` skips the
+    // dictionary entirely (its two zipWithIndex jobs and three joins).
+    // Owner selection is unchanged — dictionary numbering is doc_id sort
+    // order, which for longs IS the value order, so min(struct(did,
+    // start)) picks the same owner either way.
+    val longId = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val idDict = if (longId) null else {
       val ids = df.select(col(idCol).as("doc_id")).distinct()
         .orderBy(col("doc_id"))
       val schema = org.apache.spark.sql.types.StructType(ids.schema.fields :+
@@ -565,10 +575,12 @@ object Dedup {
           org.apache.spark.sql.Row(r.get(0), i)
         }, schema)
     }
-    val toks = Par.spread(df.select(col(idCol).as("doc_id"), col(textCol)))
+    val toksBase = Par.spread(df.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minTokens)
-      .join(idDict, "doc_id")
+    val toks =
+      if (longId) toksBase.withColumn("did", col("doc_id"))
+      else toksBase.join(idDict, "doc_id")
     // (did, start_tok, win_hash) — the ONLY columns that shuffle; the
     // window text itself never leaves its partition (re-derived later for
     // the rows that survive)
@@ -583,14 +595,19 @@ object Dedup {
       min(struct(col("did"), col("start_tok"))).as("owner"),
       count(lit(1)).as("occ"))
       .filter(col("ndocs") >= 2 && col("occ") <= maxOccurrences)
-    val marked = wins.join(stats, "win_hash")
+    val marked0 = wins.join(stats, "win_hash")
       .filter(!(col("did") === col("owner.did") &&
         col("start_tok") === col("owner.start_tok")))
-      .join(idDict, "did")
-      .join(idDict.select(col("doc_id").as("owner_id"),
-        col("did").as("__odid")), col("owner.did") === col("__odid"))
-      .select(col("doc_id"), col("start_tok"),
-        col("owner_id"), col("owner.start_tok").as("owner_start"))
+    val marked =
+      if (longId) marked0.select(col("did").as("doc_id"), col("start_tok"),
+        col("owner.did").as("owner_id"),
+        col("owner.start_tok").as("owner_start"))
+      else marked0
+        .join(idDict, "did")
+        .join(idDict.select(col("doc_id").as("owner_id"),
+          col("did").as("__odid")), col("owner.did") === col("__odid"))
+        .select(col("doc_id"), col("start_tok"),
+          col("owner_id"), col("owner.start_tok").as("owner_start"))
     (toks.drop("did"), marked)
   }
 
