@@ -351,24 +351,31 @@ final class CrawlEngine(
     val newHosts = frontier.select($"host").distinct()
       .join(hostsTbl.select($"host"), Seq("host"), "left_anti")
       .as[String].persist()
-    val newHostsCount = timed(wave, "hosts")(newHosts.count())
+    // take(65) decides the branch AND delivers the ≤64 names in the SAME
+    // job (the old shape ran a count job, then a second collect job on
+    // discovery waves); only the >64 case pays a full count
+    val newHostsTaken = timed(wave, "hosts")(newHosts.take(65))
+    val newHostsCount =
+      if (newHostsTaken.length <= 64) newHostsTaken.length.toLong
+      else newHosts.count()
     // few new hosts → fetch robots on the driver (no job round-trip; the
-    // ≤64 collect is the only names-to-driver path and is O(64) by
-    // construction; the common late-wave zero case runs NO job at all);
-    // many → fetch in partitions, stage the states to the wave's hosts
-    // partition IMMEDIATELY, and read the parquet back. persist() alone
-    // cannot guarantee once-only network fetches: a lost cached partition
-    // (executor death, speculative duplicate) would silently RE-FETCH
-    // robots mid-wave, so the delay column / robots column / staged hosts
-    // rows could come from DIFFERENT fetches of the same host. The staged
-    // parquet (invisible until the wave commits) is the immutable snapshot
-    // every downstream consumer — and a resumed attempt — reads.
+    // ≤64 take is the only names-to-driver path and is O(64) by
+    // construction; the common late-wave zero case runs one short-circuit
+    // job); many → fetch in partitions, stage the states to the wave's
+    // hosts partition IMMEDIATELY, and read the parquet back. persist()
+    // alone cannot guarantee once-only network fetches: a lost cached
+    // partition (executor death, speculative duplicate) would silently
+    // RE-FETCH robots mid-wave, so the delay column / robots column /
+    // staged hosts rows could come from DIFFERENT fetches of the same
+    // host. The staged parquet (invisible until the wave commits) is the
+    // immutable snapshot every downstream consumer — and a resumed
+    // attempt — reads.
     var hostsStagedEarly = false
     val newHostStates: Dataset[HostState] = timed(wave, "robots")(
       if (newHostsCount == 0) {
         spark.emptyDataset[HostState]
       } else if (newHostsCount <= 64) {
-        newHosts.collect().toSeq.map { h =>
+        newHostsTaken.toSeq.map { h =>
           val content = fetcherL.fetchRobots(h)
           val delay = CompiledRobots.of(content).crawlDelaySec(cfg.userAgent)
           HostState(h, cfg.effectiveDelayMs(delay), content, wave)
