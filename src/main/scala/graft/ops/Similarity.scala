@@ -134,15 +134,12 @@ object Similarity {
       dim: Int = -1, numPlanes: Int = -1, threshold: Double = 0.8,
       numTables: Int = 8): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    // ONE job for both derived parameters instead of a head() plus a
-    // count() (vectors are uniform-width, so max(size) IS the dimension)
-    val (d, np) =
-      if (dim > 0 && numPlanes > 0) (dim, numPlanes)
-      else {
-        val r = base.agg(max(size(col("vec"))), count(lit(1))).head()
-        (if (dim > 0) dim else r.getInt(0),
-          if (numPlanes > 0) numPlanes else planesFor(r.getLong(1)))
-      }
+    // deliberately TWO cheap jobs, not one fused agg: head() is a
+    // limit-1 probe and count() is satisfied from parquet metadata,
+    // while a fused max(size)+count aggregate would full-scan the corpus
+    // at scale just to derive two parameters (measured equal locally)
+    val d = if (dim > 0) dim else base.select(size(col("vec"))).head().getInt(0)
+    val np = if (numPlanes > 0) numPlanes else planesFor(base.count())
     val b = lshBucketRows(df, idCol, vecCol, d, np, numTables)
     val candidates = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
