@@ -15,17 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // floor scan parallelism at the session's core count (guide §6: "
-    // spark.sql.files.minPartitionNum sets a floor on scan parallelism"):
-    // a single mid-size parquet file otherwise scans as ONE task no matter
-    // how many cores the session has. Derived from defaultParallelism —
-    // never a constant — and a no-op at scale, where inputs already split
-    // into far more partitions than cores.
-    spark.conf.set("spark.sql.files.minPartitionNum",
-      spark.sparkContext.defaultParallelism)
+  // NOTE (r07): setting spark.sql.files.minPartitionNum here was tried and
+  // removed after review — when unset it already falls back to
+  // leafNodeDefaultParallelism = defaultParallelism, and the 4 MB
+  // openCostInBytes floor dominates these file sizes anyway (verified
+  // empirically: identical split counts with the conf unset, set to
+  // defaultParallelism, and forced to 256). Narrow-scan parallelism is
+  // Par.spread's job, not a dead conf's.
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** The documents table spread to full width (Par.spread) — for queries
     * whose dominant cost is per-row column expressions (regex extraction,

@@ -845,12 +845,16 @@ final class CrawlEngine(
           else nextFrontierAll0
         // new exclude applies retroactively to the pending frontier
         // (Scheduler.FilterAllowedUrlsAfterConfig analog, Scheduler.cs:123-139)
-        val nextFrontierOut = nextFrontierAll.filter(!$"url".startsWith(lcp))
+        val nextFrontierP = nextFrontierAll.filter(!$"url".startsWith(lcp))
+          .persist() // write + count both read it; released in-branch below
         Future(timed(wave, "stage:frontier") {
-          io.stage("frontier", wave + 1, nextFrontierOut)
-          val n = nextFrontierOut.count()
-          newFrontierP.unpersist()
-          (newAssigned, n)
+          try {
+            io.stage("frontier", wave + 1, nextFrontierP)
+            (newAssigned, nextFrontierP.count())
+          } finally {
+            newFrontierP.unpersist()
+            nextFrontierP.unpersist()
+          }
         })(stageEc)
       case None =>
         val obsNew = org.apache.spark.sql.Observation()

@@ -215,6 +215,7 @@ object SeenMaintenance {
         if (io.stat("reseed_wave").contains(reseedWave.toLong) &&
             io.waveExists("reseed", reseedWave, lookahead = 1))
           io.readWave("reseed", reseedWave, TableIO.FrontierSchema, lookahead = 1)
+            .persist() // three counts below derive from it — read disk once
         else TableIO.emptyDf(spark, TableIO.FrontierSchema)
       val pending = pending0
         .join(known, Seq("url_hash"), "left_anti") // re-forgotten: new row wins
@@ -239,6 +240,7 @@ object SeenMaintenance {
       val hs = merged.select($"url_hash").distinct().persist()
       hs.count() // materialize before merged is unpersisted
       merged.unpersist()
+      pending0.unpersist() // no-op for the empty-frame branch
       (nAssigned, hs.toDF())
     }
 

@@ -104,6 +104,15 @@ object PdfFixture {
     new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** One decimal place, Locale.ROOT — the ONLY way a fixture may format a
+    * fractional PDF number: the f-interpolator / bare String.format use
+    * the default JVM locale, and a comma-decimal locale would emit "18,0",
+    * an invalid PDF number (ADVICE r06; Bpe.normalizeWords pins locale the
+    * same way).
+    */
+  private def d1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
@@ -236,11 +245,6 @@ object PdfFixture {
       sb.append(s"BT /F1 8 Tf 72 792 Td ${enc(header)} Tj ET\n")
     }
     blocks.foreach { b =>
-      // Locale.ROOT: the f-interpolator formats with the JVM default
-      // locale — a comma-decimal locale would emit "18,0", an invalid PDF
-      // number (ADVICE r06; Bpe.normalizeWords pins locale the same way)
-      def d1(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       sb.append(s"BT /F1 ${d1(b.fontSize)} Tf 72 ${d1(y)} Td\n")
       sb.append(s"${d1(b.fontSize * 1.2)} TL\n")
       b.lines.zipWithIndex.foreach { case (line, i) =>
@@ -542,11 +546,8 @@ object PdfFixture {
   def pdfWithImage(pages: Seq[Seq[Block]], title: String = "",
       imageW: Int = 120, imageH: Int = 80, imageY: Double = 500.0): String = {
     val contents = pages.zipWithIndex.map { case (blocks, p) =>
-      // Locale.ROOT — see pageContent: default-locale %.1f would emit
-      // "500,0", an invalid PDF number, on comma-decimal JVMs (ADVICE r06)
       pageContent(blocks, p + 1, "", pageNumbers = false) +
-        s"q $imageW 0 0 $imageH 72 ${String.format(java.util.Locale.ROOT,
-          "%.1f", Double.box(imageY))} cm /Im1 Do Q\n"
+        s"q $imageW 0 0 $imageH 72 ${d1(imageY)} cm /Im1 Do Q\n"
     }
     val imgData = ("GRAY" * ((imageW * imageH + 3) / 4)).take(imageW * imageH)
     val sb = new StringBuilder

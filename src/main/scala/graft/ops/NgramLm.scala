@@ -141,34 +141,29 @@ object NgramLm {
   }
 
   /** Score every document under a broadcast model: (id, n_words,
-    * n_bigrams, avg_logprob rounded to 6 places). No shuffle. The id
-    * keeps its NATIVE type (URL strings on the crawl documents table,
-    * longs on the sf tables) — same contract as packSequences /
-    * exactSubstrMatches; a forced long cast would silently null string
-    * ids (ADVICE r06).
+    * n_bigrams, avg_logprob rounded to 6 places). NO SHUFFLE — the model
+    * broadcasts and the scorer is a single Scala UDF, so the per-document
+    * hot path that touches all 100 TB stays exchange-free (PlanSpec pins
+    * it). The id keeps its NATIVE type (URL strings on the crawl
+    * documents table, longs on the sf tables) — same contract as
+    * packSequences / exactSubstrMatches; a forced long cast would
+    * silently null string ids (ADVICE r06).
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       model: LmModel): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val in = Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-    val schema = StructType(Seq(in.schema.fields(0).copy(name = "id"),
-      StructField("n_words", LongType, nullable = false),
-      StructField("n_bigrams", LongType, nullable = false),
-      StructField("avg_logprob", DoubleType, nullable = false)))
-    val scored = in.rdd.mapPartitions { rows =>
-      val m = bc.value
-      rows.map { r =>
-        val (nw, nb, lp) = m.score(r.getString(1))
-        Row(r.get(0), nw, nb, lp)
-      }
-    }
-    spark.createDataFrame(scored, schema)
-      // round via the SQL function so the rounding mode is bit-identical
-      // with every other oracle-compared double in this repo
-      .withColumn("avg_logprob", round(col("avg_logprob"), 6))
+    // one UDF returning the (n_words, n_bigrams, score) struct; Spark's
+    // CollapseProject keeps non-cheap UDFs single-evaluation when the
+    // struct's fields are projected out
+    val scoreUdf = udf { (t: String) => bc.value.score(t) }
+    docs.select(col(idCol).as("id"), scoreUdf(col(textCol)).as("__s"))
+      .select(col("id"),
+        col("__s._1").as("n_words"),
+        col("__s._2").as("n_bigrams"),
+        // round via the SQL function so the rounding mode is bit-identical
+        // with every other oracle-compared double in this repo
+        round(col("__s._3"), 6).as("avg_logprob"))
   }
 
   /** Train-and-score in one call (the query shape). */
