@@ -646,11 +646,22 @@ object Dedup {
     * dup_tokens_removed. Documents below `minTokens` pass through.
     * Idempotent: a second pass finds nothing (the survivors are single
     * copies).
+    *
+    * `maxOccurrences` bounds the removal path against hot-window skew
+    * (the round-6 verdict's one remaining scale-killer candidate): a
+    * boilerplate window occurring d times contributes d marked rows and
+    * makes its `win_hash` a d-hot join key, so an uncapped removal is
+    * O(occurrences) in both marked-set volume and join skew. Windows
+    * above the cap are excluded from `stats` BEFORE the join — the hot
+    * key never reaches the probe side's output — and their occurrences
+    * are kept UNCUT: corpus-scale boilerplate is better handled by
+    * upstream exact/line dedup (D3), not passage removal. The default
+    * keeps the historical cut-everything semantics.
     */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 20): DataFrame = {
+      minTokens: Int = 20, maxOccurrences: Long = Long.MaxValue): DataFrame = {
     val (_, marked) =
-      exactSubstrMarked(df, idCol, textCol, minTokens, Long.MaxValue)
+      exactSubstrMarked(df, idCol, textCol, minTokens, maxOccurrences)
     val perDoc = marked.groupBy("doc_id")
       .agg(sort_array(collect_set(col("start_tok"))).as("starts"))
       .withColumnRenamed("doc_id", "__esd_mid") // callers may keep their own doc_id column

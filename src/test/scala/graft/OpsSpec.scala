@@ -985,6 +985,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again.agg(sum($"dup_tokens_removed")).head().getLong(0) == 0L)
   }
 
+  test("exactSubstrDedup maxOccurrences: above-cap hot windows are kept" +
+      " uncut (the boilerplate skew bound); at-cap behavior unchanged") {
+    // every shared window occurs once in each of 3 documents (occ = 3);
+    // a cap of 2 excludes them all from the removal join — nothing is
+    // cut and the hot win_hash never reaches the marked set
+    val capped = Dedup.exactSubstrDedup(passageCorpus, "doc_id", "text",
+      minTokens = 20, maxOccurrences = 2L)
+    assert(capped.agg(sum($"dup_tokens_removed")).head().getLong(0) == 0L)
+    val inputById = passageCorpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    capped.collect().foreach(r =>
+      assert(r.getAs[String]("text") == inputById(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} must pass through uncut"))
+    // a cap at the occurrence count keeps the historical cut semantics
+    val at = Dedup.exactSubstrDedup(passageCorpus, "doc_id", "text",
+      minTokens = 20, maxOccurrences = 3L)
+    assert(at.agg(sum($"dup_tokens_removed")).head().getLong(0) == 50L)
+  }
+
   test("langRebalance: kept corpus matches the target mix at the largest" +
       " achievable size; binding language keeps everything; untargeted" +
       " languages keep nothing") {
